@@ -1,0 +1,323 @@
+"""Connected components — hash-to-min label exchange with pointer jumping.
+
+Semantics match the reference exactly: every vertex's final label is the
+**minimum vertex id of its component** — elektra's canonical representative
+(``ElementBase::FindRepresentativeVertex`` returns the min vertex of the
+Euler tour, elektra parallel_euler_tour_tree/element.h:87-120; the brute-force
+oracle uses ``MinimumVertexInComponent``,
+utilities/simple_forest_connectivity.h:40-57). ``BatchConnected``
+(connectivity.h:30-31) then reduces to label-equality joins — see
+:func:`batch_connected`.
+
+Two-level execution (the Spark-native replacement for the reference's
+Euler-tour point updates, SURVEY.md §7.1):
+
+1. **Local collapse (CSR kernel)** — edges are range-partitioned by ``src``
+   (conversation chains get consecutive vids, so whole conversations land in
+   one partition) and each partition runs a vectorized NumPy min-label
+   union-find inside ``mapInPandas`` (Arrow batches, zero per-row Python).
+   This is the Spark analogue of the reference's semisort-then-local-work
+   idiom (connectivity-helpers.h:216-235) and collapses ~all intra-partition
+   structure in one pass, leaving a quotient graph of cross-partition pairs
+   that is orders of magnitude smaller than E.
+2. **Global fixpoint** — hash-to-min over the quotient: each superstep takes
+   ``label[v] ← min(label[v], min over neighbors' labels, label[label[v]])``
+   (the last term is pointer jumping / path compression — the BSP analogue of
+   ``find_compress``, elektra union_find.h:188-205). Min-aggregation is the
+   BSP analogue of the reference's ``write_min`` CAS (utilities/cas.h).
+   Converges in O(log n) supersteps; each superstep's labels are materialized
+   (checkpointed) to truncate lineage.
+
+At 100 TB: the heavy relation (edges) is shuffled **once** (the range
+partition); supersteps shuffle only the label table, which shrinks to the
+quotient graph after phase 1. Hub vertices are harmless here because min() is
+a fully map-side-combinable aggregate.
+"""
+
+from __future__ import annotations
+
+import time
+from collections.abc import Callable, Iterator
+from contextlib import contextmanager
+from typing import Any
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+
+@contextmanager
+def _no_aqe(spark: SparkSession):
+    """Disable AQE for the duration of an iterative fixpoint loop.
+
+    AQE re-optimizes at every exchange, turning each superstep into several
+    jobs; for the fixpoint the per-superstep relations are the (small) label /
+    quotient tables, the join keys are min-aggregated (map-side combinable, so
+    hub skew cannot produce a hot reducer), and the plan shape is identical
+    every round — runtime re-planning is pure overhead. The heavy, skew-prone
+    one-shot scans (edge derivation, triangle joins, PageRank contributions)
+    keep AQE on.
+    """
+    prev = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", prev)
+
+CheckpointFn = Callable[[DataFrame, int], DataFrame]
+SuperstepHook = Callable[[int, int, float], Any]
+
+
+def _default_checkpoint(df: DataFrame, step: int) -> DataFrame:
+    # localCheckpoint truncates lineage (prevents unbounded plan growth across
+    # supersteps); the resumable variant in elektra_spark.checkpoint writes
+    # snapshots to the catalog instead.
+    return df.localCheckpoint(eager=True)
+
+
+def _local_cc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition min-label union-find: vectorized NumPy, no per-row Python.
+
+    Emits (vid, comp) where comp is the min vid of the vertex's component
+    *within this partition's subgraph*.
+    """
+    import numpy as np
+
+    chunks = list(batches)
+    if not chunks:
+        return
+    src = np.concatenate([c["src"].to_numpy(dtype=np.int64) for c in chunks])
+    dst = np.concatenate([c["dst"].to_numpy(dtype=np.int64) for c in chunks])
+    if len(src) == 0:
+        return
+    vids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s, d = inv[: len(src)], inv[len(src) :]
+    lbl = np.arange(len(vids), dtype=np.int64)
+    while True:
+        old = lbl.copy()
+        # scatter min across edges (both directions), then pointer-jump twice
+        np.minimum.at(lbl, d, lbl[s])
+        np.minimum.at(lbl, s, lbl[d])
+        lbl = np.minimum(lbl, lbl[lbl])
+        lbl = np.minimum(lbl, lbl[lbl])
+        if np.array_equal(lbl, old):
+            break
+    yield pd.DataFrame({"vid": vids, "comp": vids[lbl]})
+
+
+def _min_label_fixpoint(
+    edges: DataFrame,
+    labels: DataFrame,
+    max_iter: int = 50,
+    checkpoint: CheckpointFn = _default_checkpoint,
+    on_superstep: SuperstepHook | None = None,
+    start_step: int = 0,
+) -> DataFrame:
+    """Iterate label[v] ← min(self, neighbors, label[label[v]]) to fixpoint.
+
+    ``labels`` must contain every vertex (vid, label) with label values drawn
+    from the vid universe (true for min-vid labels by construction).
+    """
+    both = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    with _no_aqe(edges.sparkSession):
+        return _min_label_loop(both, labels, max_iter, checkpoint, on_superstep, start_step)
+
+
+def _min_label_loop(
+    both: DataFrame,
+    labels: DataFrame,
+    max_iter: int,
+    checkpoint: CheckpointFn,
+    on_superstep: SuperstepHook | None,
+    start_step: int,
+) -> DataFrame:
+    both = checkpoint(both, -1)  # materialize once; reused every superstep
+
+    labels = checkpoint(labels.select("vid", "label"), start_step)
+    for step in range(start_step, start_step + max_iter):
+        t0 = time.time()
+        # Superstep = hash-to-min cluster exchange, two aggregations:
+        #  1. candidate min per vertex: own label, neighbors' labels, and
+        #     label[label[v]] (pointer-jump messages w → v for label[v] = w —
+        #     the BSP analogue of find_compress, elektra union_find.h:188-205);
+        #  2. star broadcast: the min candidate of each label-group flows to
+        #     every member, so a min discovered anywhere in a cluster reaches
+        #     the whole cluster next round — without it a min arriving
+        #     mid-chain crawls one hop per round. Clusters merge by doubling
+        #     → O(log n) supersteps.
+        # Both aggregates are min() — map-side combinable, so hub vertices /
+        # giant components cost one combiner entry per map partition, never a
+        # hot reducer.
+        jump_msgs = labels.select(F.col("label").alias("src"), F.col("vid").alias("dst"))
+        msgs = both.union(jump_msgs)
+        nbr = (
+            msgs.join(labels, msgs.src == labels.vid)
+            .select(F.col("dst").alias("vid"), "label")
+            .groupBy("vid")
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        cand = labels.join(nbr, "vid", "left").select(
+            "vid",
+            F.col("label"),
+            F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("cmin"),
+        )
+        star = cand.groupBy("label").agg(F.min("cmin").alias("star_min"))
+        new_labels = cand.join(star, "label").select(
+            "vid",
+            F.least("cmin", "star_min").alias("new_label"),
+            F.col("label").alias("old_label"),
+        )
+        cp = checkpoint(new_labels, step + 1)  # materialize once per superstep
+        changed = cp.filter(F.col("new_label") != F.col("old_label")).count()
+        labels = cp.select("vid", F.col("new_label").alias("label"))
+        if on_superstep is not None:
+            on_superstep(step, changed, time.time() - t0)
+        if changed == 0:
+            break
+    return labels
+
+
+def _driver_union_find(spark, roots: DataFrame, links: DataFrame) -> DataFrame:
+    """Union-find over the (small) root quotient graph on the driver.
+
+    Vectorized NumPy min-label propagation with pointer doubling — the same
+    kernel as the per-partition pass, run once over the collected quotient.
+    Returns a (vid, label) DataFrame mapping every root to its component min.
+    """
+    import numpy as np
+
+    pdf = links.select("src", "dst").toPandas()
+    rts = roots.toPandas()["vid"].to_numpy(dtype=np.int64)
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    vids = np.unique(np.concatenate([rts, src, dst]))
+    idx_src = np.searchsorted(vids, src)
+    idx_dst = np.searchsorted(vids, dst)
+    lbl = np.arange(len(vids), dtype=np.int64)
+    while True:
+        old = lbl.copy()
+        np.minimum.at(lbl, idx_dst, lbl[idx_src])
+        np.minimum.at(lbl, idx_src, lbl[idx_dst])
+        lbl = np.minimum(lbl, lbl[lbl])
+        lbl = np.minimum(lbl, lbl[lbl])
+        if np.array_equal(lbl, old):
+            break
+    out = pd.DataFrame({"vid": vids, "label": vids[lbl]})
+    return spark.createDataFrame(out)
+
+
+def connected_components(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    kernel: str = "auto",
+    num_partitions: int | None = None,
+    max_iter: int = 50,
+    checkpoint: CheckpointFn = _default_checkpoint,
+    on_superstep: SuperstepHook | None = None,
+    driver_uf_threshold: int = 5_000_000,
+) -> DataFrame:
+    """Connected components → (vid, component) with component = min vid.
+
+    kernel:
+      - 'csr'  : per-partition NumPy union-find collapse (one pass over the
+                 range-partitioned edges), then the root quotient graph is
+                 solved either on the driver (≤ driver_uf_threshold links —
+                 the reference's sequential-fallback trade,
+                 euler_tour_tree.h:279) or by the distributed fixpoint.
+                 Default at scale: the heavy relation is shuffled exactly
+                 once; supersteps touch only the quotient.
+      - 'df'   : pure DataFrame hash-to-min + pointer jumping over the raw
+                 edges (O(log n) supersteps; reference/simple path).
+      - 'auto' : 'csr'.
+    """
+    spark = edges.sparkSession
+    if kernel == "auto":
+        kernel = "csr"
+
+    if kernel == "csr":
+        parts = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
+        partitioned = edges.select("src", "dst").repartitionByRange(parts, "src")
+        pairs = checkpoint(partitioned.mapInPandas(_local_cc_kernel, "vid long, comp long"), -2)
+        # seeds: each vertex's best (min) local root across the partitions it
+        # appears in; the label forest vid → seed.
+        seeds = pairs.groupBy("vid").agg(F.min("comp").alias("label"))
+        # Root quotient graph: a vertex seen by several partitions links all
+        # its local roots. Its size is the number of *cross-partition
+        # adjacencies between local components* — orders of magnitude smaller
+        # than V (for conversation-contiguous vids: conversation boundaries +
+        # tool hubs), which is what makes the driver fallback viable.
+        links = (
+            pairs.join(seeds, "vid")
+            .filter(F.col("comp") != F.col("label"))
+            .select(F.col("label").alias("src"), F.col("comp").alias("dst"))
+            .dropDuplicates(["src", "dst"])
+        )
+        links = checkpoint(links, -1)
+        roots = pairs.select(F.col("comp").alias("vid")).distinct()
+        n_links = links.count()
+        if n_links == 0:
+            root_map = roots.select("vid", F.col("vid").alias("label"))
+        elif n_links <= driver_uf_threshold:
+            # Sequential fallback below threshold — the same trade the
+            # reference makes (batch ≤ 75 handled sequentially,
+            # euler_tour_tree.h:279): the root quotient fits on the driver,
+            # so one vectorized NumPy union-find replaces O(log n) shuffle
+            # rounds. Above threshold the distributed fixpoint runs instead.
+            root_map = _driver_union_find(spark, roots, links)
+        else:
+            labels0 = roots.withColumn("label", F.col("vid"))
+            root_map = _min_label_fixpoint(links, labels0, max_iter, checkpoint, on_superstep)
+        # resolve each vertex's seed through the root mapping
+        resolve = root_map.select(F.col("vid").alias("label"), F.col("label").alias("root"))
+        labels = (
+            seeds.join(resolve, "label", "left")
+            .select("vid", F.coalesce("root", F.col("label")).alias("label"))
+        )
+    else:
+        endpoints = edges.select(F.col("src").alias("vid")).union(edges.select(F.col("dst").alias("vid"))).distinct()
+        labels0 = endpoints.withColumn("label", F.col("vid"))
+        labels = _min_label_fixpoint(edges, labels0, max_iter, checkpoint, on_superstep)
+
+    result = labels.select("vid", F.col("label").alias("component"))
+    if vertices is not None:
+        vids = vertices.select("vid")
+        isolated = vids.join(result.select("vid"), "vid", "left_anti").withColumn("component", F.col("vid"))
+        result = result.join(vids, "vid", "left_semi").unionByName(isolated)
+    return result
+
+
+def batch_connected(labels: DataFrame, queries: DataFrame) -> DataFrame:
+    """elektra ``BatchConnected`` (connectivity.h:30-31): for each query pair
+    (u, v), true iff same component. Two hash joins against the label table;
+    Catalyst broadcasts the query batch when small.
+    """
+    lu = labels.select(F.col("vid").alias("u"), F.col("component").alias("cu"))
+    lv = labels.select(F.col("vid").alias("v"), F.col("component").alias("cv"))
+    return (
+        queries.join(lu, "u", "left")
+        .join(lv, "v", "left")
+        .select(
+            "u",
+            "v",
+            (F.coalesce("cu", F.col("u")) == F.coalesce("cv", F.col("v"))).alias("connected"),
+        )
+    )
+
+
+def component_sizes(labels: DataFrame) -> DataFrame:
+    """elektra ``ComponentSize`` (hdt_element.h:99-110 augmented counts) as a
+    plain aggregate."""
+    return labels.groupBy("component").agg(F.count("*").alias("size"))
+
+
+def component_vertices(labels: DataFrame, component: int) -> DataFrame:
+    """elektra ``ComponentVertices`` (euler_tour_tree.h:565-587)."""
+    return labels.filter(F.col("component") == component).select("vid")
+
+
+def component_edges(labels: DataFrame, edges: DataFrame, component: int) -> DataFrame:
+    """elektra ``ComponentEdges`` (euler_tour_tree.h:589-592): edge slice of
+    one component via a semi-join against its member vertices."""
+    members = labels.filter(F.col("component") == component).select("vid")
+    return edges.join(members.withColumnRenamed("vid", "src"), "src", "left_semi")

@@ -1,0 +1,60 @@
+"""Transcript synthesis determinism + edge derivation invariants
+(BASELINE.json input_hint: per-turn text equality under stable ordering)."""
+
+from pyspark.sql import functions as F
+
+from elektra_spark.ingest.edges import derive_graph, reconstruct_transcript_text
+from elektra_spark.ingest.transcripts import synth_transcripts
+
+
+def test_transcripts_schema_and_determinism(spark):
+    t1 = synth_transcripts(spark, n_conversations=20, seed=42)
+    assert [f.name for f in t1.schema.fields] == ["conv_id", "turn_idx", "role", "text", "tool", "ts"]
+    assert dict((f.name, f.dataType.simpleString()) for f in t1.schema.fields) == {
+        "conv_id": "string", "turn_idx": "int", "role": "string",
+        "text": "string", "tool": "string", "ts": "timestamp",
+    }
+    # identical bytes at different parallelism (pure column functions)
+    t2 = synth_transcripts(spark, n_conversations=20, seed=42, partitions=7)
+    rows1 = sorted(map(tuple, t1.collect()))
+    rows2 = sorted(map(tuple, t2.collect()))
+    assert rows1 == rows2
+    lens = t1.groupBy("conv_id").count().collect()
+    assert all(2 <= r["count"] <= 200 for r in lens)
+
+
+def test_edge_derivation_invariants(spark):
+    t = synth_transcripts(spark, n_conversations=25, seed=42)
+    g = derive_graph(t)
+
+    edges = g.edges.collect()
+    # canonical src < dst, deduped, no self loops
+    assert all(r["src"] < r["dst"] for r in edges)
+    assert len(edges) == len({(r["src"], r["dst"]) for r in edges})
+
+    # dense, stable turn vids: count = n_turns, 0..n-1
+    turn_v = g.vertices.filter(F.col("kind") == "turn")
+    n = t.count()
+    assert g.n_turn_vertices == n
+    assert turn_v.count() == n
+    mm = turn_v.agg(F.min("vid"), F.max("vid"), F.countDistinct("vid")).collect()[0]
+    assert (mm[0], mm[1], mm[2]) == (0, n - 1, n)
+
+    # reply edges: each conversation of length L contributes exactly L-1 edges
+    n_reply = t.groupBy("conv_id").count().agg(F.sum(F.col("count") - 1)).collect()[0][0]
+    n_tool_turns = t.filter(F.col("tool").isNotNull()).count()
+    assert len(edges) == n_reply + n_tool_turns  # tool edges unique per (turn, tool)
+
+
+def test_per_turn_text_equality_roundtrip(spark):
+    """input_hint invariant: reconstructing per-turn text from the vertex map
+    under stable (conv_id, turn_idx) ordering equals the source exactly."""
+    t = synth_transcripts(spark, n_conversations=15, seed=42)
+    g = derive_graph(t)
+    recon = reconstruct_transcript_text(g.vertices, t)
+    src = sorted((r["conv_id"], r["turn_idx"], r["text"]) for r in t.collect())
+    got = sorted((r["conv_id"], r["turn_idx"], r["text"]) for r in recon.collect())
+    assert src == got
+    # vid order agrees with (conv_id, turn_idx) order (stable ordering)
+    by_vid = [(r["conv_id"], r["turn_idx"]) for r in recon.orderBy("vid").collect()]
+    assert by_vid == sorted(by_vid)
