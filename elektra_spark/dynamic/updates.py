@@ -1,0 +1,189 @@
+"""Batch-dynamic edge updates — the Spark re-expression of the reference's
+``BatchAddEdges`` / ``BatchDeleteEdges`` (elektra
+batch_dynamic_connectivity/dynamic_connectivity.h:44-110, 169-377).
+
+State lives in the snapshot catalog (Iceberg stand-in): tables ``edges``,
+``labels`` (vid → min-vid component), ``forest`` (spanning forest edges).
+Updates are MERGE deltas followed by *incremental* recomputation
+(SURVEY.md §7.5) — the set-oriented replacement for the reference's HDT level
+machinery, with identical post-state by the CheckRep invariants
+(connectivity.h:114-348):
+
+- **insert**: new edges can only merge components. Contract the batch by
+  current labels (the exact analogue of ``RepresentativeSpanningTree``,
+  connectivity.h:396-409), solve the tiny contracted graph with union-find,
+  and remap labels through the resulting root mapping. Batch edges whose
+  contracted unite succeeded become forest edges (the winner contract of
+  ``unite_variants::Unite``, union_find.h:277-324); the rest are non-tree —
+  the same tree/non-tree split ``BatchAddEdges`` performs.
+- **delete**: non-tree deletions never change connectivity (fast path — the
+  reference removes them from adjacency lists without touching forests,
+  dynamic_connectivity.h:199-203). Deleting forest edges triggers a
+  recompute of the affected components only: their full edge slice is
+  re-run through CC + spanning forest (semantically ``ReplacementSearch``,
+  dynamic_connectivity.h:379-592, with the doubling search replaced by a
+  set-oriented recompute); labels of untouched components are preserved
+  verbatim.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..operators.cc import connected_components
+from ..operators.forest import spanning_forest
+from ..tables import SnapshotCatalog
+
+
+def _canon(batch: DataFrame) -> DataFrame:
+    return (
+        batch.select(F.least("src", "dst").alias("src"), F.greatest("src", "dst").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+class DynamicGraph:
+    """A mutable graph backed by catalog tables (edges / labels / forest)."""
+
+    def __init__(self, catalog: SnapshotCatalog, prefix: str = "graph"):
+        self.catalog = catalog
+        self.prefix = prefix
+
+    def _t(self, name: str) -> str:
+        return f"{self.prefix}_{name}"
+
+    # -- construction --------------------------------------------------------
+    @classmethod
+    def create(
+        cls,
+        catalog: SnapshotCatalog,
+        edges: DataFrame,
+        vertices: DataFrame | None = None,
+        prefix: str = "graph",
+    ) -> "DynamicGraph":
+        g = cls(catalog, prefix)
+        edges = _canon(edges)
+        catalog.write(g._t("edges"), edges, "create")
+        labels = connected_components(edges, vertices=vertices)
+        catalog.write(g._t("labels"), labels, "create")
+        forest = spanning_forest(edges)
+        catalog.write(g._t("forest"), forest, "create")
+        return g
+
+    # -- reads ----------------------------------------------------------------
+    def edges(self) -> DataFrame:
+        return self.catalog.read(self._t("edges"))
+
+    def labels(self) -> DataFrame:
+        return self.catalog.read(self._t("labels"))
+
+    def forest(self) -> DataFrame:
+        return self.catalog.read(self._t("forest"))
+
+    def batch_connected(self, queries: DataFrame) -> DataFrame:
+        from ..operators.cc import batch_connected
+
+        return batch_connected(self.labels(), queries)
+
+    # -- batch insert ----------------------------------------------------------
+    def batch_add_edges(self, batch: DataFrame) -> None:
+        spark = batch.sparkSession
+        batch = _canon(batch)
+        # filter out already-present edges (InsertIntoEdgeTable dedup,
+        # connectivity.h:425-437) and self-contained no-ops
+        fresh = batch.join(self.edges(), ["src", "dst"], "left_anti")
+        # vertices unseen before get singleton labels first
+        labels = self.labels()
+        endpoints = fresh.select(F.col("src").alias("vid")).union(fresh.select(F.col("dst").alias("vid"))).distinct()
+        new_vids = endpoints.join(labels.select("vid"), "vid", "left_anti").withColumn(
+            "component", F.col("vid")
+        )
+        labels = labels.unionByName(new_vids)
+
+        # contract batch endpoints to representatives (RepresentativeSpanningTree)
+        lu = labels.select(F.col("vid").alias("src"), F.col("component").alias("cu"))
+        lv = labels.select(F.col("vid").alias("dst"), F.col("component").alias("cv"))
+        contracted = (
+            fresh.join(lu, "src").join(lv, "dst").select("src", "dst", "cu", "cv").localCheckpoint(eager=True)
+        )
+        cross = contracted.filter(F.col("cu") != F.col("cv"))
+        # solve the contracted graph on the driver (it is one row per batch
+        # edge joining distinct components — small by construction)
+        pdf = cross.select("src", "dst", "cu", "cv").toPandas().sort_values(["src", "dst"])
+        parent: dict[int, int] = {}
+
+        def find(x: int) -> int:
+            r = x
+            while parent.get(r, r) != r:
+                r = parent[r]
+            while parent.get(x, x) != r:
+                parent[x], x = r, parent.get(x, x)
+            return r
+
+        mapping: list[tuple[int, int]] = []
+        winners: list[tuple[int, int]] = []
+        for s, d, cu, cv in pdf[["src", "dst", "cu", "cv"]].itertuples(index=False):
+            ru, rv = find(int(cu)), find(int(cv))
+            if ru != rv:
+                parent[max(ru, rv)] = min(ru, rv)
+                winners.append((int(s), int(d)))
+        roots = {int(c) for c in pd.concat([pdf["cu"], pdf["cv"]])} if len(pdf) else set()
+        mapping = [(c, find(c)) for c in roots]
+
+        self.catalog.merge_insert(self._t("edges"), fresh, ["src", "dst"])
+        if mapping:
+            mdf = spark.createDataFrame(pd.DataFrame(mapping, columns=["component", "new_component"]))
+            relabeled = (
+                labels.join(F.broadcast(mdf), "component", "left")
+                .select("vid", F.coalesce("new_component", F.col("component")).alias("component"))
+            )
+        else:
+            relabeled = labels
+        self.catalog.write(self._t("labels"), relabeled, "batch_add_edges")
+        if winners:
+            wdf = spark.createDataFrame(pd.DataFrame(winners, columns=["src", "dst"]))
+            self.catalog.write(self._t("forest"), self.forest().unionByName(wdf), "batch_add_edges")
+
+    # -- batch delete -----------------------------------------------------------
+    def batch_delete_edges(self, batch: DataFrame) -> None:
+        batch = _canon(batch)
+        # RemoveUnknownEdges (connectivity-helpers.h:280-283)
+        known = batch.join(self.edges(), ["src", "dst"], "left_semi").localCheckpoint(eager=True)
+        self.catalog.merge_delete(self._t("edges"), known, ["src", "dst"])
+
+        # tree / non-tree split: only forest deletions can split components
+        tree_dels = known.join(self.forest(), ["src", "dst"], "left_semi").localCheckpoint(eager=True)
+        if tree_dels.count() == 0:
+            # non-tree fast path: connectivity unchanged
+            return
+
+        labels = self.labels()
+        # affected components = components containing any deleted tree edge
+        affected = (
+            tree_dels.select(F.col("src").alias("vid"))
+            .join(labels, "vid")
+            .select("component")
+            .distinct()
+            .localCheckpoint(eager=True)
+        )
+        member = labels.join(F.broadcast(affected), "component", "left_semi")
+        sub_vertices = member.select("vid")
+        remaining = self.edges()
+        sub_edges = remaining.join(
+            sub_vertices.withColumnRenamed("vid", "src"), "src", "left_semi"
+        )
+        # recompute CC + forest inside affected components only
+        new_sub_labels = connected_components(sub_edges, vertices=sub_vertices)
+        untouched = labels.join(F.broadcast(affected), "component", "left_anti")
+        self.catalog.write(self._t("labels"), untouched.unionByName(new_sub_labels), "batch_delete_edges")
+
+        new_sub_forest = spanning_forest(sub_edges)
+        old_forest = self.forest().join(known, ["src", "dst"], "left_anti")
+        # drop forest edges that lived in affected components; add recomputed
+        keep_forest = old_forest.join(
+            member.withColumnRenamed("vid", "src").select("src"), "src", "left_anti"
+        )
+        self.catalog.write(self._t("forest"), keep_forest.unionByName(new_sub_forest), "batch_delete_edges")

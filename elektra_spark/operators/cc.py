@@ -163,14 +163,14 @@ def _min_label_loop(
             F.least(F.col("label"), F.coalesce("nbr_min", F.col("label"))).alias("cmin"),
         )
         star = cand.groupBy("label").agg(F.min("cmin").alias("star_min"))
-        new_labels = cand.join(star, "label").select(
-            "vid",
-            F.least("cmin", "star_min").alias("new_label"),
-            F.col("label").alias("old_label"),
+        new_labels = (
+            cand.join(star, "label")
+            .select("vid", F.col("label").alias("old"), F.least("cmin", "star_min").alias("label"))
+            .select("vid", "label", (F.col("old") != F.col("label")).alias("changed"))
         )
-        cp = checkpoint(new_labels, step + 1)  # materialize once per superstep
-        changed = cp.filter(F.col("new_label") != F.col("old_label")).count()
-        labels = cp.select("vid", F.col("new_label").alias("label"))
+        cp = checkpoint(new_labels, step + 1)  # durable state: (vid, label, changed)
+        changed = cp.filter("changed").count()
+        labels = cp.select("vid", "label")
         if on_superstep is not None:
             on_superstep(step, changed, time.time() - t0)
         if changed == 0:

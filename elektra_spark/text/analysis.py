@@ -1,0 +1,93 @@
+"""Text analysis for large-scale training-data pipelines.
+
+All functions are pure ``pyspark.sql.functions`` column expressions (JVM-side,
+whole-stage-codegen'd — no Python in the hot path), so they pushdown-compose
+with scans and stay cheap at 100 TB. Each has an exact ANSI-SQL twin used by
+the DuckDB oracle in ``__spark_entry__.py``.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# small multilingual stopword marker sets for the n-gram/lexicon language
+# heuristic (deterministic, vocabulary-based — no external models)
+LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "is"],
+    "es": ["el", "la", "de", "que", "los"],
+    "de": ["der", "die", "und", "das", "ist"],
+    "fr": ["le", "la", "les", "de", "est"],
+}
+
+EN_STOPWORDS = ["the", "a", "an", "and", "or", "of", "to", "in", "is", "it"]
+
+
+def tokens(text: Column) -> Column:
+    return F.split(text, " ")
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens(text))
+
+
+def distinct_token_ratio(text: Column) -> Column:
+    """type-token ratio — a standard quality heuristic."""
+    return F.size(F.array_distinct(tokens(text))) / F.size(tokens(text))
+
+
+def punct_ratio(text: Column) -> Column:
+    """fraction of non-alphanumeric, non-space characters."""
+    stripped = F.regexp_replace(text, r"[A-Za-z0-9 ]", "")
+    return F.length(stripped) / F.greatest(F.length(text), F.lit(1))
+
+
+def stopword_ratio(text: Column, stopwords: list[str] | None = None) -> Column:
+    sw = F.array(*[F.lit(w) for w in (stopwords or EN_STOPWORDS)])
+    hits = F.size(F.filter(tokens(text), lambda t: F.array_contains(sw, t)))
+    return hits / F.greatest(token_count(text), F.lit(1))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite [0,1] quality score: length band, lexical diversity, low
+    punctuation noise. Deterministic arithmetic only."""
+    n = token_count(text)
+    len_ok = F.when((n >= 5) & (n <= 5000), F.lit(1.0)).otherwise(F.lit(0.3))
+    return F.round(0.5 * len_ok + 0.4 * distinct_token_ratio(text) + 0.1 * (1 - punct_ratio(text)), 6)
+
+
+def lang_id(text: Column) -> Column:
+    """Marker-lexicon language ID: argmax language by marker-token hits,
+    'und' when nothing matches. Vectorized set-intersection per row."""
+    toks = tokens(text)
+    best_lang = F.lit("und")
+    best_hits = F.lit(0)
+    # fold languages in fixed order; strictly-greater keeps the first argmax
+    for lang, markers in LANG_MARKERS.items():
+        arr = F.array(*[F.lit(m) for m in markers])
+        hits = F.size(F.filter(toks, lambda t: F.array_contains(arr, t)))
+        take = hits > best_hits
+        best_lang = F.when(take, F.lit(lang)).otherwise(best_lang)
+        best_hits = F.when(take, hits).otherwise(best_hits)
+    return best_lang
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: md5 of the token-normalized text (stable across
+    whitespace variance). Engine + oracle share md5 exactly."""
+    return F.md5(F.array_join(F.filter(tokens(text), lambda t: t != ""), " "))
+
+
+def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Per-document profile used by pipeline filters."""
+    t = F.col(text_col)
+    return df.select(
+        F.col(id_col),
+        token_count(t).alias("n_tokens"),
+        F.round(distinct_token_ratio(t), 6).alias("ttr"),
+        F.round(punct_ratio(t), 6).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 6).alias("stopword_ratio"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+        fingerprint(t).alias("fp"),
+    )

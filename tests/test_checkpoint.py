@@ -1,0 +1,91 @@
+"""M5: superstep checkpointing, lineage/metrics tables, kill-and-resume."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from elektra_spark.checkpoint import CheckpointedRun
+from elektra_spark.ingest.graph_io import edges_from_pairs
+from elektra_spark.operators.cc import _min_label_fixpoint
+from elektra_spark.operators.pagerank import pagerank
+from elektra_spark.tables import SnapshotCatalog
+
+from .oracles import pagerank_oracle
+
+CHAIN = [(i, i + 1) for i in range(63)]
+
+
+def test_snapshot_catalog_basics(spark, tmp_path):
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    df = spark.createDataFrame([(1, 10), (2, 20)], "k long, v long")
+    cat.write("t", df)
+    assert sorted(map(tuple, cat.read("t").collect())) == [(1, 10), (2, 20)]
+    cat.merge_insert("t", spark.createDataFrame([(2, 99), (3, 30)], "k long, v long"), ["k"])
+    assert sorted(map(tuple, cat.read("t").collect())) == [(1, 10), (2, 20), (3, 30)]
+    cat.upsert("t", spark.createDataFrame([(3, 33), (4, 44)], "k long, v long"), ["k"])
+    assert sorted(map(tuple, cat.read("t").collect())) == [(1, 10), (2, 20), (3, 33), (4, 44)]
+    cat.merge_delete("t", spark.createDataFrame([(1,)], "k long"), ["k"])
+    assert sorted(map(tuple, cat.read("t").collect())) == [(2, 20), (3, 33), (4, 44)]
+    # time travel: version 1 still readable
+    assert sorted(map(tuple, cat.read("t", version=1).collect())) == [(1, 10), (2, 20)]
+    assert [s["operation"] for s in cat.history("t")] == [
+        "overwrite", "merge_insert", "upsert", "merge_delete",
+    ]
+
+
+def test_pagerank_resume_equals_uninterrupted(spark, tmp_path):
+    """Kill-and-resume: 4 supersteps, 'crash', resume for 4 more — ranks are
+    bit-identical to an uninterrupted 8-superstep run (same schedule)."""
+    edges = edges_from_pairs(spark, CHAIN)
+
+    run = CheckpointedRun(spark, str(tmp_path / "wh"), "run1")
+    pagerank(edges, n_iter=4, checkpoint=run.checkpoint_fn("ranks"), on_superstep=run.metrics_hook("ranks"))
+    assert run.latest_step("ranks") == 4
+
+    # resume mid-iteration from the durable snapshot
+    resumed = pagerank(
+        edges,
+        n_iter=4,
+        start_step=run.latest_step("ranks"),
+        init_ranks=run.load("ranks"),
+        checkpoint=run.checkpoint_fn("ranks"),
+    )
+    full = pagerank(edges, n_iter=8)
+    a = {r["vid"]: r["rank"] for r in resumed.collect()}
+    b = {r["vid"]: r["rank"] for r in full.collect()}
+    assert a.keys() == b.keys()
+    assert all(abs(a[v] - b[v]) < 1e-15 for v in a)
+    # and the schedule matches the oracle
+    want = pagerank_oracle(CHAIN, range(64), iters=8)
+    assert all(abs(a[v] - want[v]) < 1e-6 for v in want)
+    assert run.latest_step("ranks") == 8
+
+
+def test_cc_fixpoint_resume(spark, tmp_path):
+    edges = edges_from_pairs(spark, CHAIN)
+    both = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    labels0 = both.select(F.col("src").alias("vid")).distinct().withColumn("label", F.col("vid"))
+
+    run = CheckpointedRun(spark, str(tmp_path / "wh"), "ccrun")
+    # run only 2 supersteps (simulated crash via max_iter)
+    partial = _min_label_fixpoint(edges, labels0, max_iter=2, checkpoint=run.checkpoint_fn("labels"))
+    step = run.latest_step("labels")
+    assert step == 2
+    # resume to fixpoint from durable state
+    final = _min_label_fixpoint(edges, run.load("labels"), max_iter=30,
+                                checkpoint=run.checkpoint_fn("labels"), start_step=step)
+    got = {r["vid"]: r["label"] for r in final.collect()}
+    assert got == {v: 0 for v in range(64)}
+
+
+def test_lineage_and_metrics_recorded(spark, tmp_path):
+    edges = edges_from_pairs(spark, CHAIN[:15])
+    run = CheckpointedRun(spark, str(tmp_path / "wh"), "m")
+    pagerank(edges, n_iter=2, checkpoint=run.checkpoint_fn("ranks"), on_superstep=run.metrics_hook("ranks"))
+    lin = run.lineage_table()
+    assert lin.filter(F.col("state") == "ranks").count() > 0
+    assert set(lin.columns) == {"run_id", "state", "superstep", "partition_id", "rows", "committed_at"}
+    met = run.metrics_table().collect()
+    assert {m["superstep"] for m in met} == {0, 1}
+    # per-superstep row counts are conserved (every vertex present each step)
+    per_step = lin.groupBy("superstep").agg(F.sum("rows").alias("n")).collect()
+    assert len({r["n"] for r in per_step}) == 1

@@ -1,0 +1,70 @@
+"""PageRank vs NumPy power-iteration oracle — allclose 1e-6 (north rule)."""
+
+import numpy as np
+import pytest
+from pyspark.sql import functions as F
+
+from elektra_spark.ingest.graph_io import edges_from_pairs
+from elektra_spark.operators.pagerank import pagerank
+
+from .oracles import pagerank_oracle
+
+HOUSE = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 1), (1, 4), (3, 4)]
+
+
+def _ranks_dict(df):
+    return {r["vid"]: r["rank"] for r in df.collect()}
+
+
+@pytest.mark.parametrize("kernel", ["df", "csr"])
+def test_pagerank_house(spark, kernel):
+    edges = edges_from_pairs(spark, HOUSE)
+    got = _ranks_dict(pagerank(edges, n_iter=30, kernel=kernel))
+    want = pagerank_oracle(HOUSE, range(5), iters=30)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+@pytest.mark.parametrize("kernel", ["df", "csr"])
+def test_pagerank_with_dangling(spark, kernel):
+    """Isolated vertices hold dangling mass that must be redistributed."""
+    pairs = [(0, 1), (1, 2)]
+    edges = edges_from_pairs(spark, pairs)
+    vertices = spark.range(5).select(F.col("id").alias("vid"))  # 3,4 isolated
+    got = _ranks_dict(pagerank(edges, vertices=vertices, n_iter=25, kernel=kernel))
+    want = pagerank_oracle(pairs, range(5), iters=25)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-6, (v, got[v], want[v])
+    assert abs(sum(got.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_transcript_graph(spark):
+    from elektra_spark.ingest.edges import derive_graph
+    from elektra_spark.ingest.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, n_conversations=12, seed=42)
+    g = derive_graph(t)
+    pairs = [(r["src"], r["dst"]) for r in g.edges.collect()]
+    vids = [r["vid"] for r in g.vertices.collect()]
+    got = _ranks_dict(pagerank(g.edges, vertices=g.vertices, n_iter=20))
+    want = pagerank_oracle(pairs, vids, iters=20)
+    diffs = [abs(got[v] - want[v]) for v in want]
+    assert max(diffs) < 1e-6
+    # hub skew sanity: tool vertices should rank high
+    top = sorted(got, key=got.get, reverse=True)[:3]
+    tool_vids = {r["vid"] for r in g.vertices.filter(F.col("kind") == "tool").collect()}
+    assert tool_vids & set(top), "expected a tool hub among top-ranked vertices"
+
+
+def test_pagerank_kernels_agree(spark):
+    from elektra_spark.ingest.edges import derive_graph
+    from elektra_spark.ingest.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, n_conversations=8, seed=3)
+    g = derive_graph(t)
+    r_df = _ranks_dict(pagerank(g.edges, vertices=g.vertices, n_iter=10, kernel="df"))
+    r_csr = _ranks_dict(pagerank(g.edges, vertices=g.vertices, n_iter=10, kernel="csr"))
+    assert set(r_df) == set(r_csr)
+    assert max(abs(r_df[v] - r_csr[v]) for v in r_df) < 1e-12
