@@ -1,38 +1,550 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship run on sf0.001: link graph from the star schema
+(customers ↔ orders), connected components + PageRank, one joined result.
+
+``queries()`` / ``oracle_sql()`` — one entry per operator family from
+SURVEY.md §2 + the training-data pipeline operators. Oracle-checked entries
+have DuckDB SQL twins generated, where precision matters, from the *same
+Python loop* as the Spark expression (lang-id fold, simhash bits, unrolled
+PageRank/LPA supersteps), so engine and oracle agree by construction.
+Graph analytics over the synthetic transcript tables are registered
+rows-only (the transcripts table is engine-synthesized, not a DuckDB view).
 """
 
 from __future__ import annotations
 
 from collections.abc import Callable
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+ORDER_VID_OFFSET = 10_000_000
+PR_ITERS = 4
+PR_DAMPING = 0.85
+LPA_ROUNDS = 2
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------- link graphs
+def _customer_order_graph(spark, sf_dir):
+    """Bipartite link graph: customer vid = c_custkey, order vid = OFFSET +
+    o_orderkey. The canonical small-dim/big-fact shape: at 100 TB the
+    customer side broadcasts."""
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    edges = orders.join(F.broadcast(customer.select("c_custkey")), orders.o_custkey == F.col("c_custkey")).select(
+        F.col("o_custkey").cast("long").alias("src"),
+        (F.lit(ORDER_VID_OFFSET) + F.col("o_orderkey")).cast("long").alias("dst"),
+    )
+    vertices = customer.select(F.col("c_custkey").cast("long").alias("vid")).union(
+        orders.select((F.lit(ORDER_VID_OFFSET) + F.col("o_orderkey")).cast("long").alias("vid"))
+    )
+    return edges, vertices
+
+
+def _copurchase_graph(spark, sf_dir):
+    """Parts co-occurring in an order (distinct, canonical src<dst) — a
+    triangle-rich projection of the order–part bipartite graph."""
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.withColumnRenamed("l_partkey", "pa")
+    b = li.withColumnRenamed("l_partkey", "pb")
+    return (
+        a.join(b, "l_orderkey")
+        .filter(F.col("pa") != F.col("pb"))
+        .select(F.least("pa", "pb").cast("long").alias("src"), F.greatest("pa", "pb").cast("long").alias("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+
+
+_COPURCHASE_SQL = f"""
+  SELECT DISTINCT least(a.l_partkey, b.l_partkey) AS src,
+                  greatest(a.l_partkey, b.l_partkey) AS dst
+  FROM lineitem a JOIN lineitem b
+    ON a.l_orderkey = b.l_orderkey AND a.l_partkey <> b.l_partkey
+"""
+
+
+# ------------------------------------------------------------- graph queries
+def q_cc_customer_orders(spark, sf_dir):
+    from elektra_spark.operators.cc import connected_components
+
+    edges, vertices = _customer_order_graph(spark, sf_dir)
+    return connected_components(edges, vertices=vertices)
+
+
+def q_pagerank_customer_orders(spark, sf_dir):
+    from elektra_spark.operators.pagerank import pagerank
+
+    edges, vertices = _customer_order_graph(spark, sf_dir)
+    r = pagerank(edges, vertices=vertices, damping=PR_DAMPING, n_iter=PR_ITERS)
+    return r.select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_lpa_customer_orders(spark, sf_dir):
+    from elektra_spark.operators.lpa import label_propagation
+
+    edges, vertices = _customer_order_graph(spark, sf_dir)
+    return label_propagation(edges, vertices=vertices, rounds=LPA_ROUNDS)
+
+
+def q_batch_connected_orders(spark, sf_dir):
+    from elektra_spark.operators.cc import batch_connected, connected_components
+
+    edges, vertices = _customer_order_graph(spark, sf_dir)
+    labels = connected_components(edges, vertices=vertices)
+    orders = _t(spark, sf_dir, "orders")
+    queries = orders.select((F.lit(ORDER_VID_OFFSET) + F.col("o_orderkey")).cast("long").alias("u")).filter(
+        F.col("u") % 2 == 0
+    ).withColumn("v", F.col("u") + 1).join(
+        orders.select((F.lit(ORDER_VID_OFFSET) + F.col("o_orderkey")).cast("long").alias("v")), "v", "left_semi"
+    )
+    return batch_connected(labels, queries)
+
+
+def q_forest_size_customer_orders(spark, sf_dir):
+    from elektra_spark.operators.forest import spanning_forest
+
+    edges, _ = _customer_order_graph(spark, sf_dir)
+    return spanning_forest(edges).agg(F.count("*").alias("forest_size"))
+
+
+def q_cc_doc_lang_chain(spark, sf_dir):
+    """CC over per-language doc_id chains — exercises chain collapse; the
+    oracle is a window min."""
+    from elektra_spark.operators.cc import connected_components
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    w = Window.partitionBy("lang").orderBy("doc_id")
+    nxt = docs.withColumn("nxt", F.lead("doc_id").over(w))
+    edges = nxt.filter(F.col("nxt").isNotNull()).select(
+        F.col("doc_id").alias("src"), F.col("nxt").alias("dst")
+    )
+    vertices = docs.select(F.col("doc_id").alias("vid"))
+    return connected_components(edges, vertices=vertices)
+
+
+def q_triangles_copurchase(spark, sf_dir):
+    from elektra_spark.operators.triangles import triangle_count
+
+    return triangle_count(_copurchase_graph(spark, sf_dir))
+
+
+def q_degree_histogram_parts(spark, sf_dir):
+    from elektra_spark.operators.degrees import degree_histogram
+
+    return degree_histogram(_copurchase_graph(spark, sf_dir))
+
+
+# --------------------------------------------------- transcripts (rows-only)
+def _transcript_graph(spark, n_conversations=300):
+    from elektra_spark.ingest.edges import derive_graph
+    from elektra_spark.ingest.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, n_conversations=n_conversations, seed=42)
+    return derive_graph(t)
+
+
+def q_transcript_cc(spark, sf_dir):
+    from elektra_spark.operators.cc import connected_components
+
+    g = _transcript_graph(spark)
+    return connected_components(g.edges, vertices=g.vertices)
+
+
+def q_transcript_pagerank(spark, sf_dir):
+    from elektra_spark.operators.pagerank import pagerank
+
+    g = _transcript_graph(spark)
+    return pagerank(g.edges, vertices=g.vertices, n_iter=10).select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_transcript_forest(spark, sf_dir):
+    from elektra_spark.operators.forest import spanning_forest
+
+    g = _transcript_graph(spark)
+    return spanning_forest(g.edges)
+
+
+def q_transcript_text_roundtrip(spark, sf_dir):
+    """per-turn text equality invariant surface (input_hint)."""
+    from elektra_spark.ingest.edges import derive_graph, reconstruct_transcript_text
+    from elektra_spark.ingest.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, n_conversations=50, seed=42)
+    g = derive_graph(t)
+    recon = reconstruct_transcript_text(g.vertices, t)
+    return recon.join(t.select("conv_id", "turn_idx", F.col("text").alias("src_text")), ["conv_id", "turn_idx"]).select(
+        "conv_id", "turn_idx", (F.col("text") == F.col("src_text")).alias("text_equal")
+    )
+
+
+def q_multimodal_features(spark, sf_dir):
+    from elektra_spark.multimodal.binary import extract_features, synth_media
+
+    media = synth_media(spark, n=48, seed=42)
+    f = extract_features(media)
+    return f.select("media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
+
+
+def q_ann_lsh_docs(spark, sf_dir):
+    from elektra_spark.sim.ann import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return cosine_topk_lsh(emb, queries, k=5)
+
+
+def q_near_duplicates_docs(spark, sf_dir):
+    from elektra_spark.dedup.ngram import near_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return near_duplicates(docs, threshold=0.2, n_hashes=8, bands=4, shingle_n=2).select(
+        "a", "b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# ----------------------------------------------------------- dedup/text/ann
+def q_dedup_prefix_docs(spark, sf_dir):
+    from elektra_spark.dedup.exact import exact_duplicates
+
+    docs = _t(spark, sf_dir, "documents")
+    return exact_duplicates(docs, key=F.substring("text", 1, 24))
+
+
+def q_minhash_docs(spark, sf_dir):
+    from elektra_spark.dedup.minhash import minhash_signature
+
+    docs = _t(spark, sf_dir, "documents")
+    return minhash_signature(docs, n_hashes=4, shingle_n=1)
+
+
+def q_minhash_candidates_docs(spark, sf_dir):
+    from elektra_spark.dedup.minhash import lsh_candidate_pairs
+
+    docs = _t(spark, sf_dir, "documents")
+    return lsh_candidate_pairs(docs, n_hashes=4, bands=2, shingle_n=1)
+
+
+def q_simhash_docs(spark, sf_dir):
+    from elektra_spark.dedup.simhash import simhash
+
+    return simhash(_t(spark, sf_dir, "documents"))
+
+
+def q_text_profile_docs(spark, sf_dir):
+    from elektra_spark.text.analysis import text_profile
+
+    return text_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_lang_stats_docs(spark, sf_dir):
+    docs = _t(spark, sf_dir, "documents")
+    return docs.groupBy("lang").agg(
+        F.count("*").alias("n_docs"),
+        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    )
+
+
+def q_ann_topk_docs(spark, sf_dir):
+    from elektra_spark.sim.ann import cosine_topk_sql_style
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return cosine_topk_sql_style(emb, queries, k=5)
+
+
+def q_embedding_stats(spark, sf_dir):
+    emb = _t(spark, sf_dir, "embeddings")
+    e = F.col("embedding").cast("array<double>")
+    dot = F.aggregate(F.zip_with(e, e, lambda x, y: x * y), F.lit(0.0), lambda a, v: a + v)
+    return emb.groupBy("label").agg(
+        F.count("*").alias("n_vecs"), F.round(F.avg(F.sqrt(dot)), 6).alias("avg_norm")
+    )
+
+
+def q_events_sessions(spark, sf_dir):
+    """Sessionization (30-min inactivity gap) — window-function surface."""
+    ev = _t(spark, sf_dir, "events").withColumn("ts_s", F.col("ts").cast("timestamp").cast("long"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts_s") - F.lag("ts_s").over(w)
+    sess = ev.withColumn("new_sess", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+    sess = sess.withColumn("sess_id", F.sum("new_sess").over(w.rowsBetween(Window.unboundedPreceding, 0)))
+    per = sess.groupBy("user_id", "sess_id").agg(F.count("*").alias("n"))
+    return per.groupBy("user_id").agg(
+        F.count("*").alias("n_sessions"), F.max("n").alias("max_session_events")
+    )
+
+
+def q_revenue_by_region_status(spark, sf_dir):
+    """Star-join aggregate (broadcast dims → fact scan): relational surface."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    customer = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .join(F.broadcast(nation), customer.c_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("r_name", "o_orderstatus")
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+    )
+
+
+# ---------------------------------------------------------------- SQL twins
+def _pagerank_sql() -> str:
+    """Unrolled power-iteration SQL generated with the engine's schedule."""
+    base = f"""
+  WITH v AS (SELECT c_custkey AS vid FROM customer
+             UNION ALL SELECT {ORDER_VID_OFFSET} + o_orderkey FROM orders),
+  e AS (SELECT o_custkey AS src, {ORDER_VID_OFFSET} + o_orderkey AS dst FROM orders),
+  b AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+  deg AS (SELECT src AS vid, count(*) AS deg FROM b GROUP BY src),
+  nn AS (SELECT count(*)::DOUBLE AS n FROM v),
+  r0 AS (SELECT vid, 1.0 / (SELECT n FROM nn) AS rank FROM v)"""
+    iters = []
+    for i in range(1, PR_ITERS + 1):
+        p = f"r{i - 1}"
+        iters.append(
+            f""",
+  d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM {p} r
+           LEFT JOIN deg ON r.vid = deg.vid WHERE deg.vid IS NULL),
+  c{i} AS (SELECT b.dst AS vid, sum(r.rank / deg.deg) AS contrib
+           FROM b JOIN {p} r ON b.src = r.vid JOIN deg ON deg.vid = b.src
+           GROUP BY b.dst),
+  r{i} AS (SELECT v.vid,
+                  (1 - {PR_DAMPING}) / (SELECT n FROM nn)
+                  + {PR_DAMPING} * (coalesce(c.contrib, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+           FROM v LEFT JOIN c{i} c ON v.vid = c.vid)"""
+        )
+    return base + "".join(iters) + f"\n  SELECT vid, round(rank, 6) AS rank FROM r{PR_ITERS}"
+
+
+def _lpa_sql() -> str:
+    base = f"""
+  WITH v AS (SELECT c_custkey AS vid FROM customer
+             UNION ALL SELECT {ORDER_VID_OFFSET} + o_orderkey FROM orders),
+  e AS (SELECT o_custkey AS src, {ORDER_VID_OFFSET} + o_orderkey AS dst FROM orders),
+  b AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+  l0 AS (SELECT vid, vid AS label FROM v)"""
+    iters = []
+    for i in range(1, LPA_ROUNDS + 1):
+        p = f"l{i - 1}"
+        iters.append(
+            f""",
+  vt{i} AS (SELECT b.dst AS v, l.label, count(*) AS c
+            FROM b JOIN {p} l ON b.src = l.vid GROUP BY b.dst, l.label),
+  w{i} AS (SELECT v, label FROM (
+             SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC) AS rn
+             FROM vt{i}) WHERE rn = 1),
+  l{i} AS (SELECT l.vid, coalesce(w.label, l.label) AS label
+           FROM {p} l LEFT JOIN w{i} w ON l.vid = w.v)"""
+        )
+    return base + "".join(iters) + f"\n  SELECT vid, label FROM l{LPA_ROUNDS}"
+
+
+def _text_profile_sql() -> str:
+    """Generated from the same marker sets / constants as text_profile."""
+    from elektra_spark.text.analysis import EN_STOPWORDS, LANG_MARKERS
+
+    sw = ", ".join(f"'{w}'" for w in EN_STOPWORDS)
+    # lang fold with strictly-greater replacement, same iteration order
+    hit_cols = []
+    for lang, markers in LANG_MARKERS.items():
+        marks = ", ".join(f"'{m}'" for m in markers)
+        hit_cols.append(
+            f"len(list_filter(toks, t -> list_contains([{marks}], t))) AS h_{lang}"
+        )
+    langs = list(LANG_MARKERS)
+    pred_expr, best_hits = "'und'", "0"
+    for lang in langs:
+        pred_expr = f"CASE WHEN h_{lang} > {best_hits} THEN '{lang}' ELSE {pred_expr} END"
+        best_hits = f"greatest(h_{lang}, {best_hits})"
+    return f"""
+  WITH t0 AS (
+    SELECT doc_id, text, string_split(text, ' ') AS toks,
+           length(regexp_replace(text, '[A-Za-z0-9 ]', '', 'g'))::DOUBLE
+             / greatest(length(text), 1) AS punct_raw
+    FROM documents
+  ), t1 AS (
+    SELECT doc_id, text, toks, punct_raw,
+           len(toks) AS n_tokens,
+           len(list_distinct(toks))::DOUBLE / len(toks) AS ttr_raw,
+           len(list_filter(toks, t -> list_contains([{sw}], t)))::DOUBLE
+             / greatest(len(toks), 1) AS sw_raw,
+           {", ".join(hit_cols)}
+    FROM t0
+  )
+  SELECT doc_id,
+         n_tokens,
+         round(ttr_raw, 6) AS ttr,
+         round(punct_raw, 6) AS punct_ratio,
+         round(sw_raw, 6) AS stopword_ratio,
+         round(0.5 * (CASE WHEN n_tokens BETWEEN 5 AND 5000 THEN 1.0 ELSE 0.3 END)
+               + 0.4 * ttr_raw + 0.1 * (1 - punct_raw), 6) AS quality,
+         {pred_expr} AS lang_pred,
+         md5(array_to_string(list_filter(toks, x -> x <> ''), ' ')) AS fp
+  FROM t1
+  """
+
+
+def _minhash_sql(n_hashes: int = 4) -> str:
+    aggs = ", ".join(f"min(md5('{i}:' || tok)) AS h{i}" for i in range(n_hashes))
+    return f"""
+  SELECT doc_id, {aggs}
+  FROM (SELECT doc_id, unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS tok
+        FROM documents)
+  GROUP BY doc_id
+  """
+
+
+def _minhash_candidates_sql() -> str:
+    return f"""
+  WITH sig AS ({_minhash_sql(4)}),
+  banded AS (
+    SELECT doc_id AS id, '0' || '|' || h0 || '|' || h1 AS band FROM sig
+    UNION ALL
+    SELECT doc_id AS id, '1' || '|' || h2 || '|' || h3 AS band FROM sig
+  )
+  SELECT DISTINCT a.id AS a, b.id AS b
+  FROM banded a JOIN banded b ON a.band = b.band AND a.id < b.id
+  """
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: link graph from sf0.001 star schema → CC + PageRank joined."""
+    sf_dir = "/root/testdata/sf0.001"
+    labels = q_cc_customer_orders(spark, sf_dir)
+    ranks = q_pagerank_customer_orders(spark, sf_dir)
+    return labels.join(ranks, "vid").select("vid", "component", "rank")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # graph analytics (SURVEY.md §2.1/§2.7)
+        "cc_customer_orders": q_cc_customer_orders,
+        "pagerank_customer_orders": q_pagerank_customer_orders,
+        "lpa_customer_orders": q_lpa_customer_orders,
+        "batch_connected_orders": q_batch_connected_orders,
+        "forest_size_customer_orders": q_forest_size_customer_orders,
+        "cc_doc_lang_chain": q_cc_doc_lang_chain,
+        "triangles_copurchase": q_triangles_copurchase,
+        "degree_histogram_parts": q_degree_histogram_parts,
+        # transcripts engine surface (rows-only: engine-synthesized input)
+        "transcript_cc": q_transcript_cc,
+        "transcript_pagerank": q_transcript_pagerank,
+        "transcript_forest": q_transcript_forest,
+        "transcript_text_roundtrip": q_transcript_text_roundtrip,
+        # training-data pipeline
+        "dedup_prefix_docs": q_dedup_prefix_docs,
+        "minhash_docs": q_minhash_docs,
+        "minhash_candidates_docs": q_minhash_candidates_docs,
+        "simhash_docs": q_simhash_docs,
+        "near_duplicates_docs": q_near_duplicates_docs,
+        "text_profile_docs": q_text_profile_docs,
+        "lang_stats_docs": q_lang_stats_docs,
+        "ann_topk_docs": q_ann_topk_docs,
+        "ann_lsh_docs": q_ann_lsh_docs,
+        "embedding_stats": q_embedding_stats,
+        "multimodal_features": q_multimodal_features,
+        # relational/windows surface
+        "events_sessions": q_events_sessions,
+        "revenue_by_region_status": q_revenue_by_region_status,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from elektra_spark.dedup.simhash import simhash_sql
+
+    return {
+        "cc_customer_orders": f"""
+  SELECT c_custkey AS vid, c_custkey AS component FROM customer
+  UNION ALL
+  SELECT {ORDER_VID_OFFSET} + o_orderkey AS vid, o_custkey AS component FROM orders
+  """,
+        "pagerank_customer_orders": _pagerank_sql(),
+        "lpa_customer_orders": _lpa_sql(),
+        "batch_connected_orders": f"""
+  SELECT {ORDER_VID_OFFSET} + o1.o_orderkey AS u,
+         {ORDER_VID_OFFSET} + o2.o_orderkey AS v,
+         o1.o_custkey = o2.o_custkey AS connected
+  FROM orders o1 JOIN orders o2 ON o2.o_orderkey = o1.o_orderkey + 1
+  WHERE o1.o_orderkey % 2 = 0
+  """,
+        "forest_size_customer_orders": "SELECT count(*) AS forest_size FROM orders",
+        "cc_doc_lang_chain": """
+  SELECT doc_id AS vid, min(doc_id) OVER (PARTITION BY lang) AS component FROM documents
+  """,
+        "triangles_copurchase": f"""
+  WITH e AS ({_COPURCHASE_SQL})
+  SELECT count(*) AS n_triangles
+  FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  """,
+        "degree_histogram_parts": f"""
+  WITH e AS ({_COPURCHASE_SQL}),
+  d AS (SELECT vid, count(*) AS degree FROM (
+          SELECT src AS vid FROM e UNION ALL SELECT dst FROM e) GROUP BY vid)
+  SELECT degree, count(*) AS n_vertices FROM d GROUP BY degree
+  """,
+        "dedup_prefix_docs": """
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY substr(text, 1, 24)) AS rep FROM documents
+  """,
+        "minhash_docs": _minhash_sql(4),
+        "minhash_candidates_docs": _minhash_candidates_sql(),
+        "simhash_docs": simhash_sql("documents"),
+        "text_profile_docs": _text_profile_sql(),
+        "lang_stats_docs": """
+  SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+         sum(len(string_split(text, ' '))) AS total_tokens
+  FROM documents GROUP BY lang
+  """,
+        "ann_topk_docs": """
+  WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+  c AS (SELECT vec_id AS nbr, embedding::DOUBLE[] AS cv FROM embeddings),
+  s AS (SELECT query_id, nbr,
+               list_inner_product(qv, cv)
+                 / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim
+        FROM q CROSS JOIN c WHERE query_id <> nbr),
+  r AS (SELECT query_id, nbr, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr ASC) AS rank
+        FROM s)
+  SELECT query_id, nbr, round(sim, 6) AS sim, rank FROM r WHERE rank <= 5
+  """,
+        "embedding_stats": """
+  SELECT label, count(*) AS n_vecs,
+         round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+  FROM embeddings GROUP BY label
+  """,
+        "events_sessions": """
+  WITH g AS (
+    SELECT user_id, event_id, ts,
+           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                  OR epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ), s AS (
+    SELECT user_id, sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+    FROM g
+  ), per AS (SELECT user_id, sess_id, count(*) AS n FROM s GROUP BY user_id, sess_id)
+  SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events FROM per GROUP BY user_id
+  """,
+        "revenue_by_region_status": """
+  SELECT r_name, o_orderstatus,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+         count(*) AS n_items
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       JOIN customer ON o_custkey = c_custkey
+       JOIN nation ON c_nationkey = n_nationkey
+       JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, o_orderstatus
+  """,
+    }

@@ -1,0 +1,105 @@
+"""Local emulation of the driver's correctness gate: run every queries()
+entry on Spark at sf0.01 and compare against oracle_sql() via DuckDB
+(row count + column names + order-insensitive values). Reports FP drift
+separately from hard mismatches so rounding risk is visible.
+
+Usage: python tools/check_contract.py [sf_dir] [query ...]
+"""
+
+from __future__ import annotations
+
+import math
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def norm_rows(cols, rows):
+    idx = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in idx:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(v)
+        out.append(tuple(vals))
+    return sorted(cols), sorted(out, key=lambda t: tuple(str(x) for x in t))
+
+
+def main():
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    only = set(sys.argv[2:])
+
+    import duckdb
+
+    import __spark_entry__ as entrymod
+    from elektra_spark.session import get_spark
+
+    spark = get_spark("contract-check", extra_conf={"spark.ui.showConsoleProgress": "false"})
+    spark.sparkContext.setLogLevel("ERROR")
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs = entrymod.queries()
+    oracles = entrymod.oracle_sql()
+    results = {}
+    for name, fn in qs.items():
+        if only and name not in only:
+            continue
+        import time
+
+        t0 = time.time()
+        try:
+            sdf = fn(spark, sf_dir)
+            scols = sdf.columns
+            srows = [tuple(r) for r in sdf.collect()]
+        except Exception as e:
+            results[name] = f"SPARK ERROR: {e}"
+            print(f"{name}: SPARK ERROR: {str(e)[:300]}", flush=True)
+            continue
+        dt = time.time() - t0
+        if name not in oracles:
+            results[name] = f"rows-only OK ({len(srows)} rows, {dt:.1f}s)"
+            print(f"{name}: rows-only, {len(srows)} rows, {dt:.1f}s", flush=True)
+            continue
+        try:
+            cur = con.sql(oracles[name])
+            ocols = [d[0] for d in cur.description]
+            orows = [tuple(r) for r in cur.fetchall()]
+        except Exception as e:
+            results[name] = f"ORACLE ERROR: {e}"
+            print(f"{name}: ORACLE ERROR: {str(e)[:300]}", flush=True)
+            continue
+        sc, sr = norm_rows(scols, srows)
+        oc, orr = norm_rows(ocols, orows)
+        if sc != oc:
+            results[name] = f"SCHEMA MISMATCH spark={sc} oracle={oc}"
+        elif len(sr) != len(orr):
+            results[name] = f"ROWCOUNT MISMATCH spark={len(sr)} oracle={len(orr)}"
+        elif sr == orr:
+            results[name] = f"MATCH ({len(sr)} rows, {dt:.1f}s)"
+        else:
+            bad = sum(1 for a, b in zip(sr, orr) if a != b)
+            ex = next((a, b) for a, b in zip(sr, orr) if a != b)
+            results[name] = f"VALUE MISMATCH {bad}/{len(sr)} rows, e.g. {ex}"
+        print(f"{name}: {results[name]}", flush=True)
+
+    print("\n==== SUMMARY ====")
+    n_bad = 0
+    for name, res in results.items():
+        ok = res.startswith("MATCH") or res.startswith("rows-only")
+        n_bad += 0 if ok else 1
+        print(f"{'OK ' if ok else 'BAD'} {name}: {res}")
+    print(f"{n_bad} failing")
+    sys.exit(1 if n_bad else 0)
+
+
+if __name__ == "__main__":
+    main()
