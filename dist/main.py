@@ -1,0 +1,117 @@
+"""spark-submit entry point (M6 packaging).
+
+Cluster usage (the production invocation shape):
+
+    python tools/make_pyfiles.py           # → dist/elektra_spark.zip
+    spark-submit --master <cluster> \\
+        --py-files dist/elektra_spark.zip \\
+        dist/main.py pagerank --n-iter 20 \\
+        --edges /path/edges.parquet --checkpoint-dir /path/state --run-id pr1
+
+Jobs read an edge parquet (or synthesize the deterministic transcript graph
+with ``--synth-convs``), route supersteps through a durable CheckpointedRun
+(resume with ``--resume``), and write results + lineage + metrics to the
+state catalog. Mirrors the reference's benchmark CLI surface
+(elektra benchmarks/parse_command_line.h: graph file, -iters, -workers).
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+import time
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="elektra-spark")
+    p.add_argument("job", choices=["pagerank", "cc", "lpa", "triangles", "forest", "derive"])
+    p.add_argument("--edges", help="edge parquet path (src,dst)")
+    p.add_argument("--synth-convs", type=int, help="synthesize transcript graph with N conversations")
+    p.add_argument("--n-iter", type=int, default=20)
+    p.add_argument("--rounds", type=int, default=5)
+    p.add_argument("--kernel", default="auto")
+    p.add_argument("--checkpoint-dir", help="state catalog root (enables durable supersteps)")
+    p.add_argument("--run-id", default=None)
+    p.add_argument("--resume", action="store_true", help="continue from the latest committed superstep")
+    p.add_argument("--output", help="write result parquet here")
+    return p
+
+
+def main(argv=None) -> int:
+    args = build_parser().parse_args(argv)
+    from elektra_spark.session import get_spark
+
+    spark = get_spark(f"elektra-{args.job}", master=None if "--master" in sys.argv else None)
+    spark.sparkContext.setLogLevel("WARN")
+
+    if args.synth_convs:
+        from elektra_spark.ingest.edges import derive_graph
+        from elektra_spark.ingest.transcripts import synth_transcripts
+
+        g = derive_graph(synth_transcripts(spark, args.synth_convs, seed=42))
+        edges, vertices = g.edges, g.vertices
+    elif args.edges:
+        edges, vertices = spark.read.parquet(args.edges), None
+    else:
+        raise SystemExit("need --edges or --synth-convs")
+
+    checkpoint = None
+    hook = None
+    start_step = 0
+    init = None
+    run = None
+    if args.checkpoint_dir:
+        from elektra_spark.checkpoint import CheckpointedRun
+
+        run_id = args.run_id or f"{args.job}-{int(time.time())}"
+        run = CheckpointedRun(spark, args.checkpoint_dir, run_id)
+        state = "ranks" if args.job == "pagerank" else "labels"
+        checkpoint = run.checkpoint_fn(state)
+        hook = run.metrics_hook(state)
+        if args.resume:
+            latest = run.latest_step(state)
+            if latest is not None:
+                start_step = latest
+                init = run.load(state)
+                print(f"resuming {run_id} from superstep {start_step}")
+
+    t0 = time.time()
+    if args.job == "pagerank":
+        from elektra_spark.operators.pagerank import pagerank
+
+        remaining = max(0, args.n_iter - start_step)
+        out = pagerank(edges, vertices=vertices, n_iter=remaining, kernel="df" if args.kernel == "auto" else args.kernel,
+                       checkpoint=checkpoint, on_superstep=hook, start_step=start_step, init_ranks=init)
+    elif args.job == "cc":
+        from elektra_spark.operators.cc import connected_components
+
+        out = connected_components(edges, vertices=vertices, kernel=args.kernel,
+                                   checkpoint=checkpoint, on_superstep=hook)
+    elif args.job == "lpa":
+        from elektra_spark.operators.lpa import label_propagation
+
+        remaining = max(0, args.rounds - start_step)
+        out = label_propagation(edges, vertices=vertices, rounds=remaining, checkpoint=checkpoint,
+                                on_superstep=hook, start_step=start_step, init_labels=init)
+    elif args.job == "triangles":
+        from elektra_spark.operators.triangles import triangle_count
+
+        out = triangle_count(edges)
+    elif args.job == "forest":
+        from elektra_spark.operators.forest import spanning_forest
+
+        out = spanning_forest(edges)
+    else:  # derive
+        out = edges
+
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+        n = spark.read.parquet(args.output).count()
+    else:
+        n = out.count()
+    print(f"{args.job}: {n} rows in {time.time() - t0:.1f}s")
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

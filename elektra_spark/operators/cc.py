@@ -69,10 +69,21 @@ CheckpointFn = Callable[[DataFrame, int], DataFrame]
 SuperstepHook = Callable[[int, int, float], Any]
 
 
+class EphemeralCheckpointer:
+    """Default superstep materializer for non-resumable runs: eager
+    ``localCheckpoint`` per superstep — one job that materializes the state
+    and truncates lineage so the plan stays constant-size across supersteps.
+    (A persist+count variant was benchmarked and is no faster at 4M rows but
+    3-5× slower on small state, so localCheckpoint wins everywhere.) The
+    resumable variant (elektra_spark.checkpoint.CheckpointedRun) writes every
+    superstep as a durable catalog snapshot instead.
+    """
+
+    def __call__(self, df: DataFrame, step: int) -> DataFrame:
+        return df.localCheckpoint(eager=True)
+
+
 def _default_checkpoint(df: DataFrame, step: int) -> DataFrame:
-    # localCheckpoint truncates lineage (prevents unbounded plan growth across
-    # supersteps); the resumable variant in elektra_spark.checkpoint writes
-    # snapshots to the catalog instead.
     return df.localCheckpoint(eager=True)
 
 
@@ -110,7 +121,7 @@ def _min_label_fixpoint(
     edges: DataFrame,
     labels: DataFrame,
     max_iter: int = 50,
-    checkpoint: CheckpointFn = _default_checkpoint,
+    checkpoint: CheckpointFn | None = None,
     on_superstep: SuperstepHook | None = None,
     start_step: int = 0,
 ) -> DataFrame:
@@ -119,6 +130,8 @@ def _min_label_fixpoint(
     ``labels`` must contain every vertex (vid, label) with label values drawn
     from the vid universe (true for min-vid labels by construction).
     """
+    if checkpoint is None:
+        checkpoint = EphemeralCheckpointer()
     both = edges.select("src", "dst").union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     with _no_aqe(edges.sparkSession):
         return _min_label_loop(both, labels, max_iter, checkpoint, on_superstep, start_step)
@@ -213,7 +226,7 @@ def connected_components(
     kernel: str = "auto",
     num_partitions: int | None = None,
     max_iter: int = 50,
-    checkpoint: CheckpointFn = _default_checkpoint,
+    checkpoint: CheckpointFn | None = None,
     on_superstep: SuperstepHook | None = None,
     driver_uf_threshold: int = 5_000_000,
 ) -> DataFrame:
@@ -232,6 +245,8 @@ def connected_components(
       - 'auto' : 'csr'.
     """
     spark = edges.sparkSession
+    if checkpoint is None:
+        checkpoint = EphemeralCheckpointer()
     if kernel == "auto":
         kernel = "csr"
 

@@ -24,14 +24,14 @@ import time
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .cc import CheckpointFn, SuperstepHook, _default_checkpoint, _no_aqe
+from .cc import CheckpointFn, EphemeralCheckpointer, SuperstepHook, _no_aqe
 
 
 def label_propagation(
     edges: DataFrame,
     vertices: DataFrame | None = None,
     rounds: int = 5,
-    checkpoint: CheckpointFn = _default_checkpoint,
+    checkpoint: CheckpointFn | None = None,
     on_superstep: SuperstepHook | None = None,
     start_step: int = 0,
     init_labels: DataFrame | None = None,
@@ -43,6 +43,8 @@ def label_propagation(
     else:
         universe = both.select(F.col("src").alias("vid")).distinct()
 
+    if checkpoint is None:
+        checkpoint = EphemeralCheckpointer()
     with _no_aqe(edges.sparkSession):
         both = checkpoint(both, -1)
         if init_labels is not None:

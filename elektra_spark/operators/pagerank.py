@@ -39,7 +39,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .cc import CheckpointFn, SuperstepHook, _default_checkpoint, _no_aqe
+from .cc import CheckpointFn, EphemeralCheckpointer, SuperstepHook, _no_aqe
 
 
 def _prepare(edges: DataFrame, vertices: DataFrame | None, directed: bool):
@@ -67,7 +67,7 @@ def pagerank(
     directed: bool = False,
     kernel: str = "df",
     num_buckets: int | None = None,
-    checkpoint: CheckpointFn = _default_checkpoint,
+    checkpoint: CheckpointFn | None = None,
     on_superstep: SuperstepHook | None = None,
     start_step: int = 0,
     init_ranks: DataFrame | None = None,
@@ -75,33 +75,47 @@ def pagerank(
     """PageRank → (vid, rank), ranks sum to 1. Fixed ``n_iter`` supersteps so
     engine and oracle execute the identical schedule.
 
+    Superstep plan shape (df kernel): the adjacency is hash-repartitioned by
+    ``src`` **once** and cached; the rank table arrives co-partitioned on the
+    join key from the previous round's aggregation, so the join needs **no
+    exchange on either side** (shuffled-hash-join hint avoids re-sorting the
+    big side every round). Vertex base ranks are unioned *into* the
+    aggregation instead of outer-joined after it, leaving exactly **one
+    shuffle per superstep** — the map-side-combined ``groupBy(dst)``.
+
     ``init_ranks``/``start_step`` support mid-run resume from a checkpoint.
     """
     spark = edges.sparkSession
+    if checkpoint is None:
+        checkpoint = EphemeralCheckpointer()
     adj_deg, deg, universe = _prepare(edges, vertices, directed)
+    parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     with _no_aqe(spark):
-        universe = checkpoint(universe, -3)
+        universe = universe.repartition(parts, "vid").persist()
         n = universe.count()
         if n == 0:
             return spark.createDataFrame([], "vid long, rank double")
-        adj_deg = checkpoint(adj_deg, -2)  # heavy relation materialized once
+        # heavy relation: shuffled once, cached with its partitioning
+        adj_deg = adj_deg.repartition(parts, "src").persist()
+        adj_deg.count()
 
         # dangling set precomputed once; the per-round scalar is skipped when
         # structurally empty (undirected graphs: only isolated vertices)
-        dangling = checkpoint(universe.join(deg.select(F.col("src").alias("vid")), "vid", "left_anti"), -1)
+        dangling = universe.join(deg.select(F.col("src").alias("vid")), "vid", "left_anti").persist()
         has_dangling = dangling.count() > 0
 
+        base = universe.select(F.col("vid").alias("dst"), F.lit(0.0).alias("c"))
+
         if init_ranks is not None:
-            ranks = checkpoint(init_ranks.select("vid", "rank"), start_step)
+            ranks = checkpoint(init_ranks.select("vid", "rank").repartition(parts, "vid"), start_step)
         else:
             ranks = checkpoint(universe.withColumn("rank", F.lit(1.0 / n)), start_step)
 
         if kernel == "csr":
             buckets = num_buckets or spark.sparkContext.defaultParallelism
-            adj_b = checkpoint(
-                adj_deg.withColumn("bucket", F.pmod(F.hash("src"), F.lit(buckets)).cast("int")), -4
-            )
+            adj_b = adj_deg.withColumn("bucket", F.pmod(F.hash("src"), F.lit(buckets)).cast("int")).persist()
+            adj_b.count()
 
         for step in range(start_step, start_step + n_iter):
             t0 = time.time()
@@ -113,20 +127,29 @@ def pagerank(
             if kernel == "csr":
                 partial = _csr_contrib(adj_b, ranks, buckets)
             else:
-                partial = adj_deg.join(ranks, adj_deg.src == ranks.vid).select(
+                partial = adj_deg.join(ranks.hint("shuffle_hash"), adj_deg.src == ranks.vid).select(
                     "dst", (F.col("rank") / F.col("deg")).alias("c")
                 )
-            contrib = partial.groupBy("dst").agg(F.sum("c").alias("contrib"))
-            new_ranks = universe.join(contrib, universe.vid == contrib.dst, "left").select(
-                "vid",
-                (
-                    F.lit((1.0 - damping) / n)
-                    + F.lit(damping) * (F.coalesce("contrib", F.lit(0.0)) + F.lit(dmass / n))
-                ).alias("rank"),
+            # base ranks folded into the same aggregation (no outer join):
+            # one shuffle per superstep, partially aggregated map-side
+            new_ranks = (
+                partial.union(base)
+                .groupBy("dst")
+                .agg(F.sum("c").alias("contrib"))
+                .select(
+                    F.col("dst").alias("vid"),
+                    (
+                        F.lit((1.0 - damping) / n)
+                        + F.lit(damping) * (F.col("contrib") + F.lit(dmass / n))
+                    ).alias("rank"),
+                )
             )
             ranks = checkpoint(new_ranks, step + 1)
             if on_superstep is not None:
                 on_superstep(step, -1, time.time() - t0)
+        adj_deg.unpersist()
+        universe.unpersist()
+        dangling.unpersist()
     return ranks
 
 

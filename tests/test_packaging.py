@@ -1,0 +1,44 @@
+"""M6 packaging: the --py-files zip is buildable and the CLI drives jobs
+end-to-end via spark-submit semantics (same session, real code path)."""
+
+import os
+import subprocess
+import sys
+import zipfile
+
+
+def test_make_pyfiles_zip(tmp_path):
+    from tools.make_pyfiles import main as make
+
+    zpath = make()
+    assert os.path.exists(zpath)
+    names = zipfile.ZipFile(zpath).namelist()
+    assert "elektra_spark/operators/cc.py" in names
+    assert "elektra_spark/cli.py" in names
+    assert all(n.endswith(".py") for n in names)
+
+
+def test_cli_spark_submit_cc_roundtrip(tmp_path):
+    """Run the packaged CLI through spark-submit (local master) — the real
+    production invocation: zip on --py-files, thin main.py driver."""
+    from tools.make_pyfiles import main as make
+
+    make()
+    root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    out = str(tmp_path / "labels")
+    env = {**os.environ, "SPARK_GRAFT_CPUS": "2", "SPARK_GRAFT_SHUFFLE_PARTITIONS": "4",
+           "PYSPARK_PYTHON": sys.executable}
+    spark_submit = os.path.join(os.path.dirname(os.path.dirname(sys.executable)), "bin", "spark-submit")
+    if not os.path.exists(spark_submit):
+        import pyspark
+
+        spark_submit = os.path.join(os.path.dirname(pyspark.__file__), "bin", "spark-submit")
+    r = subprocess.run(
+        [spark_submit, "--master", "local[2]",
+         "--py-files", os.path.join(root, "dist", "elektra_spark.zip"),
+         os.path.join(root, "dist", "main.py"),
+         "cc", "--synth-convs", "20", "--output", out],
+        capture_output=True, text=True, timeout=300, env=env, cwd=str(tmp_path),
+    )
+    assert r.returncode == 0, r.stderr[-3000:]
+    assert os.path.exists(out + "/_SUCCESS")

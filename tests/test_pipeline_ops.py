@@ -1,0 +1,176 @@
+"""Training-data pipeline operators: dedup (exact/minhash/simhash/ngram),
+text analysis, ANN, multimodal plumbing — vs pure-Python oracles."""
+
+import hashlib
+
+import pytest
+from pyspark.sql import functions as F
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy dog"),  # exact dup of 0
+        (2, "the quick brown fox jumps over a lazy dog"),  # near dup
+        (3, "spark shuffles data between executors in stages"),
+        (4, "spark shuffles data between executors in stages quickly"),  # near dup of 3
+        (5, "el rapido zorro marron salta sobre el perro la que de"),
+        (6, "completely different content about graph algorithms and trees"),
+        (7, "the of and to is the of and to is"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_exact_dedup(spark, docs):
+    from elektra_spark.dedup.exact import distinct_documents, exact_duplicates
+
+    got = {r["doc_id"]: r["rep"] for r in exact_duplicates(docs).collect()}
+    assert got[0] == 0 and got[1] == 0  # identical texts share the min rep
+    assert all(got[i] == i for i in range(2, 8))
+    kept = sorted(r["doc_id"] for r in distinct_documents(docs).collect())
+    assert kept == [0, 2, 3, 4, 5, 6, 7]
+
+
+def test_minhash_signature_matches_python(spark, docs):
+    from elektra_spark.dedup.minhash import minhash_signature
+
+    got = {r["doc_id"]: (r["h0"], r["h1"]) for r in minhash_signature(docs, n_hashes=2, shingle_n=1).collect()}
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for d, text in rows.items():
+        toks = [t for t in text.split(" ") if t]
+        for i in (0, 1):
+            want = min(hashlib.md5(f"{i}:{t}".encode()).hexdigest() for t in toks)
+            assert got[d][i] == want, (d, i)
+
+
+def test_lsh_candidates_find_near_dups(spark, docs):
+    from elektra_spark.dedup.minhash import lsh_candidate_pairs
+
+    pairs = {(r["a"], r["b"]) for r in lsh_candidate_pairs(docs, n_hashes=8, bands=4, shingle_n=1).collect()}
+    assert (0, 1) in pairs  # exact dups always collide
+    assert (0, 2) in pairs or (1, 2) in pairs  # near dup bands collide
+    assert (3, 4) in pairs
+
+
+def test_near_duplicates_verified_jaccard(spark, docs):
+    from elektra_spark.dedup.ngram import near_duplicates, pair_jaccard
+
+    nd = {(r["a"], r["b"]): r["jaccard"] for r in
+          near_duplicates(docs, threshold=0.5, n_hashes=8, bands=4, shingle_n=1).collect()}
+    assert nd[(0, 1)] == 1.0
+    assert (0, 2) in nd and 0.5 <= nd[(0, 2)] < 1.0
+    # explicit pair jaccard matches python set computation
+    pairs = spark.createDataFrame([(3, 4)], "a long, b long")
+    got = pair_jaccard(pairs, docs, shingle_n=1).collect()[0]["jaccard"]
+    ta = set("spark shuffles data between executors in stages".split())
+    tb = set("spark shuffles data between executors in stages quickly".split())
+    assert abs(got - len(ta & tb) / len(ta | tb)) < 1e-12
+
+
+def test_simhash_spark_matches_python(spark, docs):
+    from elektra_spark.dedup.simhash import N_BITS, simhash
+
+    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    rows = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for d, text in rows.items():
+        toks = [t for t in text.split(" ") if t]
+        fp = 0
+        for j in range(N_BITS):
+            s = sum(1 if int(hashlib.md5(t.encode()).hexdigest()[j], 16) % 2 else -1 for t in toks)
+            if s >= 0:
+                fp |= 1 << j
+        assert got[d] == fp, d
+    # identical docs → identical fingerprints
+    assert got[0] == got[1]
+
+
+def test_simhash_hamming_pairs(spark, docs):
+    from elektra_spark.dedup.simhash import hamming_near_pairs, simhash
+
+    fps = simhash(docs)
+    pairs = {(r["a"], r["b"]): r["distance"] for r in hamming_near_pairs(fps, max_distance=3).collect()}
+    assert pairs.get((0, 1)) == 0
+
+
+def test_text_profile(spark, docs):
+    from elektra_spark.text.analysis import text_profile
+
+    prof = {r["doc_id"]: r for r in text_profile(docs).collect()}
+    assert prof[0]["n_tokens"] == 9
+    assert prof[0]["lang_pred"] == "en"
+    assert prof[5]["lang_pred"] == "es"
+    assert prof[7]["stopword_ratio"] == 1.0
+    assert prof[0]["fp"] == prof[1]["fp"]
+    assert 0 <= prof[6]["quality"] <= 1
+
+
+def test_ann_brute_and_sql_style_agree(spark):
+    import numpy as np
+
+    from elektra_spark.sim.ann import cosine_topk_brute, cosine_topk_sql_style
+
+    rng = np.random.RandomState(0)
+    vecs = rng.randn(60, 8).astype(float)
+    rows = [(i, [float(x) for x in vecs[i]]) for i in range(60)]
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") < 2)
+
+    a = {(r["query_id"], r["rank"]): r["nbr"] for r in cosine_topk_sql_style(corpus, queries, k=5).collect()}
+
+    import pandas as pd
+
+    qpdf = pd.DataFrame({"query_id": [0, 1], "vector": [list(vecs[0]), list(vecs[1])]})
+    b = {(r["query_id"], r["rank"]): r["nbr"] for r in cosine_topk_brute(corpus, qpdf, k=5).collect()}
+    assert a == b
+
+    # numpy oracle
+    norm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = norm @ norm.T
+    for q in (0, 1):
+        order = [i for i in np.argsort(-sims[q]) if i != q][:5]
+        got = [a[(q, r)] for r in range(1, 6)]
+        assert got == order, (q, got, order)
+
+
+def test_ann_lsh_recall(spark):
+    import numpy as np
+
+    from elektra_spark.sim.ann import cosine_topk_lsh, cosine_topk_sql_style
+
+    rng = np.random.RandomState(1)
+    base = rng.randn(20, 16)
+    # clustered corpus: 5 perturbed copies of each base vector
+    rows = []
+    vid = 0
+    for b in range(20):
+        for _ in range(5):
+            v = base[b] + 0.05 * rng.randn(16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") % 25 == 0)
+    exact = cosine_topk_sql_style(corpus, queries, k=3).collect()
+    approx = cosine_topk_lsh(corpus, queries, k=3, n_planes=4, dim=16).collect()
+    exact_set = {(r["query_id"], r["nbr"]) for r in exact}
+    approx_set = {(r["query_id"], r["nbr"]) for r in approx}
+    recall = len(exact_set & approx_set) / len(exact_set)
+    assert recall >= 0.5, recall  # clustered near-dups share SRP buckets
+
+
+def test_multimodal_feature_plumbing(spark):
+    from elektra_spark.multimodal.binary import FEATURE_DIM, decode_stub, extract_features, synth_media
+
+    media = synth_media(spark, n=30, seed=42)
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    by_id = {r["media_id"]: r for r in feats}
+    src = {r["media_id"]: r for r in media.collect()}
+    for i in (0, 7, 29):
+        assert len(by_id[i]["feature"]) == FEATURE_DIM
+        assert by_id[i]["n_bytes"] == len(src[i]["payload"])
+        want = decode_stub(src[i]["payload"], src[i]["kind"])
+        assert max(abs(a - b) for a, b in zip(by_id[i]["feature"], want)) < 1e-6
+    # deterministic across runs
+    feats2 = extract_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))

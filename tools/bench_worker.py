@@ -1,0 +1,64 @@
+"""Subprocess worker for bench.py: one clean JVM per invocation.
+
+Usage: python tools/bench_worker.py <master_cores> <edges_parquet> <n_iter> <out_json>
+Runs PageRank (df kernel) for n_iter supersteps and CC (csr kernel) to
+fixpoint on the given edge table; writes per-superstep timings as JSON.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main():
+    cores, edges_path, n_iter, out_path = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+    os.environ["SPARK_GRAFT_CPUS"] = cores
+    os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+
+    from elektra_spark.operators.cc import connected_components
+    from elektra_spark.operators.pagerank import pagerank
+    from elektra_spark.session import get_spark
+
+    spark = get_spark(
+        f"bench-worker-{cores}",
+        extra_conf={
+            "spark.ui.showConsoleProgress": "false",
+            "spark.local.dir": "/dev/shm/spark-tmp",
+        },
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    edges = spark.read.parquet(edges_path)
+    n_edges = edges.count()
+
+    steps: list[float] = []
+    t0 = time.time()
+    pagerank(edges, n_iter=n_iter, kernel="df", on_superstep=lambda s, c, t: steps.append(t)).count()
+    pr_total = time.time() - t0
+
+    t0 = time.time()
+    labels = connected_components(edges, kernel="csr")
+    n_comp = labels.select("component").distinct().count()
+    cc_total = time.time() - t0
+
+    with open(out_path, "w") as f:
+        json.dump(
+            {
+                "cores": int(cores),
+                "n_edges": n_edges,
+                "pr_total_sec": pr_total,
+                "pr_step_secs": steps,
+                "cc_total_sec": cc_total,
+                "n_components": n_comp,
+            },
+            f,
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
