@@ -36,6 +36,8 @@ a fully map-side-combinable aggregate.
 
 from __future__ import annotations
 
+import os
+import shutil
 import time
 from collections.abc import Callable, Iterator
 from contextlib import contextmanager
@@ -70,17 +72,41 @@ SuperstepHook = Callable[[int, int, float], Any]
 
 
 class EphemeralCheckpointer:
-    """Default superstep materializer for non-resumable runs: eager
-    ``localCheckpoint`` per superstep — one job that materializes the state
-    and truncates lineage so the plan stays constant-size across supersteps.
-    (A persist+count variant was benchmarked and is no faster at 4M rows but
-    3-5× slower on small state, so localCheckpoint wins everywhere.) The
-    resumable variant (elektra_spark.checkpoint.CheckpointedRun) writes every
-    superstep as a durable catalog snapshot instead.
+    """Default superstep materializer for non-resumable runs: parquet
+    round-trip on a tmpfs scratch dir.
+
+    Why not ``localCheckpoint``/``persist``: chained in-JVM checkpoints
+    degrade monotonically in this environment (measured: 19s → 72s per
+    superstep over 6 rounds at 4M rows — block-manager state accumulates and
+    later jobs stall), while a parquet write+read stays flat for 40+ rounds.
+    It also exactly matches the production shape: on a cluster every
+    superstep lands in Iceberg anyway (lineage truncation *is* the snapshot
+    commit — SURVEY.md §7.4 'iterative lineage'). Files from superstep n−2
+    are deleted once superstep n is written; static relations (step < 0) are
+    localCheckpointed once.
     """
 
+    def __init__(self, scratch: str | None = None):
+        import atexit
+        import tempfile
+
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        self.dir = scratch or tempfile.mkdtemp(prefix="elektra-ckpt-", dir=base)
+        self._n = 0
+        # the final snapshot backs the operator's *returned* DataFrame, so
+        # the scratch dir must outlive this object — clean at process exit
+        atexit.register(shutil.rmtree, self.dir, ignore_errors=True)
+
     def __call__(self, df: DataFrame, step: int) -> DataFrame:
-        return df.localCheckpoint(eager=True)
+        if step < 0:
+            return df.localCheckpoint(eager=True)
+        self._n += 1
+        path = os.path.join(self.dir, f"s{self._n}")
+        df.write.mode("overwrite").parquet(path)
+        out = df.sparkSession.read.parquet(path)
+        stale = os.path.join(self.dir, f"s{self._n - 2}")
+        shutil.rmtree(stale, ignore_errors=True)
+        return out
 
 
 def _default_checkpoint(df: DataFrame, step: int) -> DataFrame:

@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import glob
 import os
+import uuid
 
 from pyspark.sql import SparkSession
 
@@ -72,6 +73,11 @@ def get_spark(
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "16g"))
         .config("spark.ui.enabled", "false")
         .config("spark.sql.session.timeZone", "UTC")
+        # tmpfs shuffle dir, unique per process: the sandbox filesystem
+        # stalls unpredictably and sequential benchmark JVMs must never share
+        # block-manager directories
+        .config("spark.local.dir", os.environ.get("SPARK_LOCAL_DIR_OVERRIDE",
+                                                  f"/dev/shm/spark-local-{uuid.uuid4().hex[:8]}"))
     )
     if extra_conf:
         for k, v in extra_conf.items():

@@ -26,10 +26,7 @@ def main():
 
     spark = get_spark(
         f"bench-worker-{cores}",
-        extra_conf={
-            "spark.ui.showConsoleProgress": "false",
-            "spark.local.dir": "/dev/shm/spark-tmp",
-        },
+        extra_conf={"spark.ui.showConsoleProgress": "false"},
     )
     spark.sparkContext.setLogLevel("ERROR")
     edges = spark.read.parquet(edges_path)
