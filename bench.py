@@ -3,7 +3,7 @@ the N→4N scaling-efficiency evidence; writes the full report to
 BENCH/BASELINE.md.
 
 Headline (at local[$SPARK_GRAFT_CPUS], input $SPARK_GRAFT_SF_DIR):
-  - PageRank 10 supersteps on the transcript link graph (df + csr kernels)
+  - PageRank 6 supersteps on the transcript link graph (df + csr kernels)
   - CC convergence wall-time (two-level csr kernel)
   - degree-ordered triangle count on the co-purchase graph
   - MinHash LSH candidate pairs + text profiling on documents
@@ -141,10 +141,10 @@ def main():
     pr_steps_per_hour = 3600.0 / scal[hi]["pr_step_sec"]
     edges_per_sec = 2 * scal[hi]["n_edges"] / scal[hi]["pr_step_sec"]
 
-    queries["pr_superstep_sec_local2"] = round(scal[lo]["pr_step_sec"], 3)
-    queries["pr_superstep_sec_local8"] = round(scal[hi]["pr_step_sec"], 3)
-    queries["cc_sec_local2"] = round(scal[lo]["cc_sec"], 2)
-    queries["cc_sec_local8"] = round(scal[hi]["cc_sec"], 2)
+    queries[f"pr_superstep_sec_local{lo}"] = round(scal[lo]["pr_step_sec"], 3)
+    queries[f"pr_superstep_sec_local{hi}"] = round(scal[hi]["pr_step_sec"], 3)
+    queries[f"cc_sec_local{lo}"] = round(scal[lo]["cc_sec"], 2)
+    queries[f"cc_sec_local{hi}"] = round(scal[hi]["cc_sec"], 2)
     queries["scaling_efficiency_pagerank"] = round(eff_pr, 3)
     queries["scaling_efficiency_cc"] = round(eff_cc, 3)
 
@@ -179,7 +179,7 @@ partitions scaled 4×cores; environmental stalls filtered by min steady superste
 Reference comparison: the reference publishes no numbers (BASELINE.md §1); its harness
 metric is median batch-link time on email-Eu-core (25,571 edges). Our engine processes
 {edges_per_sec:,.0f} edge-messages/s per superstep — the whole email-Eu-core graph per
-~{25571 / max(edges_per_sec, 1) * 1000:.0f} ms of superstep time at 8 cores.
+~{25571 / max(edges_per_sec, 1) * 1000:.0f} ms of superstep time at local[{hi}].
 """
         )
 
