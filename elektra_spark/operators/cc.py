@@ -131,11 +131,16 @@ def _local_cc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     vids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
     s, d = inv[: len(src)], inv[len(src) :]
     lbl = np.arange(len(vids), dtype=np.int64)
+    targets = np.concatenate([s, d])
     while True:
         old = lbl.copy()
-        # scatter min across edges (both directions), then pointer-jump twice
-        np.minimum.at(lbl, d, lbl[s])
-        np.minimum.at(lbl, s, lbl[d])
+        # scatter min across edges (both directions) — hash groupby-min is
+        # ~10× faster than np.minimum.at's unbuffered scatter — then
+        # pointer-jump twice (doubling)
+        vals = np.minimum(lbl[s], lbl[d])
+        tmin = pd.Series(np.concatenate([vals, vals])).groupby(targets).min()
+        idx = tmin.index.to_numpy()
+        lbl[idx] = np.minimum(lbl[idx], tmin.to_numpy())
         lbl = np.minimum(lbl, lbl[lbl])
         lbl = np.minimum(lbl, lbl[lbl])
         if np.array_equal(lbl, old):
