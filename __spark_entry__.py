@@ -8,12 +8,15 @@ SURVEY.md §2 + the training-data pipeline operators. Oracle-checked entries
 have DuckDB SQL twins generated, where precision matters, from the *same
 Python loop* as the Spark expression (lang-id fold, simhash bits, unrolled
 PageRank/LPA supersteps), so engine and oracle agree by construction.
-Graph analytics over the synthetic transcript tables are registered
-rows-only (the transcripts table is engine-synthesized, not a DuckDB view).
+Graph analytics over the synthetic transcript tables are twinned via the
+materialized fixture parquet (tools/make_fixtures.py): DuckDB re-derives the
+link graph in SQL and solves CC with a pruned recursive CTE, PageRank with
+the unrolled-iteration chain.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -23,6 +26,29 @@ ORDER_VID_OFFSET = 10_000_000
 PR_ITERS = 4
 PR_DAMPING = 0.85
 LPA_ROUNDS = 2
+TRANSCRIPT_PR_ITERS = 10
+
+_HERE = os.path.dirname(os.path.abspath(__file__))
+
+
+def _transcript_fixture(n_conversations: int) -> str:
+    """Path of the materialized transcript fixture (tools/make_fixtures.py).
+
+    The fixture is byte-identical to ``synth_transcripts(spark, n, seed=42)``
+    (asserted by tests/test_ingest.py); materializing it lets the DuckDB
+    oracle read the same table via read_parquet and gives the transcript
+    family hard SQL twins.
+    """
+    return os.path.join(_HERE, "fixtures", f"transcripts_n{n_conversations}_s42.parquet")
+
+
+def _transcripts(spark: SparkSession, n_conversations: int) -> DataFrame:
+    path = _transcript_fixture(n_conversations)
+    if os.path.exists(path):
+        return spark.read.parquet(path)
+    from elektra_spark.ingest.transcripts import synth_transcripts
+
+    return synth_transcripts(spark, n_conversations=n_conversations, seed=42)
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -139,13 +165,11 @@ def q_degree_histogram_parts(spark, sf_dir):
     return degree_histogram(_copurchase_graph(spark, sf_dir))
 
 
-# --------------------------------------------------- transcripts (rows-only)
+# ------------------------------------------- transcripts (fixture-backed)
 def _transcript_graph(spark, n_conversations=300):
     from elektra_spark.ingest.edges import derive_graph
-    from elektra_spark.ingest.transcripts import synth_transcripts
 
-    t = synth_transcripts(spark, n_conversations=n_conversations, seed=42)
-    return derive_graph(t)
+    return derive_graph(_transcripts(spark, n_conversations))
 
 
 def q_transcript_cc(spark, sf_dir):
@@ -163,18 +187,35 @@ def q_transcript_pagerank(spark, sf_dir):
 
 
 def q_transcript_forest(spark, sf_dir):
+    """Per-component spanning-forest summary: (component, size, n_forest_edges).
+
+    ``n_forest_edges = size − 1`` is the CheckRep forest-size invariant
+    (elektra connectivity.h:216-265, test_spanning_tree.h:50-62) checked
+    per component against the recursive-CTE CC oracle; the full edge-set
+    invariants (forest ⊆ edges, acyclicity) live in tests/test_graph_ops.py.
+    """
+    from elektra_spark.operators.cc import connected_components
     from elektra_spark.operators.forest import spanning_forest
 
     g = _transcript_graph(spark)
-    return spanning_forest(g.edges)
+    forest = spanning_forest(g.edges)
+    labels = connected_components(g.edges, vertices=g.vertices)
+    sizes = labels.groupBy("component").agg(F.count("*").alias("size"))
+    counts = (
+        forest.join(labels.withColumnRenamed("vid", "src"), "src")
+        .groupBy("component")
+        .agg(F.count("*").alias("n_forest_edges"))
+    )
+    return sizes.join(counts, "component", "left").select(
+        "component", "size", F.coalesce("n_forest_edges", F.lit(0)).alias("n_forest_edges")
+    )
 
 
 def q_transcript_text_roundtrip(spark, sf_dir):
     """per-turn text equality invariant surface (input_hint)."""
     from elektra_spark.ingest.edges import derive_graph, reconstruct_transcript_text
-    from elektra_spark.ingest.transcripts import synth_transcripts
 
-    t = synth_transcripts(spark, n_conversations=50, seed=42)
+    t = _transcripts(spark, 50)
     g = derive_graph(t)
     recon = reconstruct_transcript_text(g.vertices, t)
     return recon.join(t.select("conv_id", "turn_idx", F.col("text").alias("src_text")), ["conv_id", "turn_idx"]).select(
@@ -187,7 +228,12 @@ def q_multimodal_features(spark, sf_dir):
 
     media = synth_media(spark, n=48, seed=42)
     f = extract_features(media)
-    return f.select("media_id", "kind", "n_bytes", F.round(F.element_at("feature", 1), 6).alias("f0"))
+    # cast float32 → double before rounding (round() keeps the input type;
+    # a float32 result would collect as 1.804687977… instead of 1.804688)
+    return f.select(
+        "media_id", "kind", "n_bytes",
+        F.round(F.element_at("feature", 1).cast("double"), 6).alias("f0"),
+    )
 
 
 def q_ann_lsh_docs(spark, sf_dir):
@@ -242,11 +288,21 @@ def q_text_profile_docs(spark, sf_dir):
 
 
 def q_lang_stats_docs(spark, sf_dir):
+    """Relational aggregate surface. avg is derived from exact integer
+    sum/count (identical double division in both engines) instead of
+    ``avg()``, whose streaming-mean accumulation order differs between
+    engines at the last bit and flips round() at 1e-6 boundaries."""
     docs = _t(spark, sf_dir, "documents")
     return docs.groupBy("lang").agg(
         F.count("*").alias("n_docs"),
-        F.round(F.avg("n_chars"), 6).alias("avg_chars"),
+        F.sum("n_chars").alias("total_chars"),
         F.sum(F.size(F.split("text", " "))).alias("total_tokens"),
+    ).select(
+        "lang",
+        "n_docs",
+        F.round(F.col("total_chars").cast("double") / F.col("n_docs"), 6).alias("avg_chars"),
+        "total_chars",
+        "total_tokens",
     )
 
 
@@ -256,6 +312,22 @@ def q_ann_topk_docs(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     queries = emb.filter(F.col("vec_id") < 3)
     return cosine_topk_sql_style(emb, queries, k=5)
+
+
+def q_ann_topk_brute_docs(spark, sf_dir):
+    """The scale ANN path (broadcast queries + per-partition BLAS matmul +
+    local top-k) checked against the same oracle as the SQL-style variant:
+    ranking on round(sim, 6) with nbr tiebreak pins the order against float
+    summation-order differences between BLAS and the SQL oracle."""
+    from elektra_spark.sim.ann import cosine_topk_brute
+
+    emb = _t(spark, sf_dir, "embeddings")
+    qpdf = (
+        emb.filter(F.col("vec_id") < 3)
+        .select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("vector"))
+        .toPandas()
+    )
+    return cosine_topk_brute(emb, qpdf, k=5, rank_round=6)
 
 
 def q_embedding_stats(spark, sf_dir):
@@ -301,8 +373,33 @@ def q_revenue_by_region_status(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- SQL twins
+def _pr_chain(n_iter: int, damping: float, v: str = "v") -> str:
+    """Unrolled power-iteration CTE chain generated with the engine's
+    schedule. Assumes CTEs ``{v}`` (vid), ``b`` (directed src,dst both ways),
+    ``deg`` (vid,deg), ``nn`` (n), ``r0`` (vid,rank) are in scope."""
+    # MATERIALIZED: every r{i} is referenced by d{i+1}, c{i+1} — inlining
+    # would re-expand the chain ~3^n_iter times (and re-open base scans per
+    # reference); materializing keeps the oracle O(n_iter × |graph|)
+    iters = []
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        iters.append(
+            f""",
+  d{i} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM {p} r
+           LEFT JOIN deg ON r.vid = deg.vid WHERE deg.vid IS NULL),
+  c{i} AS MATERIALIZED (SELECT b.dst AS vid, sum(r.rank / deg.deg) AS contrib
+           FROM b JOIN {p} r ON b.src = r.vid JOIN deg ON deg.vid = b.src
+           GROUP BY b.dst),
+  r{i} AS MATERIALIZED (SELECT {v}.vid,
+                  (1 - {damping}) / (SELECT n FROM nn)
+                  + {damping} * (coalesce(c.contrib, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+           FROM {v} LEFT JOIN c{i} c ON {v}.vid = c.vid)"""
+        )
+    return "".join(iters)
+
+
 def _pagerank_sql() -> str:
-    """Unrolled power-iteration SQL generated with the engine's schedule."""
+    """Unrolled power-iteration SQL over the customer-orders link graph."""
     base = f"""
   WITH v AS (SELECT c_custkey AS vid FROM customer
              UNION ALL SELECT {ORDER_VID_OFFSET} + o_orderkey FROM orders),
@@ -311,22 +408,197 @@ def _pagerank_sql() -> str:
   deg AS (SELECT src AS vid, count(*) AS deg FROM b GROUP BY src),
   nn AS (SELECT count(*)::DOUBLE AS n FROM v),
   r0 AS (SELECT vid, 1.0 / (SELECT n FROM nn) AS rank FROM v)"""
-    iters = []
-    for i in range(1, PR_ITERS + 1):
-        p = f"r{i - 1}"
-        iters.append(
-            f""",
-  d{i} AS (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM {p} r
-           LEFT JOIN deg ON r.vid = deg.vid WHERE deg.vid IS NULL),
-  c{i} AS (SELECT b.dst AS vid, sum(r.rank / deg.deg) AS contrib
-           FROM b JOIN {p} r ON b.src = r.vid JOIN deg ON deg.vid = b.src
-           GROUP BY b.dst),
-  r{i} AS (SELECT v.vid,
-                  (1 - {PR_DAMPING}) / (SELECT n FROM nn)
-                  + {PR_DAMPING} * (coalesce(c.contrib, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
-           FROM v LEFT JOIN c{i} c ON v.vid = c.vid)"""
-        )
-    return base + "".join(iters) + f"\n  SELECT vid, round(rank, 6) AS rank FROM r{PR_ITERS}"
+    return base + _pr_chain(PR_ITERS, PR_DAMPING) + f"\n  SELECT vid, round(rank, 6) AS rank FROM r{PR_ITERS}"
+
+
+def _transcript_tables_sql(n_conversations: int) -> str:
+    """CTE block deriving the link graph from the transcript fixture parquet —
+    the DuckDB twin of elektra_spark.ingest.edges.derive_graph: conversation
+    offsets are prefix sums of conversation lengths under stable conv_id
+    order, reply edges are (vid, vid+1), tool edges join the tool-actor
+    vertices appended after the turn vid range; edges canonical src<dst,
+    deduped, self-loop-free."""
+    fx = _transcript_fixture(n_conversations)
+    # MATERIALIZED: the unrolled PageRank chain references these CTEs dozens
+    # of times; inlining would re-open the fixture parquet per reference and
+    # exhaust file descriptors alongside a live Spark JVM
+    return f"""
+  t AS MATERIALIZED (SELECT conv_id, turn_idx, tool FROM read_parquet('{fx}')),
+  cl AS (SELECT conv_id, max(turn_idx) + 1 AS conv_len FROM t GROUP BY conv_id),
+  off AS (SELECT conv_id, conv_len,
+                 coalesce(sum(conv_len) OVER (ORDER BY conv_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS vid_offset
+          FROM cl),
+  turns AS (SELECT t.conv_id, t.turn_idx, t.tool,
+                   off.vid_offset + t.turn_idx AS vid, off.conv_len
+            FROM t JOIN off USING (conv_id)),
+  nt AS (SELECT sum(conv_len) AS n_turns FROM cl),
+  tool_v AS (SELECT (SELECT n_turns FROM nt) + row_number() OVER (ORDER BY tool) - 1 AS vid, tool
+             FROM (SELECT DISTINCT tool FROM t WHERE tool IS NOT NULL)),
+  e0 AS (SELECT vid AS src, vid + 1 AS dst FROM turns WHERE turn_idx < conv_len - 1
+         UNION ALL
+         SELECT turns.vid AS src, tool_v.vid AS dst FROM turns JOIN tool_v USING (tool)),
+  edges AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+            FROM e0 WHERE src <> dst),
+  verts AS MATERIALIZED (SELECT vid FROM turns UNION ALL SELECT vid FROM tool_v),
+  b AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)"""
+
+
+_TRANSCRIPT_CC_RECURSIVE = """,
+  r(vid, label) AS (
+    SELECT vid, vid FROM verts
+    UNION
+    SELECT b.dst, r.label FROM r JOIN b ON b.src = r.vid WHERE r.label < b.dst
+  ),
+  cc AS (SELECT vid, min(label) AS component FROM r GROUP BY vid)"""
+
+
+def _transcript_cc_sql() -> str:
+    """Min-vertex connected components via a pruned recursive CTE: a label l
+    propagates along an edge only while l < dst, which never blocks the
+    component minimum (it is smaller than every other member) but keeps the
+    closure far below all-pairs."""
+    return (
+        "WITH RECURSIVE "
+        + _transcript_tables_sql(300).lstrip()
+        + _TRANSCRIPT_CC_RECURSIVE
+        + "\n  SELECT vid, component FROM cc"
+    )
+
+
+def _transcript_forest_sql() -> str:
+    return (
+        "WITH RECURSIVE "
+        + _transcript_tables_sql(300).lstrip()
+        + _TRANSCRIPT_CC_RECURSIVE
+        + """
+  SELECT component, count(*) AS size, count(*) - 1 AS n_forest_edges
+  FROM cc GROUP BY component"""
+    )
+
+
+def _transcript_pagerank_sql() -> str:
+    base = (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + """,
+  deg AS (SELECT src AS vid, count(*) AS deg FROM b GROUP BY src),
+  nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+  r0 AS (SELECT vid, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    )
+    return (
+        base
+        + _pr_chain(TRANSCRIPT_PR_ITERS, PR_DAMPING, v="verts")
+        + f"\n  SELECT vid, round(rank, 6) AS rank FROM r{TRANSCRIPT_PR_ITERS}"
+    )
+
+
+def _transcript_roundtrip_sql() -> str:
+    fx = _transcript_fixture(50)
+    return f"SELECT conv_id, turn_idx, TRUE AS text_equal FROM read_parquet('{fx}')"
+
+
+def _near_duplicates_sql(n_hashes: int = 8, bands: int = 4, max_bucket: int = 1000) -> str:
+    """DuckDB twin of near_duplicates(threshold=0.2, n_hashes=8, bands=4,
+    shingle_n=2): same md5 hash family, band assembly, spam-bucket guard and
+    exact shingle-set Jaccard."""
+    rows_per_band = n_hashes // bands
+    hash_aggs = ", ".join(f"min(md5('{i}:' || s)) AS h{i}" for i in range(n_hashes))
+    band_rows = "\n    UNION ALL\n    ".join(
+        "SELECT doc_id AS id, '"
+        + str(bnd)
+        + "' || '|' || "
+        + " || '|' || ".join(f"h{bnd * rows_per_band + j}" for j in range(rows_per_band))
+        + " AS band FROM sig"
+        for bnd in range(bands)
+    )
+    return f"""
+  WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents
+  ), sh AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                ELSE list_transform(generate_series(0, greatest(len(tk) - 2, 0)),
+                                    i -> array_to_string(tk[i + 1 : i + 2], ' '))
+           END AS shingles
+    FROM toks
+  ), ex AS (
+    SELECT doc_id, unnest(shingles) AS s FROM sh
+  ), sig AS (
+    SELECT doc_id, {hash_aggs} FROM ex GROUP BY doc_id
+  ), banded AS (
+    {band_rows}
+  ), ok AS (
+    SELECT banded.* FROM banded
+    JOIN (SELECT band FROM banded GROUP BY band HAVING count(*) <= {max_bucket}) g USING (band)
+  ), cand AS (
+    SELECT DISTINCT a.id AS a, b.id AS b FROM ok a JOIN ok b ON a.band = b.band AND a.id < b.id
+  ), shd AS (
+    SELECT doc_id, list_distinct(shingles) AS dsh FROM sh
+  ), j AS (
+    SELECT cand.a, cand.b,
+           len(list_intersect(sa.dsh, sb.dsh)) / len(list_distinct(list_concat(sa.dsh, sb.dsh))) AS jaccard
+    FROM cand JOIN shd sa ON sa.doc_id = cand.a JOIN shd sb ON sb.doc_id = cand.b
+  )
+  SELECT a, b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.2
+  """
+
+
+def _ann_lsh_sql(k: int = 5) -> str:
+    from elektra_spark.sim.ann import srp_bucket_sql
+
+    srp_c = srp_bucket_sql("cv")
+    srp_q = srp_bucket_sql("qv")
+    return f"""
+  WITH c AS (SELECT vec_id AS nbr, embedding::DOUBLE[] AS cv FROM embeddings),
+  cb AS (SELECT nbr, cv, {srp_c} AS bucket FROM c),
+  q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+  qb AS (SELECT query_id, qv, {srp_q} AS bucket FROM q),
+  s AS (SELECT query_id, nbr,
+               list_inner_product(qv, cv)
+                 / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim
+        FROM qb JOIN cb USING (bucket) WHERE query_id <> nbr),
+  r AS (SELECT query_id, nbr, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr ASC) AS rank
+        FROM s)
+  SELECT query_id, nbr, round(sim, 6) AS sim, rank FROM r WHERE rank <= {k}
+  """
+
+
+def _ann_topk_brute_sql(k: int = 5) -> str:
+    """Same cosines as the ann_topk oracle, but ranked on round(sim, 6) with
+    nbr tiebreak — the contract q_ann_topk_brute_docs pins."""
+    return f"""
+  WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
+  c AS (SELECT vec_id AS nbr, embedding::DOUBLE[] AS cv FROM embeddings),
+  s AS (SELECT query_id, nbr,
+               round(list_inner_product(qv, cv)
+                 / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))), 6) AS sim
+        FROM q CROSS JOIN c WHERE query_id <> nbr),
+  r AS (SELECT query_id, nbr, sim,
+               row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr ASC) AS rank
+        FROM s)
+  SELECT query_id, nbr, sim, rank FROM r WHERE rank <= {k}
+  """
+
+
+def _multimodal_sql(n: int = 48, seed: int = 42) -> str:
+    """Twin of q_multimodal_features: synth_media payload bytes and the
+    decode_stub byte-sum fold are both pure integer functions of
+    (media_id, byte index), so the f0 feature (column-0 byte sum / 256, exact
+    in float32) is reproducible in SQL. Mirrors
+    elektra_spark/multimodal/binary.py synth_media + decode_stub."""
+    return f"""
+  WITH m AS (SELECT i::BIGINT AS media_id, 64 + (i * 37 + {seed}) % 512 AS n_bytes
+             FROM generate_series(0, {n - 1}) t(i))
+  SELECT media_id,
+         CASE media_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+         n_bytes,
+         round(list_sum(list_transform(generate_series(0, n_bytes - 1, 16),
+                                       j -> (media_id * 131 + j * 17 + {seed}) % 256)) / 256.0,
+               6) AS f0
+  FROM m
+  """
 
 
 def _lpa_sql() -> str:
@@ -439,7 +711,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_doc_lang_chain": q_cc_doc_lang_chain,
         "triangles_copurchase": q_triangles_copurchase,
         "degree_histogram_parts": q_degree_histogram_parts,
-        # transcripts engine surface (rows-only: engine-synthesized input)
+        # transcripts engine surface (fixture-backed, DuckDB-twinned)
         "transcript_cc": q_transcript_cc,
         "transcript_pagerank": q_transcript_pagerank,
         "transcript_forest": q_transcript_forest,
@@ -453,6 +725,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile_docs": q_text_profile_docs,
         "lang_stats_docs": q_lang_stats_docs,
         "ann_topk_docs": q_ann_topk_docs,
+        "ann_topk_brute_docs": q_ann_topk_brute_docs,
         "ann_lsh_docs": q_ann_lsh_docs,
         "embedding_stats": q_embedding_stats,
         "multimodal_features": q_multimodal_features,
@@ -502,8 +775,18 @@ def oracle_sql() -> dict[str, str]:
         "minhash_candidates_docs": _minhash_candidates_sql(),
         "simhash_docs": simhash_sql("documents"),
         "text_profile_docs": _text_profile_sql(),
+        "transcript_cc": _transcript_cc_sql(),
+        "transcript_pagerank": _transcript_pagerank_sql(),
+        "transcript_forest": _transcript_forest_sql(),
+        "transcript_text_roundtrip": _transcript_roundtrip_sql(),
+        "near_duplicates_docs": _near_duplicates_sql(),
+        "ann_lsh_docs": _ann_lsh_sql(),
+        "ann_topk_brute_docs": _ann_topk_brute_sql(),
+        "multimodal_features": _multimodal_sql(),
         "lang_stats_docs": """
-  SELECT lang, count(*) AS n_docs, round(avg(n_chars), 6) AS avg_chars,
+  SELECT lang, count(*) AS n_docs,
+         round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
+         sum(n_chars) AS total_chars,
          sum(len(string_split(text, ' '))) AS total_tokens
   FROM documents GROUP BY lang
   """,

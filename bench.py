@@ -63,6 +63,40 @@ def ensure_edges(spark, n_convs: int) -> str:
     return path
 
 
+def bench_insertion_throughput(spark) -> dict:
+    """Reference-parity metric (elektra benchmarks/benchmark.h:100-143,
+    `insertionOnly`): shuffle email-Eu-core (benchmark.h:175), preload 40%
+    (p=40, :106), then insert batches of 100 (:185) through the full
+    MERGE + incremental-relabel path; report the median batch wall."""
+    import random
+    import shutil
+
+    from elektra_spark.dynamic.updates import DynamicGraph
+    from elektra_spark.ingest.graph_io import read_edge_list
+    from elektra_spark.tables import SnapshotCatalog
+
+    path = "/root/reference/benchmarks/graphs/email-Eu-core.txt"
+    if not os.path.exists(path):
+        return {}
+    pairs = [(r["src"], r["dst"]) for r in read_edge_list(spark, path).collect()]
+    rng = random.Random(42)
+    rng.shuffle(pairs)
+    n_pre = int(len(pairs) * 0.40)
+    wh = f"{CACHE}/insertion_warehouse"
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = SnapshotCatalog(spark, wh)
+    g = DynamicGraph.create(cat, spark.createDataFrame(pairs[:n_pre], "src long, dst long"))
+    times = []
+    off = n_pre
+    for _ in range(5):  # num_iters default 5 (benchmark.h:150)
+        batch = pairs[off : off + 100]
+        off += 100
+        t0 = time.time()
+        g.batch_add_edges(spark.createDataFrame(batch, "src long, dst long"))
+        times.append(time.time() - t0)
+    return {"link_insertion_only100_median_sec": round(statistics.median(times), 3)}
+
+
 def main():
     os.makedirs(CACHE, exist_ok=True)
     sf = sf_of(SF_DIR)
@@ -111,6 +145,8 @@ def main():
         t0 = time.time()
         entry.queries()[name](spark, SF_DIR).count()
         queries[name] = round(time.time() - t0, 2)
+
+    queries.update(bench_insertion_throughput(spark))
 
     # scaling runs in fresh JVMs on byte-identical input
     scale_edges = ensure_edges(spark, SCALING_CONVS)
@@ -175,6 +211,7 @@ partitions scaled 4×cores; environmental stalls filtered by min steady superste
 | headline CC convergence | {queries['cc_convergence']}s |
 | triangles (co-purchase graph) | {queries['triangles_copurchase']}s |
 | MinHash LSH candidates | {queries['minhash_candidates_docs']}s |
+| link-insertion-only100 median batch (email-Eu-core, 40% preload) | {queries.get('link_insertion_only100_median_sec', 'n/a')}s |
 
 Reference comparison: the reference publishes no numbers (BASELINE.md §1); its harness
 metric is median batch-link time on email-Eu-core (25,571 edges). Our engine processes

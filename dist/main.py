@@ -41,7 +41,9 @@ def main(argv=None) -> int:
     args = build_parser().parse_args(argv)
     from elektra_spark.session import get_spark
 
-    spark = get_spark(f"elektra-{args.job}", master=None if "--master" in sys.argv else None)
+    # master=None: get_spark detects spark-submit (PYSPARK_GATEWAY_PORT) and
+    # leaves the submitted master untouched; otherwise local[$SPARK_GRAFT_CPUS]
+    spark = get_spark(f"elektra-{args.job}")
     spark.sparkContext.setLogLevel("WARN")
 
     if args.synth_convs:

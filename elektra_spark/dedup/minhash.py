@@ -25,12 +25,18 @@ from pyspark.sql import functions as F
 
 
 def shingles(text, n: int = 3):
-    """word n-gram shingles as an array column (n=1 → tokens)."""
+    """word n-gram shingles as an array column (n=1 → tokens).
+
+    Empty/whitespace-only text yields an empty array (not a single ''
+    shingle), so empty documents drop out of signatures instead of all
+    colliding into one degenerate LSH bucket.
+    """
     toks = F.filter(F.split(text, " "), lambda t: t != "")
     if n == 1:
         return toks
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
-    return F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    grams = F.transform(idx, lambda i: F.array_join(F.slice(toks, i + 1, n), " "))
+    return F.when(F.size(toks) == 0, F.array().cast("array<string>")).otherwise(grams)
 
 
 def minhash_signature(

@@ -32,9 +32,36 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..operators.cc import connected_components
-from ..operators.forest import spanning_forest
+from ..operators.cc import _np_min_labels, connected_components
+from ..operators.forest import _np_forest_winners, spanning_forest
 from ..tables import SnapshotCatalog
+
+
+def _solve_contracted_driver(pdf: pd.DataFrame):
+    """Driver-side solve of the contracted batch (sequential-fallback trade,
+    elektra euler_tour_tree.h:279) — both steps vectorized NumPy:
+
+    - winners: Boruvka over the contracted multigraph with deterministic
+      (src, dst) lexicographic weights — the ``unite`` winner contract
+      (union_find.h:277-324);
+    - mapping: min-label fixpoint over the touched component quotient.
+
+    Returns (mapping rows [(component, new_component)], winner rows
+    [(src, dst)]).
+    """
+    import numpy as np
+
+    pdf = pdf.sort_values(["src", "dst"], ignore_index=True)
+    cu = pdf["cu"].to_numpy(dtype=np.int64)
+    cv = pdf["cv"].to_numpy(dtype=np.int64)
+    mask = _np_forest_winners(cu, cv)
+    winners = pdf.loc[mask, ["src", "dst"]]
+    vids, inv = np.unique(np.concatenate([cu, cv]), return_inverse=True)
+    lbl = _np_min_labels(inv[: len(cu)], inv[len(cu):], len(vids))
+    new = vids[lbl]
+    changed = new != vids
+    mapping = pd.DataFrame({"component": vids[changed], "new_component": new[changed]})
+    return mapping, winners
 
 
 def _canon(batch: DataFrame) -> DataFrame:
@@ -89,7 +116,18 @@ class DynamicGraph:
         return batch_connected(self.labels(), queries)
 
     # -- batch insert ----------------------------------------------------------
-    def batch_add_edges(self, batch: DataFrame) -> None:
+    def batch_add_edges(self, batch: DataFrame, driver_threshold: int = 5_000_000) -> None:
+        """Insert an edge batch (elektra ``BatchAddEdges``,
+        dynamic_connectivity.h:44-110): contract by current labels, spanning
+        tree of the contracted graph, relabel through the root mapping.
+
+        The contracted cross-component graph (one row per batch edge joining
+        distinct components) is solved on the driver when it has ≤
+        ``driver_threshold`` rows — vectorized NumPy, one collect — else by
+        the distributed CC + spanning-forest operators, so arbitrarily large
+        insert batches (the reference's bread and butter) never OOM the
+        driver.
+        """
         spark = batch.sparkSession
         batch = _canon(batch)
         # filter out already-present edges (InsertIntoEdgeTable dedup,
@@ -110,42 +148,54 @@ class DynamicGraph:
             fresh.join(lu, "src").join(lv, "dst").select("src", "dst", "cu", "cv").localCheckpoint(eager=True)
         )
         cross = contracted.filter(F.col("cu") != F.col("cv"))
-        # solve the contracted graph on the driver (it is one row per batch
-        # edge joining distinct components — small by construction)
-        pdf = cross.select("src", "dst", "cu", "cv").toPandas().sort_values(["src", "dst"])
-        parent: dict[int, int] = {}
+        n_cross = cross.count()
 
-        def find(x: int) -> int:
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != r:
-                parent[x], x = r, parent.get(x, x)
-            return r
-
-        mapping: list[tuple[int, int]] = []
-        winners: list[tuple[int, int]] = []
-        for s, d, cu, cv in pdf[["src", "dst", "cu", "cv"]].itertuples(index=False):
-            ru, rv = find(int(cu)), find(int(cv))
-            if ru != rv:
-                parent[max(ru, rv)] = min(ru, rv)
-                winners.append((int(s), int(d)))
-        roots = {int(c) for c in pd.concat([pdf["cu"], pdf["cv"]])} if len(pdf) else set()
-        mapping = [(c, find(c)) for c in roots]
+        mapping_df = winners_df = None
+        if n_cross > 0 and n_cross <= driver_threshold:
+            mapping, winners = _solve_contracted_driver(cross.toPandas())
+            if len(mapping):
+                mapping_df = spark.createDataFrame(mapping)
+            if len(winners):
+                winners_df = spark.createDataFrame(winners)
+        elif n_cross > 0:
+            # distributed fallback: quotient CC gives the root mapping; the
+            # spanning forest of one representative original edge per
+            # contracted pair gives the winners
+            root_map = connected_components(
+                cross.select(F.col("cu").alias("src"), F.col("cv").alias("dst"))
+            )
+            mapping_df = root_map.filter(F.col("vid") != F.col("component")).select(
+                F.col("vid").alias("component"), F.col("component").alias("new_component")
+            )
+            rep = (
+                cross.select(
+                    F.least("cu", "cv").alias("a"), F.greatest("cu", "cv").alias("b"), "src", "dst"
+                )
+                .groupBy("a", "b")
+                .agg(F.min(F.struct("src", "dst")).alias("e"))
+            )
+            forest_c = spanning_forest(rep.select(F.col("a").alias("src"), F.col("b").alias("dst")))
+            winners_df = (
+                forest_c.withColumnRenamed("src", "a").withColumnRenamed("dst", "b")
+                .join(rep, ["a", "b"])
+                .select(F.col("e.src").alias("src"), F.col("e.dst").alias("dst"))
+            )
 
         self.catalog.merge_insert(self._t("edges"), fresh, ["src", "dst"])
-        if mapping:
-            mdf = spark.createDataFrame(pd.DataFrame(mapping, columns=["component", "new_component"]))
+        if mapping_df is not None:
+            # broadcast only the driver-solved (small) mapping; the
+            # distributed mapping can be arbitrarily large — let AQE pick
+            if n_cross <= driver_threshold:
+                mapping_df = F.broadcast(mapping_df)
             relabeled = (
-                labels.join(F.broadcast(mdf), "component", "left")
+                labels.join(mapping_df, "component", "left")
                 .select("vid", F.coalesce("new_component", F.col("component")).alias("component"))
             )
         else:
             relabeled = labels
         self.catalog.write(self._t("labels"), relabeled, "batch_add_edges")
-        if winners:
-            wdf = spark.createDataFrame(pd.DataFrame(winners, columns=["src", "dst"]))
-            self.catalog.write(self._t("forest"), self.forest().unionByName(wdf), "batch_add_edges")
+        if winners_df is not None:
+            self.catalog.write(self._t("forest"), self.forest().unionByName(winners_df), "batch_add_edges")
 
     # -- batch delete -----------------------------------------------------------
     def batch_delete_edges(self, batch: DataFrame) -> None:

@@ -18,19 +18,19 @@ Produces the engine's working relations from the transcripts table:
   reply adjacency (turn t — turn t+1 within a conversation) plus tool-call
   adjacency (tool turn — tool-actor hub vertex).
 
-Scale note: the conversation-offset prefix sum is computed with a window over
-the *conversation-level* table (one row per conversation). At 10^12 turns that
-table is ~10^10 rows, where a single-partition window would not fly; the same
-offsets are then computed hierarchically (per-partition partial sums +
-broadcast partition offsets — a two-level scan, standard Spark prefix-sum
-idiom). The per-turn work is identical either way; only the tiny offset table
-changes producer.
+Scale note: the conversation-offset prefix sum is computed **hierarchically**
+(:func:`_conv_offsets`): range-partition the conversation-level table by
+conv_id, per-partition running sums via a pid-partitioned window (parallel),
+collect only the K partition totals, broadcast their exclusive prefix back as
+bases. At 10^12 turns the conversation table is ~10^10 rows; nothing here
+funnels through one partition and the driver sees K rows.
 """
 
 from __future__ import annotations
 
 from dataclasses import dataclass
 
+import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -42,14 +42,54 @@ class LinkGraph:
     n_turn_vertices: int
 
 
+def _conv_offsets(conv_len: DataFrame, num_partitions: int | None = None):
+    """Hierarchical prefix sum of conversation lengths under stable conv_id
+    order → (offsets df with vid_offset, total turn count).
+
+    Two-level scan (the standard Spark prefix-sum idiom): range-partition the
+    conversation-level table by conv_id, run the running sum per partition
+    (parallel window on pid), collect only the K per-partition totals to the
+    driver, and broadcast their exclusive prefix back as partition bases.
+    No single-partition exchange anywhere — at 10^10 conversations the only
+    driver-side data is K rows.
+    """
+    spark = conv_len.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    # materialize the partitioning once: pid assignment must be identical for
+    # the totals job and the downstream join
+    ranged = (
+        conv_len.repartitionByRange(parts, "conv_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    w = Window.partitionBy("pid").orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
+    local = ranged.withColumn("local_off", F.coalesce(F.sum("conv_len").over(w), F.lit(0)))
+    totals = local.groupBy("pid").agg(F.sum("conv_len").alias("tot")).orderBy("pid").collect()
+    base, bases = 0, []
+    for r in totals:
+        bases.append((r["pid"], base))
+        base += int(r["tot"])
+    if bases:
+        bdf = spark.createDataFrame(pd.DataFrame(bases, columns=["pid", "base"]))
+    else:
+        bdf = spark.createDataFrame([], "pid int, base long")
+    offsets = local.join(F.broadcast(bdf), "pid").select(
+        "conv_id", "conv_len", (F.col("base") + F.col("local_off")).alias("vid_offset")
+    )
+    return offsets, base
+
+
 def derive_graph(transcripts: DataFrame, include_tool_edges: bool = True) -> LinkGraph:
     """Derive the link graph from a transcripts table."""
     # conversation lengths → dense vid offsets under stable conv_id order
+    # (two-level hierarchical prefix sum — no single-partition window)
     conv_len = transcripts.groupBy("conv_id").agg((F.max("turn_idx") + 1).alias("conv_len"))
-    w = Window.orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = conv_len.withColumn("vid_offset", F.coalesce(F.sum("conv_len").over(w), F.lit(0)))
+    offsets, n_turns = _conv_offsets(conv_len)
 
-    turns = transcripts.join(F.broadcast(offsets), "conv_id")
+    # conv-level → turn-level join: offsets is small at fixture scale (AQE
+    # broadcasts it); at 10^10 conversations it becomes a shuffle join on
+    # conv_id, which both sides already hash cleanly
+    turns = transcripts.join(offsets, "conv_id")
     turn_vertices = turns.select(
         (F.col("vid_offset") + F.col("turn_idx")).cast("long").alias("vid"),
         F.lit("turn").alias("kind"),
@@ -58,8 +98,6 @@ def derive_graph(transcripts: DataFrame, include_tool_edges: bool = True) -> Lin
         "tool",
         "conv_len",
     )
-
-    n_turns = int(conv_len.agg(F.sum("conv_len")).collect()[0][0] or 0)
 
     # reply adjacency: consecutive vids within a conversation — no join needed
     reply_edges = turn_vertices.filter(F.col("turn_idx") < F.col("conv_len") - 1).select(

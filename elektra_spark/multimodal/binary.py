@@ -38,7 +38,10 @@ FEATURE_DIM = 16
 
 def decode_stub(payload: bytes, kind: str):
     """STUB for the real codec. Deterministic fake: folds the bytes into a
-    FEATURE_DIM-float vector. Replace with PIL/librosa/av decode in a
+    FEATURE_DIM-float vector by column-wise byte sums scaled by 1/256.
+    Sums are < 2^24 and the scale is a power of two, so every feature value
+    is **exact in float32** — which is what lets the DuckDB oracle reproduce
+    the pipeline bit-for-bit. Replace with PIL/librosa/av decode in a
     container that ships them."""
     import numpy as np
 
@@ -48,7 +51,7 @@ def decode_stub(payload: bytes, kind: str):
     pad = (-len(arr)) % FEATURE_DIM
     if pad:
         arr = np.concatenate([arr, np.zeros(pad)])
-    folded = arr.reshape(-1, FEATURE_DIM).mean(axis=0) / 255.0
+    folded = arr.reshape(-1, FEATURE_DIM).sum(axis=0) / 256.0
     return folded.astype(np.float32)
 
 

@@ -113,6 +113,63 @@ def _default_checkpoint(df: DataFrame, step: int) -> DataFrame:
     return df.localCheckpoint(eager=True)
 
 
+def _np_min_labels(s, d, n: int):
+    """Min-label fixpoint over a dense-indexed edge list — the shared NumPy
+    kernel for the per-partition collapse and the driver quotient solve.
+
+    Setup builds a local CSR once (neighbor array sorted by target — the
+    NumPy analogue of the reference's semisort-then-offsets idiom,
+    connectivity-helpers.h:216-235). Each round is then exactly one label
+    gather over the neighbor array + one segmented ``np.minimum.reduceat``
+    (lbl[t] ← min(lbl[t], min over neighbor labels)), followed by pointer
+    doubling ``lbl ← lbl[lbl]`` to full closure, which collapses whole label
+    chains per round (a path graph converges in one scatter round + O(log n)
+    doubling passes instead of O(n) scatter rounds). Scratch buffers are
+    allocated once and reused — this sandbox page-faults fresh mmap'd pages
+    at ~10 MB/s (see session.apply_malloc_env), so per-round temporaries
+    would dominate the kernel.
+
+    Returns the label array: lbl[i] = min dense index of i's component.
+    """
+    import numpy as np
+
+    m = len(s)
+    # dense indices fit int32 up to 2^31 vertices per partition — halves the
+    # buffer bytes (fault-in and bandwidth) vs int64
+    idx_t = np.int32 if n < 2**31 - 1 else np.int64
+    lbl = np.arange(n, dtype=idx_t)
+    if m == 0:
+        return lbl
+    s = np.asarray(s, dtype=idx_t)
+    d = np.asarray(d, dtype=idx_t)
+    targets = np.concatenate([s, d])
+    others = np.concatenate([d, s])
+    order = np.argsort(targets, kind="stable")
+    tsorted = targets[order]
+    nbrs = others[order]  # CSR: neighbor ids grouped by target
+    starts = np.flatnonzero(np.r_[True, tsorted[1:] != tsorted[:-1]])
+    uniq = tsorted[starts]
+    del targets, others, order, tsorted
+    gath = np.empty(2 * m, idx_t)
+    mins = np.empty(len(starts), idx_t)
+    ping = np.empty(n, idx_t)
+    old = np.empty(n, idx_t)
+    while True:
+        np.copyto(old, lbl)
+        np.take(lbl, nbrs, out=gath)
+        np.minimum.reduceat(gath, starts, out=mins)
+        np.minimum(lbl[uniq], mins, out=mins)
+        lbl[uniq] = mins
+        while True:
+            np.take(lbl, lbl, out=ping)
+            if np.array_equal(ping, lbl):
+                break
+            lbl, ping = ping, lbl
+        if np.array_equal(lbl, old):
+            break
+    return lbl
+
+
 def _local_cc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """Per-partition min-label union-find: vectorized NumPy, no per-row Python.
 
@@ -130,21 +187,7 @@ def _local_cc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         return
     vids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
     s, d = inv[: len(src)], inv[len(src) :]
-    lbl = np.arange(len(vids), dtype=np.int64)
-    targets = np.concatenate([s, d])
-    while True:
-        old = lbl.copy()
-        # scatter min across edges (both directions) — hash groupby-min is
-        # ~10× faster than np.minimum.at's unbuffered scatter — then
-        # pointer-jump twice (doubling)
-        vals = np.minimum(lbl[s], lbl[d])
-        tmin = pd.Series(np.concatenate([vals, vals])).groupby(targets).min()
-        idx = tmin.index.to_numpy()
-        lbl[idx] = np.minimum(lbl[idx], tmin.to_numpy())
-        lbl = np.minimum(lbl, lbl[lbl])
-        lbl = np.minimum(lbl, lbl[lbl])
-        if np.array_equal(lbl, old):
-            break
+    lbl = _np_min_labels(s, d, len(vids))
     yield pd.DataFrame({"vid": vids, "comp": vids[lbl]})
 
 
@@ -238,15 +281,7 @@ def _driver_union_find(spark, roots: DataFrame, links: DataFrame) -> DataFrame:
     vids = np.unique(np.concatenate([rts, src, dst]))
     idx_src = np.searchsorted(vids, src)
     idx_dst = np.searchsorted(vids, dst)
-    lbl = np.arange(len(vids), dtype=np.int64)
-    while True:
-        old = lbl.copy()
-        np.minimum.at(lbl, idx_dst, lbl[idx_src])
-        np.minimum.at(lbl, idx_src, lbl[idx_dst])
-        lbl = np.minimum(lbl, lbl[lbl])
-        lbl = np.minimum(lbl, lbl[lbl])
-        if np.array_equal(lbl, old):
-            break
+    lbl = _np_min_labels(idx_src, idx_dst, len(vids))
     out = pd.DataFrame({"vid": vids, "label": vids[lbl]})
     return spark.createDataFrame(out)
 

@@ -6,10 +6,9 @@ whose ``unite`` succeeds (links two distinct components) is a forest edge
 (the winner-return contract of ``unite_variants::Unite``,
 union_find.h:277-324). Our execution is the two-level scheme shared with CC:
 
-1. per-partition pass over the range-partitioned edge table — a sequential
-   union-find per Arrow batch group (deterministic: edges processed in
-   (src, dst) order) emits that partition's winner edges (≤ local vertices −
-   local components of them);
+1. per-partition pass over the range-partitioned edge table — a **vectorized
+   NumPy Boruvka** per partition (see :func:`_np_forest_winners`) emits that
+   partition's winner edges (≤ local vertices − local components of them);
 2. the union of local winners is a subgraph with O(V) edges whose components
    equal the graph's; its own spanning forest — computed on the driver below
    a size threshold (the reference's sequential-fallback trade,
@@ -17,10 +16,14 @@ union_find.h:277-324). Our execution is the two-level scheme shared with CC:
    spanning forest of the original graph, and every emitted edge is an
    original edge.
 
-Determinism: with a fixed partitioning and sorted edge order, the winner set
-is a pure function of the input, so tests can assert set-equality; the
-oracle asserts the CheckRep MST invariants (elektra connectivity.h:216-265):
-forest ⊆ edges, acyclic, |F| = n − #components, spans every component.
+Determinism: edges carry *distinct* lexicographic (src, dst) weights, so the
+minimum spanning forest is **unique** — Boruvka (each component picks its
+minimum incident edge per round) returns exactly the same winner set as a
+sequential Kruskal sweep in (src, dst) order, which is what makes the output
+a pure function of the input and the partitioning irrelevant to the final
+recombined forest. The oracle asserts the CheckRep MST invariants (elektra
+connectivity.h:216-265): forest ⊆ edges, acyclic, |F| = n − #components,
+spans every component.
 """
 
 from __future__ import annotations
@@ -31,35 +34,69 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from .cc import _default_checkpoint
+from .cc import _default_checkpoint, _np_min_labels
+
+
+def _np_forest_winners(src, dst):
+    """Boolean mask of winner edges — vectorized Boruvka, no per-row Python.
+
+    Each round: every component selects its minimum incident live edge by
+    lexicographic (src, dst) rank (segmented ``np.minimum.reduceat`` over the
+    component-sorted endpoint list); selected edges merge components via the
+    shared min-label kernel on the component quotient. Distinct weights →
+    the selected set is the unique minimum spanning forest (acyclic by the
+    cut property), identical to a sequential Kruskal sweep in (src, dst)
+    order. O(log n) rounds, each O(E) vectorized.
+    """
+    import numpy as np
+
+    m = len(src)
+    mask = np.zeros(m, dtype=bool)
+    if m == 0:
+        return mask
+    vids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
+    s, d = inv[:m], inv[m:]
+    n = len(vids)
+    order = np.lexsort((dst, src))
+    rank = np.empty(m, dtype=np.int64)
+    rank[order] = np.arange(m)
+    lbl = np.arange(n, dtype=np.int64)
+    while True:
+        cs, cd = lbl[s], lbl[d]
+        live = cs != cd
+        if not live.any():
+            break
+        comp = np.concatenate([cs[live], cd[live]])
+        er = np.concatenate([rank[live], rank[live]])
+        corder = np.argsort(comp, kind="stable")
+        csort = comp[corder]
+        starts = np.flatnonzero(np.r_[True, csort[1:] != csort[:-1]])
+        min_rank = np.minimum.reduceat(er[corder], starts)
+        eidx = order[np.unique(min_rank)]
+        mask[eidx] = True
+        # merge the touched components: min-label fixpoint on the quotient
+        qs, qd = lbl[s[eidx]], lbl[d[eidx]]
+        qvids, qinv = np.unique(np.concatenate([qs, qd]), return_inverse=True)
+        qlbl = _np_min_labels(qinv[: len(qs)], qinv[len(qs):], len(qvids))
+        remap = np.arange(n, dtype=np.int64)
+        remap[qvids] = qvids[qlbl]
+        lbl = remap[lbl]
+    return mask
 
 
 def _winner_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Sequential union-find over one partition's edges (sorted by (src,dst));
-    emits winner edges — the per-partition analogue of spanning_tree.h:65-71."""
+    """Per-partition winner edges — the vectorized analogue of
+    spanning_tree.h:65-71 (CAS unite per edge, winners recorded)."""
+    import numpy as np
+
     chunks = list(batches)
     if not chunks:
         return
-    pdf = pd.concat(chunks, ignore_index=True).sort_values(["src", "dst"])
-    parent: dict[int, int] = {}
-
-    def find(x: int) -> int:
-        r = x
-        while parent.get(r, r) != r:
-            r = parent[r]
-        while parent.get(x, x) != r:
-            parent[x], x = r, parent.get(x, x)
-        return r
-
-    w_src, w_dst = [], []
-    for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-        rs, rd = find(int(s)), find(int(d))
-        if rs != rd:
-            lo, hi = (rs, rd) if rs < rd else (rd, rs)
-            parent[hi] = lo
-            w_src.append(int(s))
-            w_dst.append(int(d))
-    yield pd.DataFrame({"src": pd.Series(w_src, dtype="int64"), "dst": pd.Series(w_dst, dtype="int64")})
+    pdf = pd.concat(chunks, ignore_index=True)
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    mask = _np_forest_winners(src, dst)
+    yield pd.DataFrame({"src": src[mask], "dst": dst[mask]})
 
 
 def spanning_forest(
@@ -69,32 +106,26 @@ def spanning_forest(
     _depth: int = 0,
 ) -> DataFrame:
     """→ forest edges (src, dst) ⊆ edges; |F| = n − #components."""
+    import numpy as np
+
     spark = edges.sparkSession
     parts = num_partitions or spark.sparkContext.defaultParallelism
     partitioned = edges.select("src", "dst").repartitionByRange(parts, "src")
     winners = _default_checkpoint(partitioned.mapInPandas(_winner_kernel, "src long, dst long"), _depth)
     n_winners = winners.count()
     if n_winners <= driver_threshold:
-        pdf = winners.toPandas().sort_values(["src", "dst"])
-        parent: dict[int, int] = {}
-
-        def find(x: int) -> int:
-            r = x
-            while parent.get(r, r) != r:
-                r = parent[r]
-            while parent.get(x, x) != r:
-                parent[x], x = r, parent.get(x, x)
-            return r
-
-        keep = []
-        for s, d in zip(pdf["src"].to_numpy(), pdf["dst"].to_numpy()):
-            rs, rd = find(int(s)), find(int(d))
-            if rs != rd:
-                parent[max(rs, rd)] = min(rs, rd)
-                keep.append((int(s), int(d)))
-        if not keep:
+        # sequential fallback below threshold (euler_tour_tree.h:279): one
+        # vectorized Boruvka over the collected winner union
+        pdf = winners.toPandas()
+        if len(pdf) == 0:
             return spark.createDataFrame([], "src long, dst long")
-        return spark.createDataFrame(pd.DataFrame(keep, columns=["src", "dst"]))
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        mask = _np_forest_winners(src, dst)
+        out = pd.DataFrame({"src": src[mask], "dst": dst[mask]})
+        if len(out) == 0:
+            return spark.createDataFrame([], "src long, dst long")
+        return spark.createDataFrame(out)
     if _depth >= 4:
         raise RuntimeError("spanning_forest failed to reduce below driver threshold")
     # winner union still too large: recurse with fewer, larger partitions —

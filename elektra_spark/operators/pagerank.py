@@ -175,7 +175,15 @@ def _csr_contrib(adj_b: DataFrame, ranks: DataFrame, buckets: int) -> DataFrame:
         # CSR-style gather: rank lookup by sorted vid; scatter: bincount on
         # dense dst codes
         order = np.argsort(rvid)
-        pos = np.searchsorted(rvid[order], src)
+        rvid_sorted = rvid[order]
+        pos = np.searchsorted(rvid_sorted, src)
+        bad = (pos >= len(rvid_sorted)) | (rvid_sorted[np.minimum(pos, len(rvid_sorted) - 1)] != src)
+        if bad.any():
+            # universe/adjacency mismatch must fail loudly, not corrupt ranks
+            raise ValueError(
+                f"{int(bad.sum())} adjacency sources missing from the rank table bucket "
+                "(vertices must cover all edge endpoints)"
+            )
         r_src = rval[order][pos]
         contrib = r_src / degv
         d_vals, d_codes = np.unique(dst, return_inverse=True)

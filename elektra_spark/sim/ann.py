@@ -75,10 +75,16 @@ def cosine_topk_brute(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    rank_round: int | None = None,
 ) -> DataFrame:
     """Exact top-k: broadcast query matrix, per-partition BLAS matmul +
     local top-k, global window final top-k. queries_pdf: pandas
-    (query_id, vector list) — small by contract."""
+    (query_id, vector list) — small by contract.
+
+    ``rank_round``: when set, the final ranking (and the emitted sim) uses
+    ``round(sim, rank_round)`` with nbr-id tiebreak — this pins the ordering
+    against float summation-order differences so an independent oracle
+    (computing the same cosines in a different order) ranks identically."""
     import numpy as np
 
     spark = corpus.sparkSession
@@ -107,6 +113,8 @@ def cosine_topk_brute(
             yield out[out["query_id"] != out["nbr"]]
 
     local = corpus.select(id_col, vec_col).mapInPandas(kernel, "query_id long, nbr long, sim double")
+    sim_col = F.round("sim", rank_round) if rank_round is not None else F.col("sim")
+    local = local.withColumn("sim", sim_col)
     w = Window.partitionBy("query_id").orderBy(F.col("sim").desc(), F.col("nbr"))
     return (
         local.withColumn("rank", F.row_number().over(w))
@@ -115,22 +123,42 @@ def cosine_topk_brute(
     )
 
 
+def _srp_signs(n_planes: int, seed: int, dim: int) -> list[list[float]]:
+    """±1.0 hyperplane components derived from md5 — plain constants, computed
+    once on the driver and embedded as literals in both the Spark expression
+    and the generated SQL twin (portable across engines by construction)."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()[0], 16) % 2 == 0 else -1.0
+            for i in range(dim)
+        ]
+        for p in range(n_planes)
+    ]
+
+
 def srp_bucket(vec_col, n_planes: int = 8, seed: int = 42, dim: int = 64):
     """Sign-random-projection bucket id as a column expression: plane p has
-    deterministic ±1 components derived from xxhash64(seed, p, i)."""
+    deterministic ±1 components (md5-derived literal constants)."""
     acc = F.lit(0)
-    for p in range(n_planes):
-        signs = F.array(
-            *[
-                F.when(F.pmod(F.xxhash64(F.lit(seed), F.lit(p), F.lit(i)), F.lit(2)) == 0, F.lit(1.0)).otherwise(
-                    F.lit(-1.0)
-                )
-                for i in range(dim)
-            ]
-        )
+    for p, row in enumerate(_srp_signs(n_planes, seed, dim)):
+        signs = F.array(*[F.lit(s) for s in row])
         dot = F.aggregate(F.zip_with(vec_col, signs, lambda x, s: x * s), F.lit(0.0), lambda a, v: a + v)
         acc = acc + F.when(dot >= 0, F.lit(1 << p)).otherwise(F.lit(0))
     return acc
+
+
+def srp_bucket_sql(vec_expr: str, n_planes: int = 8, seed: int = 42, dim: int = 64) -> str:
+    """DuckDB expression computing the identical SRP bucket (same sign
+    constants as :func:`srp_bucket`)."""
+    terms = []
+    for p, row in enumerate(_srp_signs(n_planes, seed, dim)):
+        arr = "[" + ", ".join("1.0" if s > 0 else "-1.0" for s in row) + "]"
+        terms.append(
+            f"(CASE WHEN list_inner_product({vec_expr}, {arr}::DOUBLE[]) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    return "(" + " + ".join(terms) + ")"
 
 
 def cosine_topk_lsh(

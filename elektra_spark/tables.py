@@ -68,8 +68,16 @@ class SnapshotCatalog:
             return json.load(f)
 
     # ---- core commit protocol --------------------------------------------
-    def _commit(self, name: str, df: DataFrame, operation: str) -> SnapshotInfo:
-        """Write df as the next snapshot and atomically swap the manifest."""
+    def _commit(
+        self, name: str, df: DataFrame, operation: str, base_paths: list[str] | None = None
+    ) -> SnapshotInfo:
+        """Write df as the next snapshot and atomically swap the manifest.
+
+        ``base_paths``: existing snapshot directories carried forward into the
+        new snapshot's file set (fast-append — the Iceberg append pattern:
+        commit only the delta files, the manifest lists the full file set per
+        snapshot instead of rewriting the table).
+        """
         man = self._load_manifest(name)
         version = (man["current"] or 0) + 1
         snap_dir = os.path.join(self._table_dir(name), f"v_{version}")
@@ -79,6 +87,7 @@ class SnapshotCatalog:
             {
                 "version": version,
                 "path": snap_dir,
+                "paths": (base_paths or []) + [snap_dir],
                 "committed_at": info.committed_at,
                 "operation": operation,
             }
@@ -99,8 +108,16 @@ class SnapshotCatalog:
         return self._commit(name, df, operation)
 
     def append(self, name: str, df: DataFrame) -> SnapshotInfo:
+        """Fast-append: commit only the delta files; the new snapshot's
+        manifest references the previous snapshot's file set plus the delta
+        (like Iceberg fast-append). Per-superstep lineage/metrics appends are
+        therefore O(delta), not O(table) — a checkpointed run with S
+        supersteps writes S deltas instead of S full copies."""
         if self.exists(name):
-            df = self.read(name).unionByName(df)
+            man = self._load_manifest(name)
+            snap = next(s for s in man["snapshots"] if s["version"] == man["current"])
+            base = snap.get("paths") or [snap["path"]]
+            return self._commit(name, df, "append", base_paths=base)
         return self._commit(name, df, "append")
 
     def read(self, name: str, version: int | None = None) -> DataFrame:
@@ -109,7 +126,8 @@ class SnapshotCatalog:
             raise FileNotFoundError(f"table {name} does not exist in {self.root}")
         version = version or man["current"]
         snap = next(s for s in man["snapshots"] if s["version"] == version)
-        return self.spark.read.parquet(snap["path"])
+        paths = snap.get("paths") or [snap["path"]]
+        return self.spark.read.parquet(*paths)
 
     def history(self, name: str) -> list[dict]:
         return self._load_manifest(name)["snapshots"]

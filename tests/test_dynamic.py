@@ -84,6 +84,28 @@ def test_insert_duplicate_edges_noop(spark, catalog):
     _assert_state(g, pairs)
 
 
+def test_insert_distributed_path_above_threshold(spark, catalog, monkeypatch):
+    """A batch larger than driver_threshold must take the distributed path
+    (quotient CC + spanning forest), never the driver collect — the driver
+    solver is monkeypatched to fail loudly if hit."""
+    import elektra_spark.dynamic.updates as upd
+
+    pairs = [(0, 1), (10, 11)]
+    g = DynamicGraph.create(catalog, edges_from_pairs(spark, pairs))
+
+    def boom(pdf):
+        raise AssertionError("driver path must not run above threshold")
+
+    monkeypatch.setattr(upd, "_solve_contracted_driver", boom)
+    adds = [(1, 10), (11, 20), (20, 21), (30, 31)]
+    g.batch_add_edges(spark.createDataFrame(adds, "src long, dst long"), driver_threshold=0)
+    now = sorted(set(pairs) | set(adds))
+    _assert_state(g, now)
+    labels = _labels(g)
+    assert labels[0] == labels[21] == 0  # 0-1-10-11-20-21 merged
+    assert labels[30] == labels[31] == 30
+
+
 def test_randomized_differential_insert_delete(spark, catalog):
     """Randomized differential test mirroring reference_connectivity.hpp:90-161
     (deterministic seed): build, delete ~10%, compare against oracle."""

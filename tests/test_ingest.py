@@ -23,6 +23,25 @@ def test_transcripts_schema_and_determinism(spark):
     assert all(2 <= r["count"] <= 200 for r in lens)
 
 
+def test_fixture_matches_fresh_synthesis(spark):
+    """The committed fixture parquet (fixtures/, tools/make_fixtures.py) must
+    equal a fresh synthesis byte-for-byte — the DuckDB oracle twins for the
+    transcript family read the fixture, so drift here would silently decouple
+    engine from oracle."""
+    import os
+
+    for n in (50, 300):
+        path = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+                            "fixtures", f"transcripts_n{n}_s42.parquet")
+        if not os.path.exists(path):
+            import pytest
+
+            pytest.skip("fixtures not generated (run tools/make_fixtures.py)")
+        fixture = sorted(map(tuple, spark.read.parquet(path).collect()))
+        fresh = sorted(map(tuple, synth_transcripts(spark, n_conversations=n, seed=42).collect()))
+        assert fixture == fresh, f"fixture n={n} drifted from synth_transcripts"
+
+
 def test_edge_derivation_invariants(spark):
     t = synth_transcripts(spark, n_conversations=25, seed=42)
     g = derive_graph(t)

@@ -69,18 +69,26 @@ def test_near_duplicates_verified_jaccard(spark, docs):
 
 
 def test_simhash_spark_matches_python(spark, docs):
-    from elektra_spark.dedup.simhash import N_BITS, simhash
+    from elektra_spark.dedup.simhash import BAND_BITS, N_BANDS, N_BITS, simhash
 
-    got = {r["doc_id"]: r["simhash"] for r in simhash(docs).collect()}
+    got = {r["doc_id"]: tuple(r[f"b{b}"] for b in range(N_BANDS)) for r in simhash(docs).collect()}
     rows = {r["doc_id"]: r["text"] for r in docs.collect()}
     for d, text in rows.items():
         toks = [t for t in text.split(" ") if t]
-        fp = 0
-        for j in range(N_BITS):
-            s = sum(1 if int(hashlib.md5(t.encode()).hexdigest()[j], 16) % 2 else -1 for t in toks)
-            if s >= 0:
-                fp |= 1 << j
-        assert got[d] == fp, d
+        bands = []
+        for b in range(N_BANDS):
+            band = 0
+            for k in range(BAND_BITS):
+                j = b * BAND_BITS + k
+                s = sum(
+                    1 if (int(hashlib.md5(t.encode()).hexdigest()[j % 32], 16) >> (j // 32)) % 2 else -1
+                    for t in toks
+                )
+                if s >= 0:
+                    band |= 1 << k
+            bands.append(band)
+        assert got[d] == tuple(bands), d
+    assert N_BANDS * BAND_BITS == N_BITS == 64
     # identical docs → identical fingerprints
     assert got[0] == got[1]
 
