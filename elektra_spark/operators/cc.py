@@ -265,25 +265,26 @@ def _min_label_loop(
     return labels
 
 
-def _driver_union_find(spark, roots: DataFrame, links: DataFrame) -> DataFrame:
-    """Union-find over the (small) root quotient graph on the driver.
+def _driver_union_find(spark, links_pdf: pd.DataFrame) -> DataFrame:
+    """Union-find over the (small, already collected) root quotient graph on
+    the driver — the same vectorized NumPy kernel as the per-partition pass.
 
-    Vectorized NumPy min-label propagation with pointer doubling — the same
-    kernel as the per-partition pass, run once over the collected quotient.
-    Returns a (vid, label) DataFrame mapping every root to its component min.
+    Returns a (label, root) DataFrame mapping each *changed* root to its
+    component min; roots untouched by any link resolve to themselves via the
+    caller's coalesce, so they need no rows here.
     """
     import numpy as np
 
-    pdf = links.select("src", "dst").toPandas()
-    rts = roots.toPandas()["vid"].to_numpy(dtype=np.int64)
-    src = pdf["src"].to_numpy(dtype=np.int64)
-    dst = pdf["dst"].to_numpy(dtype=np.int64)
-    vids = np.unique(np.concatenate([rts, src, dst]))
+    src = links_pdf["src"].to_numpy(dtype=np.int64)
+    dst = links_pdf["dst"].to_numpy(dtype=np.int64)
+    vids = np.unique(np.concatenate([src, dst]))
     idx_src = np.searchsorted(vids, src)
     idx_dst = np.searchsorted(vids, dst)
     lbl = _np_min_labels(idx_src, idx_dst, len(vids))
-    out = pd.DataFrame({"vid": vids, "label": vids[lbl]})
-    return spark.createDataFrame(out)
+    new = vids[lbl]
+    changed = new != vids
+    out = pd.DataFrame({"label": vids[changed], "root": new[changed]})
+    return spark.createDataFrame(out) if len(out) else None
 
 
 def connected_components(
@@ -295,6 +296,7 @@ def connected_components(
     checkpoint: CheckpointFn | None = None,
     on_superstep: SuperstepHook | None = None,
     driver_uf_threshold: int = 5_000_000,
+    pre_partitioned: bool = False,
 ) -> DataFrame:
     """Connected components → (vid, component) with component = min vid.
 
@@ -309,6 +311,13 @@ def connected_components(
       - 'df'   : pure DataFrame hash-to-min + pointer jumping over the raw
                  edges (O(log n) supersteps; reference/simple path).
       - 'auto' : 'csr'.
+
+    ``pre_partitioned``: the input edge table is already src-clustered (e.g.
+    stored range-partitioned/sorted by src — the recommended Iceberg table
+    layout for this engine, which the bench ingest produces). Skips the range
+    shuffle; the kernel is correct under *any* partitioning (the quotient
+    absorbs cross-partition structure), clustering only keeps the quotient
+    small.
     """
     spark = edges.sparkSession
     if checkpoint is None:
@@ -318,43 +327,61 @@ def connected_components(
 
     if kernel == "csr":
         parts = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
-        partitioned = edges.select("src", "dst").repartitionByRange(parts, "src")
-        pairs = checkpoint(partitioned.mapInPandas(_local_cc_kernel, "vid long, comp long"), -2)
-        # seeds: each vertex's best (min) local root across the partitions it
-        # appears in; the label forest vid → seed.
-        seeds = pairs.groupBy("vid").agg(F.min("comp").alias("label"))
-        # Root quotient graph: a vertex seen by several partitions links all
-        # its local roots. Its size is the number of *cross-partition
-        # adjacencies between local components* — orders of magnitude smaller
-        # than V (for conversation-contiguous vids: conversation boundaries +
-        # tool hubs), which is what makes the driver fallback viable.
+        partitioned = edges.select("src", "dst")
+        if not pre_partitioned:
+            partitioned = partitioned.repartitionByRange(parts, "src")
+        pairs = partitioned.mapInPandas(_local_cc_kernel, "vid long, comp long")
+        # One aggregation produces both the seed (min local root per vertex)
+        # and the quotient links: a vertex seen by several partitions links
+        # all its local roots to its seed. The quotient's size is the number
+        # of cross-partition adjacencies between local components — orders of
+        # magnitude smaller than V for src-clustered input (conversation
+        # boundaries + tool hubs), which is what makes the driver fallback
+        # viable. collect_set is map-side combinable; pairs is consumed by
+        # exactly this one shuffle, so nothing else is materialized.
+        agg = pairs.groupBy("vid").agg(
+            F.min("comp").alias("label"), F.collect_set("comp").alias("comps")
+        )
+        agg = checkpoint(
+            agg.select("vid", "label", F.filter("comps", lambda c: c != F.col("label")).alias("others")),
+            -2,
+        )
         links = (
-            pairs.join(seeds, "vid")
-            .filter(F.col("comp") != F.col("label"))
-            .select(F.col("label").alias("src"), F.col("comp").alias("dst"))
+            agg.filter(F.size("others") > 0)
+            .select(F.explode("others").alias("src"), F.col("label").alias("dst"))
             .dropDuplicates(["src", "dst"])
         )
-        links = checkpoint(links, -1)
-        roots = pairs.select(F.col("comp").alias("vid")).distinct()
-        n_links = links.count()
-        if n_links == 0:
-            root_map = roots.select("vid", F.col("vid").alias("label"))
-        elif n_links <= driver_uf_threshold:
+        # one job decides the path AND collects the quotient when small
+        head = links.limit(driver_uf_threshold + 1).toPandas()
+        resolve = None
+        if len(head) == 0:
+            resolve = None  # every seed is already the component min
+        elif len(head) <= driver_uf_threshold:
             # Sequential fallback below threshold — the same trade the
             # reference makes (batch ≤ 75 handled sequentially,
             # euler_tour_tree.h:279): the root quotient fits on the driver,
             # so one vectorized NumPy union-find replaces O(log n) shuffle
-            # rounds. Above threshold the distributed fixpoint runs instead.
-            root_map = _driver_union_find(spark, roots, links)
+            # rounds; the quotient was already collected by the path probe.
+            resolve = _driver_union_find(spark, head)
+            if resolve is not None:
+                resolve = F.broadcast(resolve)
         else:
-            labels0 = roots.withColumn("label", F.col("vid"))
+            endpoints = links.select(F.col("src").alias("vid")).union(
+                links.select(F.col("dst").alias("vid"))
+            ).distinct()
+            labels0 = endpoints.withColumn("label", F.col("vid"))
             root_map = _min_label_fixpoint(links, labels0, max_iter, checkpoint, on_superstep)
+            resolve = root_map.filter(F.col("vid") != F.col("label")).select(
+                F.col("vid").alias("label"), F.col("label").alias("root")
+            )
         # resolve each vertex's seed through the root mapping
-        resolve = root_map.select(F.col("vid").alias("label"), F.col("label").alias("root"))
-        labels = (
-            seeds.join(resolve, "label", "left")
-            .select("vid", F.coalesce("root", F.col("label")).alias("label"))
-        )
+        if resolve is None:
+            labels = agg.select("vid", "label")
+        else:
+            labels = (
+                agg.join(resolve, "label", "left")
+                .select("vid", F.coalesce("root", F.col("label")).alias("label"))
+            )
     else:
         endpoints = edges.select(F.col("src").alias("vid")).union(edges.select(F.col("dst").alias("vid"))).distinct()
         labels0 = endpoints.withColumn("label", F.col("vid"))
