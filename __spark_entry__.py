@@ -330,6 +330,16 @@ def q_ann_topk_brute_docs(spark, sf_dir):
     return cosine_topk_brute(emb, qpdf, k=5, rank_round=6)
 
 
+def q_embedding_near_dups(spark, sf_dir):
+    """Embedding-cosine near-duplicate pairs (dedup-by-embedding): SRP-bucketed
+    self-join + exact cosine threshold. The oracle reproduces the same
+    buckets, so the approximate candidate set is exactly checkable."""
+    from elektra_spark.sim.ann import cosine_near_pairs
+
+    emb = _t(spark, sf_dir, "embeddings")
+    return cosine_near_pairs(emb, threshold=0.4, n_planes=4)
+
+
 def q_embedding_stats(spark, sf_dir):
     emb = _t(spark, sf_dir, "embeddings")
     e = F.col("embedding").cast("array<double>")
@@ -582,6 +592,21 @@ def _ann_topk_brute_sql(k: int = 5) -> str:
   """
 
 
+def _embedding_near_dups_sql(threshold: float = 0.4, n_planes: int = 4) -> str:
+    from elektra_spark.sim.ann import srp_bucket_sql
+
+    srp = srp_bucket_sql("v", n_planes=n_planes)
+    return f"""
+  WITH e AS (SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings),
+  eb AS (SELECT id, v, {srp} AS bucket FROM e),
+  s AS (SELECT a.id AS a, b.id AS b,
+               list_inner_product(a.v, b.v)
+                 / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))) AS sim
+        FROM eb a JOIN eb b ON a.bucket = b.bucket AND a.id < b.id)
+  SELECT a, b, round(sim, 6) AS sim FROM s WHERE sim >= {threshold}
+  """
+
+
 def _multimodal_sql(n: int = 48, seed: int = 42) -> str:
     """Twin of q_multimodal_features: synth_media payload bytes and the
     decode_stub byte-sum fold are both pure integer functions of
@@ -727,6 +752,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_docs": q_ann_topk_docs,
         "ann_topk_brute_docs": q_ann_topk_brute_docs,
         "ann_lsh_docs": q_ann_lsh_docs,
+        "embedding_near_dups": q_embedding_near_dups,
         "embedding_stats": q_embedding_stats,
         "multimodal_features": q_multimodal_features,
         # relational/windows surface
@@ -782,6 +808,7 @@ def oracle_sql() -> dict[str, str]:
         "near_duplicates_docs": _near_duplicates_sql(),
         "ann_lsh_docs": _ann_lsh_sql(),
         "ann_topk_brute_docs": _ann_topk_brute_sql(),
+        "embedding_near_dups": _embedding_near_dups_sql(),
         "multimodal_features": _multimodal_sql(),
         "lang_stats_docs": """
   SELECT lang, count(*) AS n_docs,

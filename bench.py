@@ -221,7 +221,7 @@ partitions scaled 4×cores; environmental stalls filtered by min steady superste
 | **scaling efficiency {lo}→{hi} cores (PageRank)** | **{eff_pr:.3f}** (gate ≥ 0.8) |
 | scaling efficiency {lo}→{hi} cores (CC) | {eff_cc:.3f} |
 | headline PageRank 6 supersteps, df kernel (local[{CPUS}], sf{sf}) | {queries['pagerank6_df']}s |
-| headline PageRank 6 supersteps, csr kernel | {queries['pagerank6_csr']}s |
+| headline PageRank 6 supersteps, csr kernel (demoted: df wins 1.7× steady-state; kept behind a flag) | {queries['pagerank6_csr']}s |
 | headline CC convergence | {queries['cc_convergence']}s |
 | triangles (co-purchase graph) | {queries['triangles_copurchase']}s |
 | MinHash LSH candidates | {queries['minhash_candidates_docs']}s |

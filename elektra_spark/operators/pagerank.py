@@ -13,17 +13,24 @@ Superstep (BSP):
 
 Two execution kernels, identical results:
 
-- ``df``  — the adjacency (pre-joined with source degrees, materialized once)
-  is joined with the rank table and summed JVM-side. The sum is map-side
-  combinable (partial aggregation), so hub vertices do not create hot
-  reducers; whole-stage codegen keeps the arithmetic vectorized.
-- ``csr`` — the north-star kernel: adjacency is bucketed by ``hash(src)``
-  into fixed blocks and cogrouped with the rank table on the same buckets;
-  each block computes its partial contributions as a vectorized NumPy
-  scatter (``np.bincount`` over dst codes — a CSR-style gather-scatter) inside
-  ``applyInPandas``; a final JVM ``groupBy(dst).sum`` merges partials. This
-  is the two-phase (salted) aggregation pattern: the Python stage plays the
-  role of the salt-local partial combine, so dst-skew never concentrates.
+- ``df`` — **the default and the recommended kernel**: the adjacency
+  (pre-joined with source degrees, materialized once) is joined with the
+  rank table and summed JVM-side. The sum is map-side combinable (partial
+  aggregation), so hub vertices do not create hot reducers; whole-stage
+  codegen keeps the arithmetic vectorized.
+- ``csr`` — adjacency bucketed by ``hash(src)`` and cogrouped with the rank
+  table; each block computes partial contributions as a vectorized NumPy
+  scatter (``np.bincount`` over dst codes) inside ``applyInPandas``; a final
+  JVM ``groupBy(dst).sum`` merges partials — two-phase (salted) aggregation
+  with the Python stage as the salt-local combine.
+
+Measured head-to-head (4.1M-edge hub-skewed transcript graph, local[16],
+steady-state supersteps, this sandbox): df 2.4–3.1 s/superstep vs csr
+4.0–5.2 s — the Arrow round-trip per superstep never pays for itself while
+the JVM sum is already map-side combined, at any scale we can reach locally.
+``csr`` stays available behind the flag as the escape hatch for environments
+where Python-side fusion of extra per-edge work (e.g. weighted variants
+computed in NumPy) outweighs the Arrow cost; it is not the default path.
 
 The heavy relation (adjacency) is shuffled/bucketed **once**; supersteps
 shuffle only the rank table. Each superstep's ranks are checkpointed to

@@ -161,6 +161,46 @@ def srp_bucket_sql(vec_expr: str, n_planes: int = 8, seed: int = 42, dim: int = 
     return "(" + " + ".join(terms) + ")"
 
 
+def cosine_near_pairs(
+    corpus: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = 4,
+    seed: int = 42,
+    dim: int = 64,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs — the dedup-by-embedding op of a
+    training-data pipeline: SRP-bucketed self-join (each vector is compared
+    only within its hyperplane bucket — the candidate set shrinks ~2^n_planes
+    fold vs all-pairs), then the exact cosine threshold decides.
+
+    Approximate by construction (a near pair split by a hyperplane is
+    missed); recall is measured in tests/test_pipeline_ops.py against the
+    all-pairs exact set, and the SQL oracle twin reproduces the *same*
+    buckets, so the result is exactly checkable despite being approximate.
+    """
+    cb = corpus.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("v"),
+    ).withColumn("bucket", srp_bucket(F.col("v"), n_planes, seed, dim))
+    a = cb.select("bucket", F.col("id").alias("a"), F.col("v").alias("va"))
+    b = cb.select("bucket", F.col("id").alias("b"), F.col("v").alias("vb"))
+    sim = (
+        a.join(b, "bucket")
+        .filter(F.col("a") < F.col("b"))
+        .select(
+            "a",
+            "b",
+            (
+                _dot(F.col("va"), F.col("vb"))
+                / (F.sqrt(_dot(F.col("va"), F.col("va"))) * F.sqrt(_dot(F.col("vb"), F.col("vb"))))
+            ).alias("sim"),
+        )
+    )
+    return sim.filter(F.col("sim") >= threshold).select("a", "b", F.round("sim", 6).alias("sim"))
+
+
 def cosine_topk_lsh(
     corpus: DataFrame,
     queries: DataFrame,
@@ -170,10 +210,18 @@ def cosine_topk_lsh(
     n_planes: int = 8,
     seed: int = 42,
     dim: int = 64,
+    multi_probe: int = 0,
 ) -> DataFrame:
     """Approximate top-k: SRP-bucketed join — each query only scans its own
-    hyperplane bucket. Recall grows with fewer planes / multi-probe; the
-    bucket join replaces the cross join, which is the 100 TB story."""
+    hyperplane bucket. The bucket join replaces the cross join, which is the
+    100 TB story.
+
+    ``multi_probe``: additionally probe the buckets reachable by flipping
+    each of the first ``multi_probe`` hyperplane signs of the query bucket
+    (the standard multi-probe LSH recall/cost dial: probing all ``n_planes``
+    single-flip neighbors covers every candidate whose SRP signature differs
+    in one plane — the most likely near-miss for nearby vectors). Probe cost
+    grows linearly; only the (small) query side is exploded."""
     cb = corpus.select(
         F.col(id_col).alias("nbr"),
         F.col(vec_col).cast("array<double>").alias("cv"),
@@ -182,7 +230,17 @@ def cosine_topk_lsh(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).cast("array<double>").alias("qv"),
     ).withColumn("bucket", srp_bucket(F.col("qv"), n_planes, seed, dim))
-    sim = qb.join(cb, "bucket").filter(F.col("query_id") != F.col("nbr")).select(
+    if multi_probe > 0:
+        probes = F.array(
+            F.col("bucket"),
+            *[F.col("bucket").bitwiseXOR(F.lit(1 << p)) for p in range(min(multi_probe, n_planes))],
+        )
+        qb = qb.withColumn("bucket", F.explode(probes))
+    join = qb.join(cb, "bucket").filter(F.col("query_id") != F.col("nbr"))
+    if multi_probe > 0:
+        # a candidate can be reached through several probes — dedup before ranking
+        join = join.dropDuplicates(["query_id", "nbr"])
+    sim = join.select(
         "query_id",
         "nbr",
         (

@@ -77,6 +77,34 @@ def test_component_sizes(spark):
     assert sizes == {0: 5, 5: 3}
 
 
+def test_component_edges_covers_both_endpoint_roles(spark):
+    """component_edges semi-joins on src only; that is complete because both
+    endpoints of an intra-component edge share the component by definition.
+    This pins that reasoning: a component whose member appears only as dst of
+    some edges must still see every one of its edges."""
+    from elektra_spark.operators.cc import component_edges
+
+    pairs = [(0, 5), (1, 5), (2, 5), (0, 1), (7, 8)]  # 5 only ever a dst
+    edges = edges_from_pairs(spark, pairs)
+    labels = connected_components(edges)
+    got = sorted((r["src"], r["dst"]) for r in component_edges(labels, edges, 0).collect())
+    assert got == sorted([(0, 5), (1, 5), (2, 5), (0, 1)])
+    got2 = sorted((r["src"], r["dst"]) for r in component_edges(labels, edges, 7).collect())
+    assert got2 == [(7, 8)]
+
+
+def test_cc_pre_partitioned_matches_shuffled(spark):
+    """pre_partitioned=True must be correct under ANY input partitioning —
+    the quotient absorbs cross-partition structure; clustering only changes
+    the quotient size."""
+    rng = random.Random(5)
+    n = 150
+    pairs = list({(min(a, b), max(a, b)) for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(120)) if a != b})
+    edges = edges_from_pairs(spark, pairs).repartition(7)  # adversarial layout
+    got = _labels_dict(connected_components(edges, kernel="csr", pre_partitioned=True))
+    assert got == cc_oracle(pairs)
+
+
 def test_cc_transcript_graph(spark):
     """CC on the derived transcript link graph vs oracle (both kernels agree)."""
     from elektra_spark.ingest.edges import derive_graph

@@ -166,6 +166,66 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.5, recall  # clustered near-dups share SRP buckets
 
 
+def test_ann_lsh_multi_probe_improves_recall(spark):
+    """recall@k measured against the brute-force exact path: multi-probe must
+    dominate single-probe, and single-probe must clear a floor on the
+    clustered fixture."""
+    import numpy as np
+
+    from elektra_spark.sim.ann import cosine_topk_lsh, cosine_topk_sql_style
+
+    rng = np.random.RandomState(3)
+    base = rng.randn(16, 16)
+    rows, vid = [], 0
+    for b in range(16):
+        for _ in range(5):
+            rows.append((vid, [float(x) for x in base[b] + 0.05 * rng.randn(16)]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    queries = corpus.filter(F.col("vec_id") % 20 == 0)
+    exact = {(r["query_id"], r["nbr"]) for r in cosine_topk_sql_style(corpus, queries, k=3).collect()}
+
+    def recall(multi_probe):
+        approx = {
+            (r["query_id"], r["nbr"])
+            for r in cosine_topk_lsh(
+                corpus, queries, k=3, n_planes=6, dim=16, multi_probe=multi_probe
+            ).collect()
+        }
+        return len(exact & approx) / len(exact)
+
+    r0, r6 = recall(0), recall(6)
+    assert r0 >= 0.4, r0
+    assert r6 >= r0, (r0, r6)
+    assert r6 >= 0.7, r6
+
+
+def test_cosine_near_pairs_recall_vs_allpairs(spark):
+    """Embedding near-dup dedup: the SRP-bucketed pair set must be a subset of
+    the all-pairs exact set above threshold, with bounded recall loss on a
+    clustered fixture."""
+    import numpy as np
+
+    from elektra_spark.sim.ann import cosine_near_pairs
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(10, 16)
+    rows, vid = [], 0
+    for b in range(10):
+        for _ in range(6):
+            rows.append((vid, [float(x) for x in base[b] + 0.08 * rng.randn(16)]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {(r["a"], r["b"]) for r in cosine_near_pairs(corpus, 0.9, n_planes=3, dim=16).collect()}
+    # exact all-pairs oracle
+    vecs = np.array([r[1] for r in rows])
+    nrm = vecs / np.linalg.norm(vecs, axis=1, keepdims=True)
+    sims = nrm @ nrm.T
+    exact = {(i, j) for i in range(60) for j in range(i + 1, 60) if sims[i, j] >= 0.9}
+    assert got <= exact  # no false positives: threshold is exact
+    assert len(got) / len(exact) >= 0.5, (len(got), len(exact))
+
+
 def test_multimodal_feature_plumbing(spark):
     from elektra_spark.multimodal.binary import FEATURE_DIM, decode_stub, extract_features, synth_media
 

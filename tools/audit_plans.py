@@ -110,6 +110,39 @@ def main():
     checks = [f"WholeStageCodegen spans: {spans}" if spans >= 3 else f"FAIL: codegen spans {spans}"]
     sections.append(("Degree-ordered triangle count", p, checks))
 
+    # 5. derive_graph offsets: hierarchical prefix sum — no single-partition window
+    from pyspark.sql import Window
+
+    from elektra_spark.ingest.transcripts import synth_transcripts
+
+    t = synth_transcripts(spark, 500, seed=42)
+    conv_len = t.groupBy("conv_id").agg((F.max("turn_idx") + 1).alias("conv_len"))
+    ranged = conv_len.repartitionByRange(8, "conv_id").withColumn("pid", F.spark_partition_id())
+    w = Window.partitionBy("pid").orderBy("conv_id").rowsBetween(Window.unboundedPreceding, -1)
+    local = ranged.withColumn("local_off", F.coalesce(F.sum("conv_len").over(w), F.lit(0)))
+    p = fmt(local)
+    checks = [
+        "window partitioned by pid (parallel running sums)"
+        if "Exchange SinglePartition" not in p
+        else "FAIL: single-partition exchange in the offset window",
+        "range partitioning on conv_id feeds the window"
+        if "rangepartitioning(conv_id" in p
+        else "note: range exchange not visible in plan",
+    ]
+    sections.append(("derive_graph conversation-offset prefix sum (two-level)", p, checks))
+
+    # 6. full edge derivation: no single-partition exchange anywhere
+    from elektra_spark.ingest.edges import derive_graph
+
+    g = derive_graph(t)
+    p = fmt(g.edges)
+    checks = [
+        "edge derivation plan free of Exchange SinglePartition"
+        if "Exchange SinglePartition" not in p
+        else "FAIL: single-partition exchange in edge derivation",
+    ]
+    sections.append(("Transcript edge derivation (end-to-end)", p, checks))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (generated by tools/audit_plans.py)\n")
         f.write("\nProperties asserted for 100 TB readiness; regenerate after planner-affecting changes.\n")
