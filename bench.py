@@ -41,7 +41,7 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE = "/tmp/elektra_bench"
 SCALING_CONVS = 200_000  # ≈4M turns/edges: supersteps compute-dominated
 SCALING_ITERS = 8
-SCALING_REPEATS = 1
+SCALING_REPEATS = 2  # min over repeats filters environmental stalls
 SCALING_PAIR = (1, 4)  # N and 4N cores (see module docstring)
 
 

@@ -99,13 +99,17 @@ def main():
               else f"FAIL: only {nb} broadcast joins"]
     sections.append(("Star-join revenue aggregate", p, checks))
 
-    # 4. triangle wedge join codegen
+    # 4. triangle wedge join codegen — audit with AQE off: the adaptive plan
+    # prints AdaptiveSparkPlan isFinalPlan=false without codegen ids (the
+    # runtime plan still codegens; this is an explain artifact)
     from elektra_spark.operators.triangles import triangle_count
 
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
     e = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
         F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
     ).dropDuplicates(["src", "dst"])
     p = fmt(triangle_count(e))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
     spans = len(set(re.findall(r"codegen id : (\d+)", p)))
     checks = [f"WholeStageCodegen spans: {spans}" if spans >= 3 else f"FAIL: codegen spans {spans}"]
     sections.append(("Degree-ordered triangle count", p, checks))
