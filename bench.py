@@ -41,7 +41,9 @@ CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE = "/tmp/elektra_bench"
 SCALING_CONVS = 200_000  # ≈4M turns/edges: supersteps compute-dominated
 SCALING_ITERS = 8
-SCALING_REPEATS = 2  # min over repeats filters environmental stalls
+SCALING_REPEATS = 3  # min over repeats filters environmental stalls (this
+# sandbox intermittently stalls whole runs — e.g. one observed CC run of 102s
+# against a 12.6s neighbor on identical input)
 SCALING_PAIR = (1, 4)  # N and 4N cores (see module docstring)
 
 

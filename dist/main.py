@@ -18,7 +18,6 @@ state catalog. Mirrors the reference's benchmark CLI surface
 from __future__ import annotations
 
 import argparse
-import sys
 import time
 
 
