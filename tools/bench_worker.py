@@ -1,8 +1,9 @@
 """Subprocess worker for bench.py: one clean JVM per invocation.
 
-Usage: python tools/bench_worker.py <master_cores> <edges_parquet> <n_iter> <out_json>
-Runs PageRank (df kernel) for n_iter supersteps and CC (csr kernel) to
-fixpoint on the given edge table; writes per-superstep timings as JSON.
+Usage: python tools/bench_worker.py <master_cores> <edges_parquet> <n_iter> <out_json> [mode]
+mode: pr | cc | both (default both). Runs PageRank (df kernel) for n_iter
+supersteps and/or CC (csr kernel) to fixpoint on the given edge table;
+writes per-superstep timings as JSON.
 """
 
 from __future__ import annotations
@@ -17,6 +18,7 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 def main():
     cores, edges_path, n_iter, out_path = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
+    mode = sys.argv[5] if len(sys.argv) > 5 else "both"
     os.environ["SPARK_GRAFT_CPUS"] = cores
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
 
@@ -42,9 +44,11 @@ def main():
     n_edges = edges.count()
 
     steps: list[float] = []
-    t0 = time.time()
-    pagerank(edges, n_iter=n_iter, kernel="df", on_superstep=lambda s, c, t: steps.append(t)).count()
-    pr_total = time.time() - t0
+    pr_total = 0.0
+    if mode in ("pr", "both"):
+        t0 = time.time()
+        pagerank(edges, n_iter=n_iter, kernel="df", on_superstep=lambda s, c, t: steps.append(t)).count()
+        pr_total = time.time() - t0
 
     # CC measured three times; all runs reported, min taken. Run 0 pays the
     # one-time Python worker warm-up (this sandbox faults fresh pages at
@@ -55,14 +59,17 @@ def main():
     # label table is the operator's work; the n_components distinct is a
     # separate (untimed) consumer query.
     cc_runs: list[float] = []
-    labels = None
-    for _ in range(3):
-        t0 = time.time()
-        labels = connected_components(edges, kernel="csr", pre_partitioned=True)
-        labels.count()
-        cc_runs.append(time.time() - t0)
-    cc_total = min(cc_runs)
-    n_comp = labels.select("component").distinct().count()
+    cc_total = 0.0
+    n_comp = 0
+    if mode in ("cc", "both"):
+        labels = None
+        for _ in range(3):
+            t0 = time.time()
+            labels = connected_components(edges, kernel="csr", pre_partitioned=True)
+            labels.count()
+            cc_runs.append(time.time() - t0)
+        cc_total = min(cc_runs)
+        n_comp = labels.select("component").distinct().count()
 
     with open(out_path, "w") as f:
         json.dump(
