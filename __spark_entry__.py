@@ -153,6 +153,121 @@ def q_cc_doc_lang_chain(spark, sf_dir):
     return connected_components(edges, vertices=vertices)
 
 
+def q_dynamic_orders(spark, sf_dir):
+    """Batch-dynamic scenario — the reference's public API end to end
+    (``BatchAddEdges``/``BatchDeleteEdges``, elektra
+    dynamic_connectivity.h:44-110,169-377), mirroring its insert → delete →
+    re-query differential harness
+    (test/reference_tests/reference_connectivity.hpp:90-161): build the
+    customer-order graph, insert deterministic order-chain edges (components
+    merge), delete the original customer-order tree edges of every 13th order
+    (components split), emit the final (vid, component) labels. The DuckDB
+    twin recomputes CC over the post-update edge set with the pruned
+    recursive CTE, so the MERGE + incremental-relabel path is hash-checked."""
+    import shutil
+    import tempfile
+
+    from elektra_spark.dynamic.updates import DynamicGraph
+    from elektra_spark.tables import SnapshotCatalog
+
+    edges, vertices = _customer_order_graph(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    wh = os.path.join(tempfile.gettempdir(), f"elektra_dynamic_orders_{tag}")
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = SnapshotCatalog(spark, wh)
+    g = DynamicGraph.create(cat, edges, vertices=vertices)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o"), F.col("o_custkey").cast("long").alias("c")
+    )
+    o2 = orders.select(F.col("o").alias("o_next"))
+    adds = (
+        orders.filter(F.col("o") % 100 == 0)
+        .join(o2, F.col("o") + 1 == F.col("o_next"))
+        .select(
+            (F.lit(ORDER_VID_OFFSET) + F.col("o")).alias("src"),
+            (F.lit(ORDER_VID_OFFSET) + F.col("o_next")).alias("dst"),
+        )
+    )
+    dels = orders.filter(F.col("o") % 13 == 0).select(
+        F.col("c").alias("src"), (F.lit(ORDER_VID_OFFSET) + F.col("o")).alias("dst")
+    )
+    g.batch_add_edges(adds)
+    g.batch_delete_edges(dels)
+    return g.labels()
+
+
+def q_component_vertices_orders(spark, sf_dir):
+    """``ComponentVertices`` (elektra euler_tour_tree.h:565-587): enumerate the
+    members of customer 1's component (component id = min vid = 1)."""
+    from elektra_spark.operators.cc import component_vertices, connected_components
+
+    edges, vertices = _customer_order_graph(spark, sf_dir)
+    labels = connected_components(edges, vertices=vertices)
+    return component_vertices(labels, 1)
+
+
+def q_component_edges_orders(spark, sf_dir):
+    """``ComponentEdges`` (elektra euler_tour_tree.h:589-592): the edge slice
+    of customer 1's component."""
+    from elektra_spark.operators.cc import component_edges, connected_components
+
+    edges, vertices = _customer_order_graph(spark, sf_dir)
+    labels = connected_components(edges, vertices=vertices)
+    return component_edges(labels, edges, 1)
+
+
+def q_transcript_levels(spark, sf_dir):
+    """HDT level-metadata surface (SURVEY.md §2 rows 5/25: ``with_levels`` +
+    ``PushDownTreeEdgesFromComponents``, elektra dynamic_connectivity.h:112-131,
+    hdt_euler_tour_tree.h:141-167): tag the transcript edge table with
+    (level, is_tree), run one tree push-down round at the top level, and emit
+    per-(component, level, is_tree) edge counts. The per-component tree count
+    equals size−1 (the CheckRep forest invariant) and the push-down predicate
+    depends only on the component-size cap 2^(top−1), so the post-round level
+    histogram is fully SQL-checkable without fixing which edges the forest
+    picked."""
+    from elektra_spark.dynamic.levels import (
+        max_level,
+        push_down_tree_edges_from_components,
+        with_levels,
+    )
+    from elektra_spark.operators.cc import connected_components
+    from elektra_spark.operators.forest import spanning_forest
+
+    g = _transcript_graph(spark)
+    n = g.vertices.count()
+    labels = connected_components(g.edges, vertices=g.vertices)
+    forest = spanning_forest(g.edges)
+    lvl = with_levels(g.edges, forest, n)
+    pushed = push_down_tree_edges_from_components(lvl, labels, max_level(n))
+    edge_comp = pushed.join(labels.withColumnRenamed("vid", "src"), "src")
+    return edge_comp.groupBy("component", "level", "is_tree").agg(F.count("*").alias("n_edges"))
+
+
+def q_simhash_near_pairs_docs(spark, sf_dir):
+    """Hamming near-duplicate pairs over the 64-bit simhash — the op a dedup
+    pipeline actually runs (banded band-equality join + exact bit_count(xor)
+    distance, pigeonhole-complete for distance ≤ 3)."""
+    from elektra_spark.dedup.simhash import hamming_near_pairs, simhash
+
+    fps = simhash(_t(spark, sf_dir, "documents"))
+    return hamming_near_pairs(fps, max_distance=3).select(
+        "a", "b", F.col("distance").cast("long").alias("distance")
+    )
+
+
+def q_ann_lsh_multiprobe_docs(spark, sf_dir):
+    """The multi-probe recall dial of the LSH ANN path (flip the first two
+    hyperplane signs of each query bucket), pinned by an oracle that
+    reproduces the identical probe set."""
+    from elektra_spark.sim.ann import cosine_topk_lsh
+
+    emb = _t(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 3)
+    return cosine_topk_lsh(emb, queries, k=5, multi_probe=2)
+
+
 def q_triangles_copurchase(spark, sf_dir):
     from elektra_spark.operators.triangles import triangle_count
 
@@ -440,10 +555,10 @@ def _transcript_tables_sql(n_conversations: int) -> str:
                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS vid_offset
           FROM cl),
   turns AS (SELECT t.conv_id, t.turn_idx, t.tool,
-                   off.vid_offset + t.turn_idx AS vid, off.conv_len
+                   (off.vid_offset + t.turn_idx)::BIGINT AS vid, off.conv_len
             FROM t JOIN off USING (conv_id)),
   nt AS (SELECT sum(conv_len) AS n_turns FROM cl),
-  tool_v AS (SELECT (SELECT n_turns FROM nt) + row_number() OVER (ORDER BY tool) - 1 AS vid, tool
+  tool_v AS (SELECT ((SELECT n_turns FROM nt) + row_number() OVER (ORDER BY tool) - 1)::BIGINT AS vid, tool
              FROM (SELECT DISTINCT tool FROM t WHERE tool IS NOT NULL)),
   e0 AS (SELECT vid AS src, vid + 1 AS dst FROM turns WHERE turn_idx < conv_len - 1
          UNION ALL
@@ -485,6 +600,84 @@ def _transcript_forest_sql() -> str:
   SELECT component, count(*) AS size, count(*) - 1 AS n_forest_edges
   FROM cc GROUP BY component"""
     )
+
+
+def _transcript_levels_sql() -> str:
+    """Twin of q_transcript_levels: CC via the pruned recursive CTE, then the
+    post-push-down level histogram derived from component sizes alone —
+    tree edges per component = size − 1 (forest invariant), push-down iff
+    size ≤ 2^(top−1), non-tree remainder stays at top."""
+    return (
+        "WITH RECURSIVE "
+        + _transcript_tables_sql(300).lstrip()
+        + _TRANSCRIPT_CC_RECURSIVE
+        + """,
+  sz AS (SELECT component, count(*) AS s FROM cc GROUP BY component),
+  ec AS (SELECT cc.component, count(*) AS m
+         FROM edges JOIN cc ON edges.src = cc.vid GROUP BY cc.component),
+  lv AS (SELECT greatest(1, ceil(log2(greatest(2, count(*)))))::INTEGER AS top FROM verts)
+  SELECT ec.component,
+         (CASE WHEN sz.s <= (1::BIGINT << (lv.top - 1)) THEN lv.top - 1 ELSE lv.top END)::INTEGER AS level,
+         TRUE AS is_tree,
+         (sz.s - 1)::BIGINT AS n_edges
+  FROM ec JOIN sz USING (component) CROSS JOIN lv
+  WHERE sz.s > 1
+  UNION ALL
+  SELECT ec.component, lv.top AS level, FALSE AS is_tree,
+         (ec.m - (sz.s - 1))::BIGINT AS n_edges
+  FROM ec JOIN sz USING (component) CROSS JOIN lv
+  WHERE ec.m - (sz.s - 1) > 0"""
+    )
+
+
+def _dynamic_orders_sql() -> str:
+    """Twin of q_dynamic_orders: assemble the post-update edge set in SQL
+    (original customer-order edges minus every-13th-order deletions, plus the
+    order-chain insertions) and solve min-vid CC with the pruned recursive
+    CTE — connectivity of the final edge set is op-order independent, so the
+    twin needs no MERGE replay."""
+    return (
+        f"""WITH RECURSIVE
+  e0 AS (SELECT o_custkey::BIGINT AS src, ({ORDER_VID_OFFSET} + o_orderkey)::BIGINT AS dst,
+                o_orderkey AS o FROM orders),
+  adds AS (SELECT ({ORDER_VID_OFFSET} + o1.o_orderkey)::BIGINT AS src,
+                  ({ORDER_VID_OFFSET} + o2.o_orderkey)::BIGINT AS dst
+           FROM orders o1 JOIN orders o2 ON o2.o_orderkey = o1.o_orderkey + 1
+           WHERE o1.o_orderkey % 100 = 0),
+  edges AS MATERIALIZED (SELECT src, dst FROM e0 WHERE o % 13 <> 0
+           UNION SELECT src, dst FROM adds),
+  verts AS MATERIALIZED (SELECT c_custkey::BIGINT AS vid FROM customer
+           UNION ALL SELECT ({ORDER_VID_OFFSET} + o_orderkey)::BIGINT FROM orders),
+  b AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)"""
+        + _TRANSCRIPT_CC_RECURSIVE
+        + "\n  SELECT vid, component FROM cc"
+    )
+
+
+def _simhash_near_pairs_sql(max_distance: int = 3) -> str:
+    """Twin of q_simhash_near_pairs_docs: same simhash bands (generated from
+    the same bit layout), band self-join, exact Hamming via bit_count(xor)."""
+    from elektra_spark.dedup.simhash import N_BANDS, simhash_sql
+
+    band_union = "\n    UNION ALL\n    ".join(
+        f"SELECT doc_id AS id, {i} AS bi, b{i} AS band FROM sig" for i in range(N_BANDS)
+    )
+    dist = " + ".join(f"bit_count(xor(sa.b{i}, sb.b{i}))" for i in range(N_BANDS))
+    return f"""
+  WITH sig AS ({simhash_sql("documents")}),
+  banded AS (
+    {band_union}
+  ),
+  cand AS (
+    SELECT DISTINCT a.id AS a, b.id AS b
+    FROM banded a JOIN banded b ON a.bi = b.bi AND a.band = b.band AND a.id < b.id
+  ),
+  d AS (
+    SELECT cand.a, cand.b, ({dist})::BIGINT AS distance
+    FROM cand JOIN sig sa ON sa.doc_id = cand.a JOIN sig sb ON sb.doc_id = cand.b
+  )
+  SELECT a, b, distance FROM d WHERE distance <= {max_distance}
+  """
 
 
 def _transcript_pagerank_sql() -> str:
@@ -554,20 +747,34 @@ def _near_duplicates_sql(n_hashes: int = 8, bands: int = 4, max_bucket: int = 10
   """
 
 
-def _ann_lsh_sql(k: int = 5) -> str:
+def _ann_lsh_sql(k: int = 5, multi_probe: int = 0) -> str:
+    """Twin of cosine_topk_lsh: identical SRP buckets; with ``multi_probe`` the
+    query probes the buckets reached by flipping the first ``multi_probe``
+    hyperplane signs (sim/ann.py:233-242), candidates deduped before ranking."""
     from elektra_spark.sim.ann import srp_bucket_sql
 
     srp_c = srp_bucket_sql("cv")
     srp_q = srp_bucket_sql("qv")
+    if multi_probe > 0:
+        probes = ", ".join(["bucket"] + [f"xor(bucket, {1 << p})" for p in range(multi_probe)])
+        qb = f"""qb0 AS (SELECT query_id, qv, {srp_q} AS bucket FROM q),
+  qb AS (SELECT query_id, qv, unnest([{probes}]) AS bucket FROM qb0),
+  cand AS (SELECT DISTINCT query_id, nbr FROM qb JOIN cb USING (bucket) WHERE query_id <> nbr),
+  s AS (SELECT query_id, nbr,
+               list_inner_product(qv, cv)
+                 / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim
+        FROM cand JOIN q USING (query_id) JOIN c USING (nbr))"""
+    else:
+        qb = f"""qb AS (SELECT query_id, qv, {srp_q} AS bucket FROM q),
+  s AS (SELECT query_id, nbr,
+               list_inner_product(qv, cv)
+                 / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim
+        FROM qb JOIN cb USING (bucket) WHERE query_id <> nbr)"""
     return f"""
   WITH c AS (SELECT vec_id AS nbr, embedding::DOUBLE[] AS cv FROM embeddings),
   cb AS (SELECT nbr, cv, {srp_c} AS bucket FROM c),
   q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 3),
-  qb AS (SELECT query_id, qv, {srp_q} AS bucket FROM q),
-  s AS (SELECT query_id, nbr,
-               list_inner_product(qv, cv)
-                 / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))) AS sim
-        FROM qb JOIN cb USING (bucket) WHERE query_id <> nbr),
+  {qb},
   r AS (SELECT query_id, nbr, sim,
                row_number() OVER (PARTITION BY query_id ORDER BY sim DESC, nbr ASC) AS rank
         FROM s)
@@ -736,6 +943,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_doc_lang_chain": q_cc_doc_lang_chain,
         "triangles_copurchase": q_triangles_copurchase,
         "degree_histogram_parts": q_degree_histogram_parts,
+        # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
+        "dynamic_orders": q_dynamic_orders,
+        "component_vertices_orders": q_component_vertices_orders,
+        "component_edges_orders": q_component_edges_orders,
+        "transcript_levels": q_transcript_levels,
         # transcripts engine surface (fixture-backed, DuckDB-twinned)
         "transcript_cc": q_transcript_cc,
         "transcript_pagerank": q_transcript_pagerank,
@@ -746,12 +958,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_docs": q_minhash_docs,
         "minhash_candidates_docs": q_minhash_candidates_docs,
         "simhash_docs": q_simhash_docs,
+        "simhash_near_pairs_docs": q_simhash_near_pairs_docs,
         "near_duplicates_docs": q_near_duplicates_docs,
         "text_profile_docs": q_text_profile_docs,
         "lang_stats_docs": q_lang_stats_docs,
         "ann_topk_docs": q_ann_topk_docs,
         "ann_topk_brute_docs": q_ann_topk_brute_docs,
         "ann_lsh_docs": q_ann_lsh_docs,
+        "ann_lsh_multiprobe_docs": q_ann_lsh_multiprobe_docs,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_stats": q_embedding_stats,
         "multimodal_features": q_multimodal_features,
@@ -800,21 +1014,34 @@ def oracle_sql() -> dict[str, str]:
         "minhash_docs": _minhash_sql(4),
         "minhash_candidates_docs": _minhash_candidates_sql(),
         "simhash_docs": simhash_sql("documents"),
+        "simhash_near_pairs_docs": _simhash_near_pairs_sql(),
         "text_profile_docs": _text_profile_sql(),
         "transcript_cc": _transcript_cc_sql(),
         "transcript_pagerank": _transcript_pagerank_sql(),
         "transcript_forest": _transcript_forest_sql(),
+        "transcript_levels": _transcript_levels_sql(),
+        "dynamic_orders": _dynamic_orders_sql(),
+        "component_vertices_orders": f"""
+  SELECT 1::BIGINT AS vid
+  UNION ALL
+  SELECT ({ORDER_VID_OFFSET} + o_orderkey)::BIGINT AS vid FROM orders WHERE o_custkey = 1
+  """,
+        "component_edges_orders": f"""
+  SELECT o_custkey::BIGINT AS src, ({ORDER_VID_OFFSET} + o_orderkey)::BIGINT AS dst
+  FROM orders WHERE o_custkey = 1
+  """,
         "transcript_text_roundtrip": _transcript_roundtrip_sql(),
         "near_duplicates_docs": _near_duplicates_sql(),
         "ann_lsh_docs": _ann_lsh_sql(),
+        "ann_lsh_multiprobe_docs": _ann_lsh_sql(multi_probe=2),
         "ann_topk_brute_docs": _ann_topk_brute_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "multimodal_features": _multimodal_sql(),
         "lang_stats_docs": """
   SELECT lang, count(*) AS n_docs,
          round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,
-         sum(n_chars) AS total_chars,
-         sum(len(string_split(text, ' '))) AS total_tokens
+         sum(n_chars)::BIGINT AS total_chars,
+         sum(len(string_split(text, ' ')))::BIGINT AS total_tokens
   FROM documents GROUP BY lang
   """,
         "ann_topk_docs": """

@@ -41,9 +41,14 @@ def _solve_contracted_driver(pdf: pd.DataFrame):
     """Driver-side solve of the contracted batch (sequential-fallback trade,
     elektra euler_tour_tree.h:279) — both steps vectorized NumPy:
 
-    - winners: Boruvka over the contracted multigraph with deterministic
-      (src, dst) lexicographic weights — the ``unite`` winner contract
-      (union_find.h:277-324);
+    - winners: Boruvka over the contracted multigraph on the **(cu, cv)
+      component labels**, with the batch pre-sorted by (src, dst) so positional
+      tie-breaks are deterministic given the batch content. Like the
+      reference's concurrent ``unite`` (union_find.h:277-324), *which* edge
+      wins a merge is an implementation choice — any winner set is a valid
+      spanning forest of the contracted graph (the CheckRep MST invariant is
+      what's contractual, connectivity.h:216-265) — but unlike a CAS race the
+      choice here is reproducible run-to-run;
     - mapping: min-label fixpoint over the touched component quotient.
 
     Returns (mapping rows [(component, new_component)], winner rows

@@ -297,6 +297,7 @@ def connected_components(
     on_superstep: SuperstepHook | None = None,
     driver_uf_threshold: int = 5_000_000,
     pre_partitioned: bool = False,
+    on_phase: Callable[[str, float], Any] | None = None,
 ) -> DataFrame:
     """Connected components → (vid, component) with component = min vid.
 
@@ -318,12 +319,22 @@ def connected_components(
     shuffle; the kernel is correct under *any* partitioning (the quotient
     absorbs cross-partition structure), clustering only keeps the quotient
     small.
+
+    ``on_phase(name, seconds)``: observability hook for the csr kernel's three
+    eager phases (``collapse_agg`` = local union-find + seed aggregation,
+    ``quotient_probe`` = links collect, ``quotient_solve`` = driver UF or
+    distributed fixpoint); the final label resolve is lazy and lands in the
+    caller's action.
     """
     spark = edges.sparkSession
     if checkpoint is None:
         checkpoint = EphemeralCheckpointer()
     if kernel == "auto":
         kernel = "csr"
+
+    def _ph(name: str, t0: float) -> None:
+        if on_phase is not None:
+            on_phase(name, time.time() - t0)
 
     if kernel == "csr":
         parts = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
@@ -342,17 +353,22 @@ def connected_components(
         agg = pairs.groupBy("vid").agg(
             F.min("comp").alias("label"), F.collect_set("comp").alias("comps")
         )
+        t0 = time.time()
         agg = checkpoint(
             agg.select("vid", "label", F.filter("comps", lambda c: c != F.col("label")).alias("others")),
             -2,
         )
+        _ph("collapse_agg", t0)
         links = (
             agg.filter(F.size("others") > 0)
             .select(F.explode("others").alias("src"), F.col("label").alias("dst"))
             .dropDuplicates(["src", "dst"])
         )
         # one job decides the path AND collects the quotient when small
+        t0 = time.time()
         head = links.limit(driver_uf_threshold + 1).toPandas()
+        _ph("quotient_probe", t0)
+        t0 = time.time()
         resolve = None
         if len(head) == 0:
             resolve = None  # every seed is already the component min
@@ -374,6 +390,7 @@ def connected_components(
             resolve = root_map.filter(F.col("vid") != F.col("label")).select(
                 F.col("vid").alias("label"), F.col("label").alias("root")
             )
+        _ph("quotient_solve", t0)
         # resolve each vertex's seed through the root mapping
         if resolve is None:
             labels = agg.select("vid", "label")

@@ -83,12 +83,15 @@ def pagerank(
     engine and oracle execute the identical schedule.
 
     Superstep plan shape (df kernel): the adjacency is hash-repartitioned by
-    ``src`` **once** and cached; the rank table arrives co-partitioned on the
-    join key from the previous round's aggregation, so the join needs **no
-    exchange on either side** (shuffled-hash-join hint avoids re-sorting the
-    big side every round). Vertex base ranks are unioned *into* the
-    aggregation instead of outer-joined after it, leaving exactly **one
-    shuffle per superstep** — the map-side-combined ``groupBy(dst)``.
+    ``src`` **once** and cached; the cached scan advertises that partitioning,
+    so the per-superstep join re-exchanges **only the rank side** (the rank
+    table round-trips through the parquet checkpoint each superstep — the
+    lineage-truncation/resumability commit — which discards its partitioning;
+    the shuffled-hash-join hint keeps the big cached side from being re-sorted
+    every round). Vertex base ranks are unioned *into* the aggregation instead
+    of outer-joined after it. Net per superstep: one small exchange of the
+    rank relation into the join plus the map-side-combined ``groupBy(dst)``
+    shuffle; the heavy adjacency never moves again.
 
     ``init_ranks``/``start_step`` support mid-run resume from a checkpoint.
     """

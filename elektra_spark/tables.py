@@ -112,8 +112,23 @@ class SnapshotCatalog:
         manifest references the previous snapshot's file set plus the delta
         (like Iceberg fast-append). Per-superstep lineage/metrics appends are
         therefore O(delta), not O(table) — a checkpointed run with S
-        supersteps writes S deltas instead of S full copies."""
+        supersteps writes S deltas instead of S full copies.
+
+        The delta's schema must match the table's: a fast-append never rewrites
+        existing files, so a drifted column set would otherwise be silently
+        tolerated at read time (missing columns null-filled, extra columns
+        dropped) instead of failing loudly like a unionByName append."""
         if self.exists(name):
+            current_schema = self.read(name).schema
+            # compare (name, type) only: nullability legitimately differs
+            # between a freshly built delta and the parquet read-back
+            delta_sig = [(f.name, f.dataType) for f in df.schema.fields]
+            table_sig = [(f.name, f.dataType) for f in current_schema.fields]
+            if sorted(delta_sig, key=str) != sorted(table_sig, key=str):
+                raise ValueError(
+                    f"append schema mismatch for table {name!r}: "
+                    f"delta={df.schema.simpleString()} vs table={current_schema.simpleString()}"
+                )
             man = self._load_manifest(name)
             snap = next(s for s in man["snapshots"] if s["version"] == man["current"])
             base = snap.get("paths") or [snap["path"]]

@@ -32,6 +32,20 @@ def test_snapshot_catalog_basics(spark, tmp_path):
     ]
 
 
+def test_append_rejects_schema_drift(spark, tmp_path):
+    """Fast-append commits only delta files, so a drifted delta schema must be
+    rejected at commit time — silently null-filling missing columns at read
+    time is how a table rots."""
+    cat = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    cat.write("t", spark.createDataFrame([(1, 10)], "k long, v long"))
+    cat.append("t", spark.createDataFrame([(2, 20)], "k long, v long"))
+    assert cat.read("t").count() == 2
+    with pytest.raises(ValueError, match="schema mismatch"):
+        cat.append("t", spark.createDataFrame([(3,)], "k long"))
+    with pytest.raises(ValueError, match="schema mismatch"):
+        cat.append("t", spark.createDataFrame([(3, 30, 1)], "k long, v long, extra long"))
+
+
 def test_pagerank_resume_equals_uninterrupted(spark, tmp_path):
     """Kill-and-resume: 4 supersteps, 'crash', resume for 4 more — ranks are
     bit-identical to an uninterrupted 8-superstep run (same schedule)."""

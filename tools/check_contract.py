@@ -70,17 +70,28 @@ def main():
             print(f"{name}: rows-only, {len(srows)} rows, {dt:.1f}s", flush=True)
             continue
         try:
-            cur = con.sql(oracles[name])
-            ocols = [d[0] for d in cur.description]
-            orows = [tuple(r) for r in cur.fetchall()]
+            odf = con.sql(oracles[name]).df()
+            ocols = list(odf.columns)
+            orows = [tuple(r) for r in odf.itertuples(index=False, name=None)]
         except Exception as e:
             results[name] = f"ORACLE ERROR: {e}"
             print(f"{name}: ORACLE ERROR: {str(e)[:300]}", flush=True)
             continue
+        # the driver hashes pandas values column-sorted, so dtype families must
+        # match too (a DuckDB HUGEINT/DOUBLE where Spark emits BIGINT flips the
+        # hash even when every value compares equal)
+        sdtypes = {c: ("f" if t.startswith(("float", "double")) else "i" if t in ("bigint", "int", "smallint", "tinyint") else "o")
+                   for c, t in sdf.dtypes}
+        odtypes = {c: ("f" if str(t).startswith("float") else "i" if str(t).startswith(("int", "uint")) else "o")
+                   for c, t in odf.dtypes.items()}
+        type_mismatch = {c: (sdtypes.get(c), odtypes.get(c)) for c in sdtypes
+                         if c in odtypes and sdtypes[c] != odtypes[c]}
         sc, sr = norm_rows(scols, srows)
         oc, orr = norm_rows(ocols, orows)
         if sc != oc:
             results[name] = f"SCHEMA MISMATCH spark={sc} oracle={oc}"
+        elif type_mismatch:
+            results[name] = f"TYPE MISMATCH {type_mismatch} (spark vs oracle dtype family)"
         elif len(sr) != len(orr):
             results[name] = f"ROWCOUNT MISMATCH spark={len(sr)} oracle={len(orr)}"
         elif sr == orr:
