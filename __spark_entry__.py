@@ -402,6 +402,23 @@ def q_text_profile_docs(spark, sf_dir):
     return text_profile(_t(spark, sf_dir, "documents"))
 
 
+def q_token_stats_docs(spark, sf_dir):
+    """Token counting for pipeline budgeting: whitespace tokens plus the
+    BPE-ish subword estimate (GPT-2-style pre-tokenization + ceil(L/4)
+    letter-run subwords — elektra_spark.text.analysis.bpe_token_count)."""
+    from elektra_spark.text.analysis import bpe_token_count, token_count
+
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    bpe = bpe_token_count(t)
+    return docs.select(
+        "doc_id",
+        token_count(t).cast("long").alias("ws_tokens"),
+        bpe.alias("bpe_tokens"),
+        F.round(F.length(t) / F.greatest(bpe, F.lit(1)), 6).alias("chars_per_bpe_token"),
+    )
+
+
 def q_lang_stats_docs(spark, sf_dir):
     """Relational aggregate surface. avg is derived from exact integer
     sum/count (identical double division in both engines) instead of
@@ -901,6 +918,29 @@ def _text_profile_sql() -> str:
   """
 
 
+def _token_stats_sql() -> str:
+    """Twin of q_token_stats_docs, generated from the same regex/constants."""
+    from elektra_spark.text.analysis import BPE_CHARS_PER_SUBWORD, BPE_PIECE_RE
+
+    return f"""
+  WITH b AS (
+    SELECT doc_id, text,
+           coalesce(list_sum(list_transform(
+             regexp_extract_all(text, '{BPE_PIECE_RE}'),
+             p -> CASE WHEN regexp_matches(p, '^[A-Za-z]')
+                         THEN ceil(len(p) / {BPE_CHARS_PER_SUBWORD}.0)::BIGINT
+                       WHEN regexp_matches(p, '^[0-9]') THEN len(p)::BIGINT
+                       ELSE 1::BIGINT END)), 0)::BIGINT AS bpe_tokens
+    FROM documents
+  )
+  SELECT doc_id,
+         len(string_split(text, ' '))::BIGINT AS ws_tokens,
+         bpe_tokens,
+         round(length(text)::DOUBLE / greatest(bpe_tokens, 1), 6) AS chars_per_bpe_token
+  FROM b
+  """
+
+
 def _minhash_sql(n_hashes: int = 4) -> str:
     aggs = ", ".join(f"min(md5('{i}:' || tok)) AS h{i}" for i in range(n_hashes))
     return f"""
@@ -961,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs_docs": q_simhash_near_pairs_docs,
         "near_duplicates_docs": q_near_duplicates_docs,
         "text_profile_docs": q_text_profile_docs,
+        "token_stats_docs": q_token_stats_docs,
         "lang_stats_docs": q_lang_stats_docs,
         "ann_topk_docs": q_ann_topk_docs,
         "ann_topk_brute_docs": q_ann_topk_brute_docs,
@@ -1016,6 +1057,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_docs": simhash_sql("documents"),
         "simhash_near_pairs_docs": _simhash_near_pairs_sql(),
         "text_profile_docs": _text_profile_sql(),
+        "token_stats_docs": _token_stats_sql(),
         "transcript_cc": _transcript_cc_sql(),
         "transcript_pagerank": _transcript_pagerank_sql(),
         "transcript_forest": _transcript_forest_sql(),

@@ -3,11 +3,12 @@ the N→4N scaling-efficiency evidence; writes the full report to
 BENCH/BASELINE.md.
 
 Headline (at local[$SPARK_GRAFT_CPUS], input $SPARK_GRAFT_SF_DIR):
-  - PageRank 6 supersteps on the transcript link graph (df + csr kernels)
-  - CC convergence wall-time (two-level csr kernel)
+  - PageRank 6 supersteps on the transcript link graph (df kernel)
+  - CC convergence wall-time (two-level csr kernel) with per-phase breakdown
   - degree-ordered triangle count on the co-purchase graph
   - MinHash LSH candidate pairs + text profiling on documents
   - star-join revenue aggregate
+  - reference-parity insertion bench (email-Eu-core, 40% preload, batch 100)
 
 Scaling (BASELINE.md §3 protocol): the identical PageRank/CC job runs in
 fresh JVMs at N and 4N cores on byte-identical parquet input. This sandbox
@@ -17,17 +18,28 @@ root cause: fresh-page faults cost ~10 MB/s and the fault path hardly
 parallelizes), so N=1 → 4N=4 is the honest pair for the ≥0.8 efficiency gate
 — both levels sit inside the machine's real capacity, exactly as N and 4N
 executors would on a cluster. Shuffle partitions scale with cores (4×), as
-any real deployment sizes them. Each workload's scaling graph is sized so
-the measured phase dominates fixed costs (≈8.3M edges for the JVM PageRank
-superstep, ≈4.1M for the Python-kernel CC), stored **range-partitioned +
-sorted by src** (the engine's edge-table layout; on a cluster, the Iceberg
-sort order), with input splits pinned 1:1 to the range files so both
-parallelism levels execute the identical task set. Steady state is measured
-for both jobs — min steady superstep for PageRank, min of three CC runs —
+any real deployment sizes them. Both workloads share one ≈4.1M-edge scaling
+graph — large enough that the measured phase dominates fixed costs (the
+persisted-rank superstep carries ~1 s of non-scaling overhead; the CC
+Python-kernel working set stays within per-core bandwidth at both levels) —
+stored **range-partitioned + sorted by src** (the engine's edge-table
+layout; on a cluster, the Iceberg sort order), with input splits pinned 1:1
+to the range files so both parallelism levels execute the identical task
+set. Steady state is measured
+for both jobs — min steady superstep for PageRank, min of two CC runs —
 because run 0 pays the one-time Python-worker page-fault warm-up that
-long-lived production executors amortize away; efficiency is computed within
-matched N→4N windows (workers run back to back per rep) and the best window
-is reported with all windows listed.
+long-lived production executors amortize away.
+
+Efficiency is computed within matched N→4N windows (workers run back to back
+per repetition — this sandbox's memory subsystem weathers multi-minute
+co-tenancy storms, so a window pairs like weather with like) and the
+**median matched window is the headline / gated statistic**; every window is
+listed. Repetitions are adaptive: the harness targets
+$SPARK_GRAFT_BENCH_BUDGET_SEC total wall (default 1400 s — round 1's bench
+finished at 792 s inside the driver's window, so ~1600 s of window exists;
+round 2's fixed 4-window harness timed out and produced no artifact at all)
+and stops adding windows when the next one would overrun, so an artifact
+always lands.
 """
 
 from __future__ import annotations
@@ -44,18 +56,25 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = os.environ.get("SPARK_GRAFT_CPUS", "32")
 CACHE = "/tmp/elektra_bench"
-SCALING_CONVS_CC = 200_000  # ≈4.1M edges: CC's Python-kernel working set
-# stays within per-core bandwidth at both parallelism levels
-SCALING_CONVS_PR = 400_000  # ≈8.3M edges: the (lighter per-edge) JVM
-# rank-scatter superstep needs 2× the edges to dominate fixed per-superstep
-# costs (checkpoint commit, job scheduling) — each workload is sized so the
-# phase being measured is compute-dominated
-SCALING_ITERS = 6
-SCALING_REPEATS = 4  # matched N→4N windows; the best window is reported (this
-# sandbox's memory subsystem weathers multi-minute co-tenancy storms — the
-# same CC job measured 13s and 120s within one bench — so efficiency must be
-# computed within a temporally-matched pair, not across mixed weather)
+SCALING_CONVS_CC = 200_000  # one shared ≈4.1M-edge scaling graph for PR and
+# CC: CC's Python-kernel working set stays within per-core bandwidth at both
+# parallelism levels, and with the persisted-rank superstep
+# (EphemeralCheckpointer keeps ranks in-JVM between parquet truncation
+# commits) PR's fixed per-superstep cost dropped to ~1 s, so the 4-core
+# superstep is still ≥80% compute at 4.1M edges. The cheaper shared window
+# is what buys a third matched repetition inside the budget — variance
+# reduction across windows beats the small mean-efficiency shift of a 2×
+# larger graph
+SCALING_ITERS = 5  # min steady superstep over steps 2..5
+MAX_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1400"))
 SCALING_PAIR = (1, 4)  # N and 4N cores (see module docstring)
+
+T_START = time.time()
+
+
+def elapsed() -> float:
+    return time.time() - T_START
 
 
 def sf_of(path: str) -> float:
@@ -75,7 +94,8 @@ def ensure_edges(spark, n_convs: int) -> str:
     is what keeps the CC kernel's cross-partition quotient tiny; it is paid
     once at ingest and amortized over every downstream analytic."""
     path = f"{CACHE}/edges_conv{n_convs}_srcsorted"
-    if not os.path.exists(path + "/_SUCCESS"):
+    vpath = f"{CACHE}/verts_conv{n_convs}"
+    if not (os.path.exists(path + "/_SUCCESS") and os.path.exists(vpath + "/_SUCCESS")):
         from elektra_spark.ingest.edges import derive_graph
         from elektra_spark.ingest.transcripts import synth_transcripts
 
@@ -87,7 +107,15 @@ def ensure_edges(spark, n_convs: int) -> str:
             .write.mode("overwrite")
             .parquet(path)
         )
+        # the vertex table ships with the edge table (as it would in the
+        # production catalog), so PageRank's universe needs no 2|E|-row
+        # distinct — untimed in the protocol but real window wall-clock
+        g.vertices.select("vid").write.mode("overwrite").parquet(vpath)
     return path
+
+
+def verts_of(edges_path: str) -> str:
+    return edges_path.replace("edges_conv", "verts_conv").replace("_srcsorted", "")
 
 
 def bench_insertion_throughput(spark) -> dict:
@@ -151,14 +179,18 @@ def main():
     t0 = time.time()
     pagerank(edges, n_iter=6, kernel="df").count()
     queries["pagerank6_df"] = round(time.time() - t0, 2)
+    # csr PageRank kernel: demoted behind the flag (df wins 1.7× steady-state,
+    # pagerank.py:27-33) and no longer burned in the headline suite.
 
+    cc_phases: dict[str, float] = {}
     t0 = time.time()
-    pagerank(edges, n_iter=6, kernel="csr").count()
-    queries["pagerank6_csr"] = round(time.time() - t0, 2)
-
-    t0 = time.time()
-    connected_components(edges, kernel="csr").select("component").distinct().count()
+    connected_components(
+        edges, kernel="csr", on_phase=lambda n, s: cc_phases.__setitem__(n, round(s, 2))
+    ).select("component").distinct().count()
     queries["cc_convergence"] = round(time.time() - t0, 2)
+    cc_phases["resolve_and_distinct"] = round(
+        queries["cc_convergence"] - sum(cc_phases.values()), 2
+    )
 
     import __spark_entry__ as entry
 
@@ -173,60 +205,66 @@ def main():
         entry.queries()[name](spark, SF_DIR).count()
         queries[name] = round(time.time() - t0, 2)
 
-    queries.update(bench_insertion_throughput(spark))
+    if elapsed() < 0.45 * BUDGET_SEC:
+        queries.update(bench_insertion_throughput(spark))
 
-    # scaling runs in fresh JVMs on byte-identical input
-    scale_edges_cc = ensure_edges(spark, SCALING_CONVS_CC)
-    scale_edges_pr = ensure_edges(spark, SCALING_CONVS_PR)
+    # scaling runs in fresh JVMs on byte-identical input (one shared graph)
+    scale_edges = ensure_edges(spark, SCALING_CONVS_CC)
+    scale_verts = verts_of(scale_edges)
     spark.stop()
 
-    # Each repetition runs the N-core and 4N-core workers back to back, and
-    # the efficiency is computed per rep from that matched window: this
-    # sandbox's memory subsystem weathers multi-minute co-tenancy storms
-    # (observed: the same CC job at 13s and 120s within one bench), so pairing
-    # temporally-adjacent runs compares like weather with like — which is what
-    # a dedicated N-vs-4N cluster comparison would see. The reported
-    # efficiency is the best matched window; all windows are listed in
-    # BENCH/BASELINE.md.
     lo, hi = SCALING_PAIR
     rep_results: list[dict] = []
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools/bench_worker.py")
 
-    def run_worker(cores: int, edges_path: str, mode: str, tag: str) -> dict:
-        out = f"{CACHE}/scal_{mode}_{cores}_{tag}.json"
+    def run_worker(cores: int, tag: str) -> dict:
+        out = f"{CACHE}/scal_both_{cores}_{tag}.json"
         subprocess.run(
-            [sys.executable, worker, str(cores), edges_path, str(SCALING_ITERS), out, mode],
+            [sys.executable, worker, str(cores), scale_edges, str(SCALING_ITERS), out, "both",
+             scale_verts],
             check=True,
             env={**os.environ, "SPARK_GRAFT_SHUFFLE_PARTITIONS": str(4 * cores)},
         )
         with open(out) as f:
             return json.load(f)
 
-    for rep in range(SCALING_REPEATS):
-        pr_lo = run_worker(lo, scale_edges_pr, "pr", str(rep))
-        pr_hi = run_worker(hi, scale_edges_pr, "pr", str(rep))
-        cc_lo = run_worker(lo, scale_edges_cc, "cc", str(rep))
-        cc_hi = run_worker(hi, scale_edges_cc, "cc", str(rep))
+    # Matched windows: each repetition runs the N-core and 4N-core workers
+    # back to back (one fresh JVM per level runs PageRank then CC) and
+    # efficiency is computed per window — pairing temporally-adjacent runs
+    # compares like weather with like, which is what a dedicated N-vs-4N
+    # cluster comparison would see. Adaptive count: always ≥1 window; another
+    # runs only if the projected total stays inside the wall budget.
+    window_cost = 0.0
+    for rep in range(MAX_REPEATS):
+        if rep > 0 and elapsed() + 1.1 * window_cost > BUDGET_SEC:
+            break
+        w0 = time.time()
+        res_lo = run_worker(lo, str(rep))
+        res_hi = run_worker(hi, str(rep))
+        window_cost = time.time() - w0
         rep_results.append(
             {
-                "pr_lo": min(pr_lo["pr_step_secs"][1:]),
-                "pr_hi": min(pr_hi["pr_step_secs"][1:]),
-                "cc_lo": cc_lo["cc_total_sec"],
-                "cc_hi": cc_hi["cc_total_sec"],
-                "n_edges": pr_hi["n_edges"],
-                "n_edges_cc": cc_hi["n_edges"],
+                "pr_lo": min(res_lo["pr_step_secs"][1:]),
+                "pr_hi": min(res_hi["pr_step_secs"][1:]),
+                "cc_lo": res_lo["cc_total_sec"],
+                "cc_hi": res_hi["cc_total_sec"],
+                "n_edges": res_hi["n_edges"],
+                "n_edges_cc": res_hi["n_edges"],
             }
         )
     for r in rep_results:
         r["eff_pr"] = (r["pr_lo"] / r["pr_hi"]) / (hi / lo)
         r["eff_cc"] = (r["cc_lo"] / r["cc_hi"]) / (hi / lo)
-    best_pr = max(rep_results, key=lambda r: r["eff_pr"])
-    best_cc_rep = max(rep_results, key=lambda r: r["eff_cc"])
-    eff_pr, eff_cc = best_pr["eff_pr"], best_cc_rep["eff_cc"]
+    # median matched window = the headline and gated statistic (all windows
+    # listed below); best-window selection would be upward-biased
+    eff_pr = statistics.median(r["eff_pr"] for r in rep_results)
+    eff_cc = statistics.median(r["eff_cc"] for r in rep_results)
+    med_pr = min(rep_results, key=lambda r: abs(r["eff_pr"] - eff_pr))
+    med_cc = min(rep_results, key=lambda r: abs(r["eff_cc"] - eff_cc))
     scal = {
-        lo: {"pr_step_sec": best_pr["pr_lo"], "cc_sec": best_cc_rep["cc_lo"],
+        lo: {"pr_step_sec": med_pr["pr_lo"], "cc_sec": med_cc["cc_lo"],
              "n_edges": rep_results[0]["n_edges"]},
-        hi: {"pr_step_sec": best_pr["pr_hi"], "cc_sec": best_cc_rep["cc_hi"],
+        hi: {"pr_step_sec": med_pr["pr_hi"], "cc_sec": med_cc["cc_hi"],
              "n_edges": rep_results[0]["n_edges"]},
     }
     pr_steps_per_hour = 3600.0 / scal[hi]["pr_step_sec"]
@@ -247,12 +285,13 @@ def main():
             f"""# BENCH results (measured; protocol from BASELINE.md §3)
 
 Input: transcript link graph, {n_edges:,} edges at sf={sf} ({n_convs:,} conversations);
-scaling graphs {scal[hi]['n_edges']:,} edges / {SCALING_CONVS_PR:,} convs (PageRank) and
-{rep_results[0]['n_edges_cc']:,} edges / {SCALING_CONVS_CC:,} convs (CC), byte-identical
+shared scaling graph {scal[hi]['n_edges']:,} edges / {SCALING_CONVS_CC:,} convs (PageRank +
+CC, one fresh JVM per parallelism level runs both), byte-identical
 parquet for both parallelism levels. Sandbox note: 32 advertised CPUs ≈ 10 effective
 (measured via ProcessPool scaling), so the N→4N pair is local[{lo}]→local[{hi}] with shuffle
 partitions scaled 4×cores; environmental stalls filtered by min steady superstep
-(supersteps 2..{SCALING_ITERS}).
+(supersteps 2..{SCALING_ITERS}). Bench wall: {elapsed():.0f}s of a {BUDGET_SEC:.0f}s budget,
+{len(rep_results)} matched window(s) (adaptive — another window runs only if it fits).
 
 | metric | value |
 |---|---|
@@ -260,22 +299,30 @@ partitions scaled 4×cores; environmental stalls filtered by min steady superste
 | PageRank superstep wall (local[{lo}] / local[{hi}]) | {scal[lo]['pr_step_sec']:.2f}s / {scal[hi]['pr_step_sec']:.2f}s |
 | rank-scatter throughput (local[{hi}]) | {edges_per_sec:,.0f} edge-messages/s |
 | CC convergence wall (local[{lo}] / local[{hi}]) | {scal[lo]['cc_sec']:.1f}s / {scal[hi]['cc_sec']:.1f}s |
-| **scaling efficiency {lo}→{hi} cores (PageRank)** | **{eff_pr:.3f}** (gate ≥ 0.8) |
-| scaling efficiency {lo}→{hi} cores (CC) | {eff_cc:.3f} |
+| **scaling efficiency {lo}→{hi} cores (PageRank, median window)** | **{eff_pr:.3f}** (gate ≥ 0.8) |
+| scaling efficiency {lo}→{hi} cores (CC, median window) | {eff_cc:.3f} |
 
 Matched-window repetitions (each row = one N-then-4N back-to-back pair; the headline
-efficiency is the best matched window — co-tenancy storms hit individual runs, see protocol
-note in the module docstring):
+efficiency is the **median** matched window — co-tenancy storms hit individual runs, so
+the median is the honest estimator; all windows listed):
 
 | rep | PR step {lo}c / {hi}c | eff_pr | CC {lo}c / {hi}c | eff_cc |
 |---|---|---|---|---|
 {chr(10).join(f"| {i} | {r['pr_lo']:.2f}s / {r['pr_hi']:.2f}s | {r['eff_pr']:.3f} | {r['cc_lo']:.1f}s / {r['cc_hi']:.1f}s | {r['eff_cc']:.3f} |" for i, r in enumerate(rep_results))}
-| headline PageRank 6 supersteps, df kernel (local[{CPUS}], sf{sf}) | {queries['pagerank6_df']}s |
-| headline PageRank 6 supersteps, csr kernel (demoted: df wins 1.7× steady-state; kept behind a flag) | {queries['pagerank6_csr']}s |
-| headline CC convergence | {queries['cc_convergence']}s |
+
+Headline suite (local[{CPUS}], sf{sf}):
+
+| query | wall |
+|---|---|
+| PageRank 6 supersteps, df kernel | {queries['pagerank6_df']}s |
+| CC convergence (csr kernel) | {queries['cc_convergence']}s |
+| — CC phases: {", ".join(f"{k} {v}s" for k, v in cc_phases.items())} | |
 | triangles (co-purchase graph) | {queries['triangles_copurchase']}s |
 | MinHash LSH candidates | {queries['minhash_candidates_docs']}s |
-| link-insertion-only100 median batch (email-Eu-core, 40% preload) | {queries.get('link_insertion_only100_median_sec', 'n/a')}s |
+| text profile | {queries['text_profile_docs']}s |
+| star-join revenue | {queries['revenue_by_region_status']}s |
+| ANN top-k (SQL-style oracle surface) | {queries['ann_topk_docs']}s |
+| link-insertion-only100 median batch (email-Eu-core, 40% preload) | {queries.get('link_insertion_only100_median_sec', 'skipped (budget)')}s |
 
 Reference comparison: the reference publishes no numbers (BASELINE.md §1); its harness
 metric is median batch-link time on email-Eu-core (25,571 edges). Our engine processes
@@ -296,6 +343,8 @@ metric is median batch-link time on email-Eu-core (25,571 edges). Our engine pro
                 "pagerank_supersteps_per_hour": round(pr_steps_per_hour, 1),
                 "scaling_efficiency": round(eff_pr, 3),
                 "scaling_pair_cores": list(SCALING_PAIR),
+                "cc_phase_breakdown": cc_phases,
+                "bench_wall_sec": round(elapsed(), 1),
                 "scaling_windows": [
                     {k: round(v, 3) for k, v in r.items()} for r in rep_results
                 ],

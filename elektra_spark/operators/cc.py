@@ -72,40 +72,68 @@ SuperstepHook = Callable[[int, int, float], Any]
 
 
 class EphemeralCheckpointer:
-    """Default superstep materializer for non-resumable runs: parquet
-    round-trip on a tmpfs scratch dir.
+    """Default superstep materializer for non-resumable runs: the state table
+    stays **persisted in the JVM** between supersteps and is hard-committed to
+    parquet (tmpfs scratch) every ``truncate_every`` rounds to truncate
+    lineage.
 
-    Why not ``localCheckpoint``/``persist``: chained in-JVM checkpoints
-    degrade monotonically in this environment (measured: 19s → 72s per
-    superstep over 6 rounds at 4M rows — block-manager state accumulates and
-    later jobs stall), while a parquet write+read stays flat for 40+ rounds.
-    It also exactly matches the production shape: on a cluster every
-    superstep lands in Iceberg anyway (lineage truncation *is* the snapshot
-    commit — SURVEY.md §7.4 'iterative lineage'). Files from superstep n−2
-    are deleted once superstep n is written; static relations (step < 0) are
-    localCheckpointed once.
+    Why hybrid: the persisted frame keeps the hash partitioning the previous
+    round's aggregation produced, so the next superstep's join needs **no
+    exchange of the state side at all**, and it skips the parquet read-back —
+    measured ~1.2 s/superstep of fixed (non-scaling) cost on the 8.3M-edge
+    scaling graph at 4 cores, which is what moved N→4N efficiency from ~0.78
+    to ~0.87. Pure persist chains can't run forever (plan depth grows, and
+    chained ``localCheckpoint`` was measured degrading 19s → 72s per
+    superstep over 6 rounds at 4M rows), so every ``truncate_every``-th round
+    does the parquet round-trip that resets lineage — the same shape as the
+    production path, where the durable Iceberg snapshot commit
+    (:mod:`elektra_spark.checkpoint`) is the truncation point (SURVEY.md §7.4
+    'iterative lineage'). Static relations (step < 0) are localCheckpointed
+    once.
     """
 
-    def __init__(self, scratch: str | None = None):
+    def __init__(self, scratch: str | None = None, truncate_every: int = 4):
         import atexit
         import tempfile
 
         base = "/dev/shm" if os.path.isdir("/dev/shm") else None
         self.dir = scratch or tempfile.mkdtemp(prefix="elektra-ckpt-", dir=base)
+        self.truncate_every = max(1, truncate_every)
         self._n = 0
+        self._persisted: list[DataFrame] = []
+        self._prev_commit: str | None = None
         # the final snapshot backs the operator's *returned* DataFrame, so
         # the scratch dir must outlive this object — clean at process exit
         atexit.register(shutil.rmtree, self.dir, ignore_errors=True)
 
     def __call__(self, df: DataFrame, step: int) -> DataFrame:
+        from pyspark import StorageLevel
+
         if step < 0:
             return df.localCheckpoint(eager=True)
         self._n += 1
-        path = os.path.join(self.dir, f"s{self._n}")
-        df.write.mode("overwrite").parquet(path)
-        out = df.sparkSession.read.parquet(path)
-        stale = os.path.join(self.dir, f"s{self._n - 2}")
-        shutil.rmtree(stale, ignore_errors=True)
+        if self._n % self.truncate_every == 0:
+            # hard commit: parquet round-trip resets lineage. The write
+            # consumes the retained persisted frames, so they can be released
+            # afterwards; the previous commit's files are only referenced by
+            # lineage that the fresh read-back no longer carries.
+            path = os.path.join(self.dir, f"s{self._n}")
+            df.write.mode("overwrite").parquet(path)
+            out = df.sparkSession.read.parquet(path)
+            for p in self._persisted:
+                p.unpersist()
+            self._persisted.clear()
+            if self._prev_commit:
+                shutil.rmtree(self._prev_commit, ignore_errors=True)
+            self._prev_commit = path
+            return out
+        out = df.persist(StorageLevel.MEMORY_AND_DISK)
+        out.count()  # materialize eagerly — one job per superstep, as before
+        self._persisted.append(out)
+        if len(self._persisted) > 2:
+            # frames older than two rounds have no live consumers; their
+            # lineage (back to the last hard commit) stays replayable
+            self._persisted.pop(0).unpersist()
         return out
 
 
@@ -321,10 +349,10 @@ def connected_components(
     small.
 
     ``on_phase(name, seconds)``: observability hook for the csr kernel's three
-    eager phases (``collapse_agg`` = local union-find + seed aggregation,
-    ``quotient_probe`` = links collect, ``quotient_solve`` = driver UF or
-    distributed fixpoint); the final label resolve is lazy and lands in the
-    caller's action.
+    eager phases (``collapse_repart`` = local union-find kernel + the one
+    vid-shuffle of the pair table, ``quotient_probe`` = links collect,
+    ``quotient_solve`` = driver UF or distributed fixpoint); the final label
+    resolve is lazy and lands in the caller's action.
     """
     spark = edges.sparkSession
     if checkpoint is None:
@@ -337,31 +365,42 @@ def connected_components(
             on_phase(name, time.time() - t0)
 
     if kernel == "csr":
+        spark_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
         parts = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
         partitioned = edges.select("src", "dst")
         if not pre_partitioned:
             partitioned = partitioned.repartitionByRange(parts, "src")
         pairs = partitioned.mapInPandas(_local_cc_kernel, "vid long, comp long")
-        # One aggregation produces both the seed (min local root per vertex)
-        # and the quotient links: a vertex seen by several partitions links
-        # all its local roots to its seed. The quotient's size is the number
+        # The (vid, local-root) pair table is shuffled by vid exactly once and
+        # checkpointed with that partitioning; the seed table (min local root
+        # per vertex — a declarative, map-side-combinable min, whole-stage
+        # codegen) and the quotient links (a vertex seen by several partitions
+        # links each of its local roots to its seed) are then both derived
+        # from the cached table with **zero further exchanges** — groupBy and
+        # self-join reuse hash(vid). This replaced a collect_set aggregation
+        # + array-column checkpoint, whose ObjectHashAggregate path measured
+        # 0.44 N→4N scaling efficiency vs ~0.9 for this shape (the object agg
+        # is GC-bound and outside codegen). The quotient's size is the number
         # of cross-partition adjacencies between local components — orders of
         # magnitude smaller than V for src-clustered input (conversation
         # boundaries + tool hubs), which is what makes the driver fallback
-        # viable. collect_set is map-side combinable; pairs is consumed by
-        # exactly this one shuffle, so nothing else is materialized.
-        agg = pairs.groupBy("vid").agg(
-            F.min("comp").alias("label"), F.collect_set("comp").alias("comps")
-        )
+        # viable.
         t0 = time.time()
-        agg = checkpoint(
-            agg.select("vid", "label", F.filter("comps", lambda c: c != F.col("label")).alias("others")),
-            -2,
-        )
-        _ph("collapse_agg", t0)
+        pairs = checkpoint(pairs.repartition(spark_parts, "vid"), -2)
+        # seeds materialized once (950k-scale, two longs — cheap) so the links
+        # probe and the final resolve don't each re-run the aggregation;
+        # localCheckpoint keeps hash(vid), so the self-join below stays
+        # exchange-free
+        seeds = checkpoint(pairs.groupBy("vid").agg(F.min("comp").alias("label")), -2)
+        _ph("collapse_repart", t0)
         links = (
-            agg.filter(F.size("others") > 0)
-            .select(F.explode("others").alias("src"), F.col("label").alias("dst"))
+            # shuffle_hash: both sides are already hash(vid)-partitioned, so
+            # the join inserts no exchange; the hint additionally stops
+            # Catalyst from sort-merging (sorting the multi-million-row pair
+            # table costs more than hashing the seed side)
+            pairs.join(seeds.hint("shuffle_hash"), "vid")
+            .filter(F.col("comp") != F.col("label"))
+            .select(F.col("comp").alias("src"), F.col("label").alias("dst"))
             .dropDuplicates(["src", "dst"])
         )
         # one job decides the path AND collects the quotient when small
@@ -393,10 +432,10 @@ def connected_components(
         _ph("quotient_solve", t0)
         # resolve each vertex's seed through the root mapping
         if resolve is None:
-            labels = agg.select("vid", "label")
+            labels = seeds
         else:
             labels = (
-                agg.join(resolve, "label", "left")
+                seeds.join(resolve, "label", "left")
                 .select("vid", F.coalesce("root", F.col("label")).alias("label"))
             )
     else:

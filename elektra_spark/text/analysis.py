@@ -31,6 +31,33 @@ def token_count(text: Column) -> Column:
     return F.size(tokens(text))
 
 
+# GPT-2-style pre-tokenization pieces: letter runs | digit runs | single
+# punctuation marks; whitespace delimits. The alternatives are disjoint
+# character classes, so Java regex (Spark) and RE2 (DuckDB) match identically.
+BPE_PIECE_RE = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+BPE_CHARS_PER_SUBWORD = 4
+
+
+def bpe_token_count(text: Column) -> Column:
+    """Deterministic BPE-ish subword token estimate, pure JVM expressions:
+    pre-tokenize with :data:`BPE_PIECE_RE`, then each letter run of length L
+    counts ceil(L/4) subwords (the ~4-chars-per-token BPE average), digit
+    runs one token per digit (BPE digit splitting), punctuation one each.
+    Vocabulary-free, so the SQL oracle reproduces it exactly; a real
+    merges-table BPE would drop in as a pandas UDF without changing the
+    schema."""
+    pieces = F.regexp_extract_all(text, F.lit(BPE_PIECE_RE), 0)
+    per = F.transform(
+        pieces,
+        lambda p: F.when(
+            p.rlike("^[A-Za-z]"), F.ceil(F.length(p) / BPE_CHARS_PER_SUBWORD)
+        )
+        .when(p.rlike("^[0-9]"), F.length(p).cast("long"))
+        .otherwise(F.lit(1).cast("long")),
+    )
+    return F.aggregate(per, F.lit(0).cast("long"), lambda a, v: a + v)
+
+
 def distinct_token_ratio(text: Column) -> Column:
     """type-token ratio — a standard quality heuristic."""
     return F.size(F.array_distinct(tokens(text))) / F.size(tokens(text))

@@ -113,6 +113,40 @@ def test_text_profile(spark, docs):
     assert 0 <= prof[6]["quality"] <= 1
 
 
+def test_bpe_token_count_matches_re_oracle(spark):
+    """BPE-ish subword estimate vs a pure-Python re oracle applying the same
+    rule (letter runs ceil(L/4), one token per digit, punctuation singly)."""
+    import math
+    import re
+
+    from elektra_spark.text.analysis import BPE_CHARS_PER_SUBWORD, BPE_PIECE_RE, bpe_token_count
+
+    texts = [
+        "the quick brown fox",
+        "hello, world! it's 2026-08-17.",
+        "internationalization antidisestablishmentarianism",
+        "a b c 12345 ...",
+        "",
+        "    ",
+        "!!!???",
+    ]
+
+    def oracle(t: str) -> int:
+        total = 0
+        for p in re.findall(BPE_PIECE_RE, t):
+            if p[0].isalpha():
+                total += math.ceil(len(p) / BPE_CHARS_PER_SUBWORD)
+            elif p[0].isdigit():
+                total += len(p)
+            else:
+                total += 1
+        return total
+
+    df = spark.createDataFrame(list(enumerate(texts)), "i long, text string")
+    got = {r["i"]: r["n"] for r in df.select("i", bpe_token_count(F.col("text")).alias("n")).collect()}
+    assert got == {i: oracle(t) for i, t in enumerate(texts)}
+
+
 def test_ann_brute_and_sql_style_agree(spark):
     import numpy as np
 

@@ -83,6 +83,9 @@ def main():
     checks = [
         f"exchanges in superstep: {exchanges} — adjacency side reuses its cached partitioning"
         if ok else f"FAIL: adjacency re-shuffled ({exchanges})",
+        "rank side persisted in-JVM between truncation commits (EphemeralCheckpointer), so its "
+        "hash(vid) partitioning survives and the join is exchange-free; the superstep after a "
+        "hard parquet commit (every truncate_every rounds) re-exchanges the rank side once",
         "ShuffledHashJoin on rank side (no per-round sort of the big relation)"
         if "ShuffledHashJoin" in p else "note: join strategy " + ("SortMergeJoin" if "SortMergeJoin" in p else "?"),
         "partial_sum map-side combine present" if "partial_sum" in p else "FAIL: no partial aggregation",
