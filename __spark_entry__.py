@@ -245,6 +245,55 @@ def q_transcript_levels(spark, sf_dir):
     return edge_comp.groupBy("component", "level", "is_tree").agg(F.count("*").alias("n_edges"))
 
 
+def q_transcript_levels2(spark, sf_dir):
+    """Second push-down round, covering SURVEY.md §2 rows 6/26: after the
+    tree push-down of :func:`q_transcript_levels`, the small components'
+    level-(top−1) tree edges are collected and decremented again
+    (``push_down_tree_like`` — the ``GetAndClearLevelIEdges`` decrement,
+    elektra hdt_euler_tour_tree.h:208-210, hdt_element.h:114-149) and their
+    top-level non-tree edges move down one level (``PushDownNonTreeEdges``,
+    dynamic_connectivity.h:133-167). The batches are drawn from the engine's
+    own (level, is_tree) state, but the resulting per-(component, level,
+    is_tree) histogram is fully determined by component sizes, so the DuckDB
+    twin checks it exactly."""
+    from elektra_spark.dynamic.levels import (
+        max_level,
+        push_down_non_tree_edges,
+        push_down_tree_edges_from_components,
+        push_down_tree_like,
+        with_levels,
+    )
+    from elektra_spark.operators.cc import connected_components
+    from elektra_spark.operators.forest import spanning_forest
+
+    g = _transcript_graph(spark)
+    n = g.vertices.count()
+    top = max_level(n)
+    cap = 1 << max(0, top - 1)
+    labels = connected_components(g.edges, vertices=g.vertices)
+    lvl = with_levels(g.edges, spanning_forest(g.edges), n)
+    pushed = push_down_tree_edges_from_components(lvl, labels, top)
+
+    small = (
+        labels.groupBy("component").agg(F.count("*").alias("sz"))
+        .filter(F.col("sz") <= cap).select("component")
+    )
+    member = labels.join(small, "component", "left_semi").select(F.col("vid").alias("src"))
+    tree_batch = (
+        pushed.filter((F.col("level") == top - 1) & F.col("is_tree"))
+        .join(member, "src", "left_semi").select("src", "dst")
+    )
+    pushed = push_down_tree_like(pushed, tree_batch, top - 1)
+    nontree_batch = (
+        pushed.filter((F.col("level") == top) & ~F.col("is_tree"))
+        .join(member, "src", "left_semi").select("src", "dst")
+    )
+    pushed = push_down_non_tree_edges(pushed, nontree_batch, top)
+
+    edge_comp = pushed.join(labels.withColumnRenamed("vid", "src"), "src")
+    return edge_comp.groupBy("component", "level", "is_tree").agg(F.count("*").alias("n_edges"))
+
+
 def q_simhash_near_pairs_docs(spark, sf_dir):
     """Hamming near-duplicate pairs over the 64-bit simhash — the op a dedup
     pipeline actually runs (banded band-equality join + exact bit_count(xor)
@@ -647,6 +696,35 @@ def _transcript_levels_sql() -> str:
     )
 
 
+def _transcript_levels2_sql() -> str:
+    """Twin of q_transcript_levels2: small components (size ≤ 2^(top−1)) end
+    with tree edges at top−2 and non-tree at top−1; large ones keep both at
+    top — all determined by sizes."""
+    return (
+        "WITH RECURSIVE "
+        + _transcript_tables_sql(300).lstrip()
+        + _TRANSCRIPT_CC_RECURSIVE
+        + """,
+  sz AS (SELECT component, count(*) AS s FROM cc GROUP BY component),
+  ec AS (SELECT cc.component, count(*) AS m
+         FROM edges JOIN cc ON edges.src = cc.vid GROUP BY cc.component),
+  lv AS (SELECT greatest(1, ceil(log2(greatest(2, count(*)))))::INTEGER AS top FROM verts)
+  SELECT ec.component,
+         (CASE WHEN sz.s <= (1::BIGINT << (lv.top - 1)) THEN lv.top - 2 ELSE lv.top END)::INTEGER AS level,
+         TRUE AS is_tree,
+         (sz.s - 1)::BIGINT AS n_edges
+  FROM ec JOIN sz USING (component) CROSS JOIN lv
+  WHERE sz.s > 1
+  UNION ALL
+  SELECT ec.component,
+         (CASE WHEN sz.s <= (1::BIGINT << (lv.top - 1)) THEN lv.top - 1 ELSE lv.top END)::INTEGER AS level,
+         FALSE AS is_tree,
+         (ec.m - (sz.s - 1))::BIGINT AS n_edges
+  FROM ec JOIN sz USING (component) CROSS JOIN lv
+  WHERE ec.m - (sz.s - 1) > 0"""
+    )
+
+
 def _dynamic_orders_sql() -> str:
     """Twin of q_dynamic_orders: assemble the post-update edge set in SQL
     (original customer-order edges minus every-13th-order deletions, plus the
@@ -988,6 +1066,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_vertices_orders": q_component_vertices_orders,
         "component_edges_orders": q_component_edges_orders,
         "transcript_levels": q_transcript_levels,
+        "transcript_levels2": q_transcript_levels2,
         # transcripts engine surface (fixture-backed, DuckDB-twinned)
         "transcript_cc": q_transcript_cc,
         "transcript_pagerank": q_transcript_pagerank,
@@ -1062,6 +1141,7 @@ def oracle_sql() -> dict[str, str]:
         "transcript_pagerank": _transcript_pagerank_sql(),
         "transcript_forest": _transcript_forest_sql(),
         "transcript_levels": _transcript_levels_sql(),
+        "transcript_levels2": _transcript_levels2_sql(),
         "dynamic_orders": _dynamic_orders_sql(),
         "component_vertices_orders": f"""
   SELECT 1::BIGINT AS vid
