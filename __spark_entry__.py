@@ -511,6 +511,36 @@ def q_ann_topk_brute_docs(spark, sf_dir):
     return cosine_topk_brute(emb, qpdf, k=5, rank_round=6)
 
 
+def _ivf_sample(sf_dir: str) -> list:
+    """Deterministic training sample for the IVF coarse quantizer: the
+    ``vec_id < 64`` slice in vec_id order — at scale this is a pushed-down
+    sample scan, never the full table."""
+    import pyarrow.parquet as pq
+
+    t = pq.read_table(f"{sf_dir}/embeddings.parquet", columns=["vec_id", "embedding"])
+    rows = sorted(
+        (i, v) for i, v in zip(t.column("vec_id").to_pylist(), t.column("embedding").to_pylist()) if i < 64
+    )
+    return [v for _, v in rows]
+
+
+IVF_K, IVF_ITERS, IVF_NPROBE = 8, 5, 2
+
+
+def q_ann_ivf_docs(spark, sf_dir):
+    """IVF ANN — the k-means-bucketed scale path: centroids trained by
+    deterministic Lloyd on a pushed-down sample, corpus bucketed by nearest
+    centroid, queries probe their nprobe nearest buckets. The DuckDB twin
+    embeds the identical centroid literals and replays assignment, probe
+    ranking and top-k exactly."""
+    from elektra_spark.sim.ivf import ivf_topk, train_centroids
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = train_centroids(_ivf_sample(sf_dir), k=IVF_K, iters=IVF_ITERS)
+    queries = emb.filter(F.col("vec_id") < 3)
+    return ivf_topk(emb, queries, centroids, k=5, nprobe=IVF_NPROBE)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup-by-embedding): SRP-bucketed
     self-join + exact cosine threshold. The oracle reproduces the same
@@ -877,6 +907,17 @@ def _ann_lsh_sql(k: int = 5, multi_probe: int = 0) -> str:
   """
 
 
+def _ann_ivf_sql() -> str:
+    """Twin of q_ann_ivf_docs. The driver's correctness compare runs at
+    sf0.01, so the quantizer trains on the same deterministic sample slice
+    read from the sf0.01 parquet directly (the same fixture-path pattern the
+    transcript twins use)."""
+    from elektra_spark.sim.ivf import ivf_topk_sql, train_centroids
+
+    centroids = train_centroids(_ivf_sample("/root/testdata/sf0.01"), k=IVF_K, iters=IVF_ITERS)
+    return ivf_topk_sql(centroids, k=5, nprobe=IVF_NPROBE)
+
+
 def _ann_topk_brute_sql(k: int = 5) -> str:
     """Same cosines as the ann_topk oracle, but ranked on round(sim, 6) with
     nbr tiebreak — the contract q_ann_topk_brute_docs pins."""
@@ -1086,6 +1127,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_topk_brute_docs": q_ann_topk_brute_docs,
         "ann_lsh_docs": q_ann_lsh_docs,
         "ann_lsh_multiprobe_docs": q_ann_lsh_multiprobe_docs,
+        "ann_ivf_docs": q_ann_ivf_docs,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_stats": q_embedding_stats,
         "multimodal_features": q_multimodal_features,
@@ -1156,6 +1198,7 @@ def oracle_sql() -> dict[str, str]:
         "near_duplicates_docs": _near_duplicates_sql(),
         "ann_lsh_docs": _ann_lsh_sql(),
         "ann_lsh_multiprobe_docs": _ann_lsh_sql(multi_probe=2),
+        "ann_ivf_docs": _ann_ivf_sql(),
         "ann_topk_brute_docs": _ann_topk_brute_sql(),
         "embedding_near_dups": _embedding_near_dups_sql(),
         "multimodal_features": _multimodal_sql(),

@@ -200,6 +200,49 @@ def test_ann_lsh_recall(spark):
     assert recall >= 0.5, recall  # clustered near-dups share SRP buckets
 
 
+def test_ann_ivf_recall_and_determinism(spark):
+    """IVF (k-means-bucketed) ANN: deterministic quantizer (same sample →
+    identical centroids), assignment covers the corpus, and probing more
+    centroid buckets dominates probing fewer; recall measured against the
+    exact path on a clustered fixture."""
+    import numpy as np
+
+    from elektra_spark.sim.ann import cosine_topk_sql_style
+    from elektra_spark.sim.ivf import ivf_assign, ivf_topk, train_centroids
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(8, 16)
+    rows, vid = [], 0
+    for b in range(8):
+        for _ in range(10):
+            rows.append((vid, [float(x) for x in base[b] + 0.05 * rng.randn(16)]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    sample = [v for _, v in rows[:32]]
+    c1 = train_centroids(sample, k=4, iters=5)
+    c2 = train_centroids(list(sample), k=4, iters=5)
+    assert c1 == c2  # pure function of the sample
+
+    assigned = ivf_assign(corpus, c1).collect()
+    assert len(assigned) == len(rows)
+    assert all(0 <= r["centroid_id"] < 4 for r in assigned)
+
+    queries = corpus.filter(F.col("vec_id") % 20 == 0)
+    exact = {(r["query_id"], r["nbr"]) for r in cosine_topk_sql_style(corpus, queries, k=3).collect()}
+
+    def recall(nprobe):
+        got = {
+            (r["query_id"], r["nbr"])
+            for r in ivf_topk(corpus, queries, c1, k=3, nprobe=nprobe).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r1, r4 = recall(1), recall(4)
+    assert r4 >= r1, (r1, r4)
+    assert r4 == 1.0, r4  # nprobe = k_centroids scans every bucket → exact
+    assert r1 >= 0.5, r1  # clustered fixture: own bucket holds the near dups
+
+
 def test_ann_lsh_multi_probe_improves_recall(spark):
     """recall@k measured against the brute-force exact path: multi-probe must
     dominate single-probe, and single-probe must clear a floor on the
