@@ -487,6 +487,39 @@ def q_lang_stats_docs(spark, sf_dir):
     )
 
 
+def q_corpus_filter_docs(spark, sf_dir):
+    """End-to-end training-corpus curation — the pipeline the individual ops
+    exist for, composed: quality gate (≥ 0.5), exact dedup (keep the min
+    doc_id per token-normalized md5 fingerprint), near-dup drop (the higher
+    id of every MinHash-LSH-verified Jaccard ≥ 0.2 pair), then the surviving
+    per-language document counts and BPE token budget. All three filters are
+    conjunctive on the raw sets, so the composed DuckDB twin replays them
+    exactly."""
+    from elektra_spark.dedup.ngram import near_duplicates
+    from elektra_spark.text.analysis import bpe_token_count, text_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    prof = text_profile(docs)
+    rep = prof.withColumn("rep", F.min("doc_id").over(Window.partitionBy("fp")))
+    nd_drop = (
+        near_duplicates(docs, threshold=0.2, n_hashes=8, bands=4, shingle_n=2)
+        .select(F.col("b").alias("doc_id"))
+        .distinct()
+    )
+    kept = (
+        rep.filter(F.col("quality") >= 0.5)
+        .filter(F.col("doc_id") == F.col("rep"))
+        .join(nd_drop, "doc_id", "left_anti")
+        .select("doc_id", "lang_pred")
+    )
+    toks = docs.select("doc_id", bpe_token_count(F.col("text")).alias("bpe_tokens"))
+    return (
+        kept.join(toks, "doc_id")
+        .groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"), F.sum("bpe_tokens").alias("total_bpe_tokens"))
+    )
+
+
 def q_ann_topk_docs(spark, sf_dir):
     from elektra_spark.sim.ann import cosine_topk_sql_style
 
@@ -1060,6 +1093,26 @@ def _token_stats_sql() -> str:
   """
 
 
+def _corpus_filter_sql() -> str:
+    """Twin of q_corpus_filter_docs, composed from the same generated twins
+    (profile, near-dup pairs, BPE tokens)."""
+    return f"""
+  WITH prof AS ({_text_profile_sql()}),
+  nd AS (SELECT DISTINCT b AS doc_id FROM ({_near_duplicates_sql()})),
+  toks AS ({_token_stats_sql()}),
+  rep AS (SELECT doc_id, lang_pred, quality,
+                 min(doc_id) OVER (PARTITION BY fp) AS rep_id FROM prof),
+  kept AS (
+    SELECT r.doc_id, r.lang_pred FROM rep r
+    WHERE r.quality >= 0.5 AND r.doc_id = r.rep_id
+      AND r.doc_id NOT IN (SELECT doc_id FROM nd)
+  )
+  SELECT k.lang_pred, count(*) AS n_docs, sum(t.bpe_tokens)::BIGINT AS total_bpe_tokens
+  FROM kept k JOIN toks t USING (doc_id)
+  GROUP BY k.lang_pred
+  """
+
+
 def _minhash_sql(n_hashes: int = 4) -> str:
     aggs = ", ".join(f"min(md5('{i}:' || tok)) AS h{i}" for i in range(n_hashes))
     return f"""
@@ -1123,6 +1176,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "text_profile_docs": q_text_profile_docs,
         "token_stats_docs": q_token_stats_docs,
         "lang_stats_docs": q_lang_stats_docs,
+        "corpus_filter_docs": q_corpus_filter_docs,
         "ann_topk_docs": q_ann_topk_docs,
         "ann_topk_brute_docs": q_ann_topk_brute_docs,
         "ann_lsh_docs": q_ann_lsh_docs,
@@ -1179,6 +1233,7 @@ def oracle_sql() -> dict[str, str]:
         "simhash_near_pairs_docs": _simhash_near_pairs_sql(),
         "text_profile_docs": _text_profile_sql(),
         "token_stats_docs": _token_stats_sql(),
+        "corpus_filter_docs": _corpus_filter_sql(),
         "transcript_cc": _transcript_cc_sql(),
         "transcript_pagerank": _transcript_pagerank_sql(),
         "transcript_forest": _transcript_forest_sql(),
