@@ -66,7 +66,7 @@ SCALING_CONVS_CC = 200_000  # one shared ≈4.1M-edge scaling graph for PR and
 # reduction across windows beats the small mean-efficiency shift of a 2×
 # larger graph
 SCALING_ITERS = 5  # min steady superstep over steps 2..5
-MAX_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+MAX_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
 BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1400"))
 SCALING_PAIR = (1, 4)  # N and 4N cores (see module docstring)
 
@@ -75,6 +75,47 @@ T_START = time.time()
 
 def elapsed() -> float:
     return time.time() - T_START
+
+
+def _probe_worker(mb: int) -> float:
+    """Steady-state streaming-sum throughput (MB/s) over a warm buffer."""
+    import time as _t
+
+    import numpy as np
+
+    x = np.ones(mb * 131072)  # mb MB of float64
+    x.sum()  # warm (first-touch faults paid here)
+    t0 = _t.time()
+    n = 0
+    while _t.time() - t0 < 1.0:
+        x.sum()
+        n += 1
+    return n * mb / (_t.time() - t0)
+
+
+def memory_scaling_probe(procs: int = 4, mb: int = 192) -> dict:
+    """Host memory-parallelism weather gauge, run once per matched window.
+
+    Pure NumPy streaming sums in 1 vs ``procs`` concurrent processes;
+    ``bw_scaling`` = (aggregate@procs / single) / procs — the same statistic
+    as the 1→4-core efficiency gate, but for the bare machine. This sandbox
+    weathers co-tenancy storms in which parallel memory traffic collapses
+    (observed: the same CC job at 8 s and 36 s at 4 cores hours apart, with
+    4 cores occasionally *slower* than 1); when the probe itself reads below
+    the gate, the host could not supply 4× memory bandwidth during that
+    window regardless of engine design — the annotation lets a reader
+    attribute sub-gate windows to weather vs plan."""
+    from concurrent.futures import ProcessPoolExecutor
+
+    with ProcessPoolExecutor(1) as ex:
+        one = sum(ex.map(_probe_worker, [mb]))
+    with ProcessPoolExecutor(procs) as ex:
+        many = sum(ex.map(_probe_worker, [mb] * procs))
+    return {
+        "bw_1p_mbs": round(one),
+        f"bw_{procs}p_mbs": round(many),
+        "bw_scaling": round(many / one / procs, 3),
+    }
 
 
 def sf_of(path: str) -> float:
@@ -239,6 +280,7 @@ def main():
         if rep > 0 and elapsed() + 1.1 * window_cost > BUDGET_SEC:
             break
         w0 = time.time()
+        probe = memory_scaling_probe(procs=hi)
         res_lo = run_worker(lo, str(rep))
         res_hi = run_worker(hi, str(rep))
         window_cost = time.time() - w0
@@ -250,6 +292,7 @@ def main():
                 "cc_hi": res_hi["cc_total_sec"],
                 "n_edges": res_hi["n_edges"],
                 "n_edges_cc": res_hi["n_edges"],
+                "bw_scaling": probe["bw_scaling"],
             }
         )
     for r in rep_results:
@@ -304,11 +347,15 @@ partitions scaled 4×cores; environmental stalls filtered by min steady superste
 
 Matched-window repetitions (each row = one N-then-4N back-to-back pair; the headline
 efficiency is the **median** matched window — co-tenancy storms hit individual runs, so
-the median is the honest estimator; all windows listed):
+the median is the honest estimator; all windows listed). `host bw eff` is the window's
+concurrent-memory-bandwidth probe: pure NumPy streaming sums in 1 vs {hi} processes,
+(aggregate@{hi}p / single) / {hi} — when the bare machine's own probe reads below the
+0.8 gate, the host could not supply {hi}× memory bandwidth during that window and no
+memory-bound workload can scale past it regardless of plan shape:
 
-| rep | PR step {lo}c / {hi}c | eff_pr | CC {lo}c / {hi}c | eff_cc |
-|---|---|---|---|---|
-{chr(10).join(f"| {i} | {r['pr_lo']:.2f}s / {r['pr_hi']:.2f}s | {r['eff_pr']:.3f} | {r['cc_lo']:.1f}s / {r['cc_hi']:.1f}s | {r['eff_cc']:.3f} |" for i, r in enumerate(rep_results))}
+| rep | PR step {lo}c / {hi}c | eff_pr | CC {lo}c / {hi}c | eff_cc | host bw eff |
+|---|---|---|---|---|---|
+{chr(10).join(f"| {i} | {r['pr_lo']:.2f}s / {r['pr_hi']:.2f}s | {r['eff_pr']:.3f} | {r['cc_lo']:.1f}s / {r['cc_hi']:.1f}s | {r['eff_cc']:.3f} | {r['bw_scaling']:.3f} |" for i, r in enumerate(rep_results))}
 
 Headline suite (local[{CPUS}], sf{sf}):
 
