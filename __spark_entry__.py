@@ -197,6 +197,77 @@ def q_dynamic_orders(spark, sf_dir):
     return g.labels()
 
 
+def q_dynamic_levels_orders(spark, sf_dir):
+    """Integrated HDT-levels mode of the batch-dynamic path (DynamicGraph
+    ``levels=True`` — VERDICT r3 item 4): the ``(level, is_tree)`` table is
+    maintained through the same MERGE commits as edges/labels/forest (new
+    edges at the top level, dynamic_connectivity.h:58,79; the delete path
+    re-syncs affected tree flags to the recomputed forest and runs the
+    push-down operators: tree push-down under the 2^(top−1) size cap,
+    dynamic_connectivity.h:112-131, and non-tree push-down scoped to the
+    affected components, :133-167). Same deterministic insert/delete schedule
+    as q_dynamic_orders; emits the post-update (level, is_tree) histogram,
+    which is fully determined by component structure (tree edges per
+    component = size−1; push-down predicates depend only on sizes and the
+    affected set), so the DuckDB twin checks it without fixing which edges
+    the forest picked."""
+    import shutil
+    import tempfile
+
+    from elektra_spark.dynamic.updates import DynamicGraph
+    from elektra_spark.tables import SnapshotCatalog
+
+    edges, vertices = _customer_order_graph(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    wh = os.path.join(tempfile.gettempdir(), f"elektra_dynamic_levels_orders_{tag}")
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = SnapshotCatalog(spark, wh)
+    g = DynamicGraph.create(cat, edges, vertices=vertices, levels=True)
+
+    orders = _t(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").cast("long").alias("o"), F.col("o_custkey").cast("long").alias("c")
+    )
+    o2 = orders.select(F.col("o").alias("o_next"))
+    adds = (
+        orders.filter(F.col("o") % 100 == 0)
+        .join(o2, F.col("o") + 1 == F.col("o_next"))
+        .select(
+            (F.lit(ORDER_VID_OFFSET) + F.col("o")).alias("src"),
+            (F.lit(ORDER_VID_OFFSET) + F.col("o_next")).alias("dst"),
+        )
+    )
+    # second insert wave: the two earliest orders of every 10th customer —
+    # same component by construction, so these land NON-tree at the top
+    # level and exercise both non-tree push-down branches (affected → top−1,
+    # untouched → top) in the output histogram
+    w = Window.partitionBy("c").orderBy("o")
+    ranked = orders.withColumn("rn", F.row_number().over(w))
+    adds2 = (
+        ranked.filter((F.col("rn") == 1) & (F.col("c") % 10 == 0))
+        .select("c", F.col("o").alias("a"))
+        .join(ranked.filter(F.col("rn") == 2).select("c", F.col("o").alias("b")), "c")
+        .select(
+            (F.lit(ORDER_VID_OFFSET) + F.col("a")).alias("src"),
+            (F.lit(ORDER_VID_OFFSET) + F.col("b")).alias("dst"),
+        )
+    )
+    dels = orders.filter(F.col("o") % 13 == 0).select(
+        F.col("c").alias("src"), (F.lit(ORDER_VID_OFFSET) + F.col("o")).alias("dst")
+    )
+    g.batch_add_edges(adds.unionByName(adds2))
+    g.batch_delete_edges(dels)
+    lbl = g.labels().withColumnRenamed("vid", "src")
+    return (
+        g.levels_table()
+        .join(lbl, "src")
+        .groupBy("level", "is_tree")
+        .agg(
+            F.count("*").alias("n_edges"),
+            F.countDistinct("component").alias("n_components"),
+        )
+    )
+
+
 def q_component_vertices_orders(spark, sf_dir):
     """``ComponentVertices`` (elektra euler_tour_tree.h:565-587): enumerate the
     members of customer 1's component (component id = min vid = 1)."""
@@ -812,6 +883,76 @@ def _dynamic_orders_sql() -> str:
     )
 
 
+def _dynamic_levels_orders_sql() -> str:
+    """Twin of q_dynamic_levels_orders. Two pruned recursive CCs (post-insert
+    and post-delete edge sets); the (level, is_tree) histogram then follows
+    from structure alone: tree edges per post-delete component = size − 1
+    (forest invariant), tree push-down iff size ≤ 2^(top−1), non-tree
+    remainder = edges(C) − (size−1) pushed iff the component lies inside an
+    affected post-insert component (affected = components containing a
+    deleted edge's src). A post-delete component is inside an affected
+    post-insert component iff its min vid (its id) is a member vid."""
+    return f"""WITH RECURSIVE
+  e0 AS (SELECT o_custkey::BIGINT AS src, ({ORDER_VID_OFFSET} + o_orderkey)::BIGINT AS dst,
+                o_orderkey AS o FROM orders),
+  adds AS (SELECT ({ORDER_VID_OFFSET} + o1.o_orderkey)::BIGINT AS src,
+                  ({ORDER_VID_OFFSET} + o2.o_orderkey)::BIGINT AS dst
+           FROM orders o1 JOIN orders o2 ON o2.o_orderkey = o1.o_orderkey + 1
+           WHERE o1.o_orderkey % 100 = 0),
+  ranked AS (SELECT o_custkey AS c, o_orderkey AS o,
+                    row_number() OVER (PARTITION BY o_custkey ORDER BY o_orderkey) AS rn
+             FROM orders),
+  adds2 AS (SELECT ({ORDER_VID_OFFSET} + a.o)::BIGINT AS src,
+                   ({ORDER_VID_OFFSET} + b.o)::BIGINT AS dst
+            FROM ranked a JOIN ranked b ON a.c = b.c AND a.rn = 1 AND b.rn = 2
+            WHERE a.c % 10 = 0),
+  dels AS (SELECT o_custkey::BIGINT AS src, ({ORDER_VID_OFFSET} + o_orderkey)::BIGINT AS dst
+           FROM orders WHERE o_orderkey % 13 = 0),
+  verts AS MATERIALIZED (SELECT c_custkey::BIGINT AS vid FROM customer
+           UNION ALL SELECT ({ORDER_VID_OFFSET} + o_orderkey)::BIGINT FROM orders),
+  lv AS (SELECT greatest(1, cast(ceil(log2(greatest(2, count(*)))) AS INT)) AS top FROM verts),
+  e1 AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT src, dst FROM adds
+       UNION SELECT src, dst FROM adds2),
+  e2 AS MATERIALIZED (SELECT src, dst FROM e0 WHERE o % 13 <> 0
+       UNION SELECT src, dst FROM adds UNION SELECT src, dst FROM adds2),
+  b1 AS MATERIALIZED (SELECT src, dst FROM e1 UNION ALL SELECT dst, src FROM e1),
+  r1(vid, label) AS (
+    SELECT vid, vid FROM verts
+    UNION
+    SELECT b1.dst, r1.label FROM r1 JOIN b1 ON b1.src = r1.vid WHERE r1.label < b1.dst
+  ),
+  cc1 AS MATERIALIZED (SELECT vid, min(label) AS component FROM r1 GROUP BY vid),
+  b2 AS MATERIALIZED (SELECT src, dst FROM e2 UNION ALL SELECT dst, src FROM e2),
+  r2(vid, label) AS (
+    SELECT vid, vid FROM verts
+    UNION
+    SELECT b2.dst, r2.label FROM r2 JOIN b2 ON b2.src = r2.vid WHERE r2.label < b2.dst
+  ),
+  cc2 AS MATERIALIZED (SELECT vid, min(label) AS component FROM r2 GROUP BY vid),
+  aff AS MATERIALIZED (SELECT DISTINCT c.component FROM cc1 c JOIN dels d ON c.vid = d.src),
+  member AS MATERIALIZED (SELECT vid FROM cc1 WHERE component IN (SELECT component FROM aff)),
+  sizes2 AS MATERIALIZED (SELECT component, count(*) AS sz FROM cc2 GROUP BY component),
+  ecount2 AS (SELECT c.component, count(*) AS ne
+              FROM e2 JOIN cc2 c ON e2.src = c.vid GROUP BY c.component),
+  comp2 AS (SELECT s.component, s.sz, coalesce(ec.ne, 0) AS ne,
+                   s.component IN (SELECT vid FROM member) AS is_member
+            FROM sizes2 s LEFT JOIN ecount2 ec USING (component)),
+  hist AS (
+    SELECT CASE WHEN sz <= power(2, top - 1) THEN top - 1 ELSE top END AS level,
+           TRUE AS is_tree, sum(sz - 1) AS n,
+           count(*) FILTER (WHERE sz > 1) AS n_comps
+    FROM comp2, lv GROUP BY 1
+    UNION ALL
+    SELECT CASE WHEN is_member THEN top - 1 ELSE top END AS level,
+           FALSE AS is_tree, sum(ne - (sz - 1)) AS n,
+           count(*) FILTER (WHERE ne - (sz - 1) > 0) AS n_comps
+    FROM comp2, lv GROUP BY 1
+  )
+  SELECT level::INT AS level, is_tree, n::BIGINT AS n_edges, n_comps::BIGINT AS n_components
+  FROM hist WHERE n > 0
+  """
+
+
 def _simhash_near_pairs_sql(max_distance: int = 3) -> str:
     """Twin of q_simhash_near_pairs_docs: same simhash bands (generated from
     the same bit layout), band self-join, exact Hamming via bit_count(xor)."""
@@ -941,13 +1082,16 @@ def _ann_lsh_sql(k: int = 5, multi_probe: int = 0) -> str:
 
 
 def _ann_ivf_sql() -> str:
-    """Twin of q_ann_ivf_docs. The driver's correctness compare runs at
-    sf0.01, so the quantizer trains on the same deterministic sample slice
-    read from the sf0.01 parquet directly (the same fixture-path pattern the
-    transcript twins use)."""
+    """Twin of q_ann_ivf_docs. The quantizer must train on the SAME data the
+    engine trains on (q_ann_ivf_docs trains from the harness's sf_dir), so
+    the twin reads the scale directory from $ELEKTRA_SF_DIR when the harness
+    exports it (tools/check_contract.py does) and falls back to sf0.01 — the
+    scale the driver's correctness compare always runs at. Round-3 ADVICE:
+    the previous hardcoded sf0.01 path guaranteed a mismatch at any other sf."""
     from elektra_spark.sim.ivf import ivf_topk_sql, train_centroids
 
-    centroids = train_centroids(_ivf_sample("/root/testdata/sf0.01"), k=IVF_K, iters=IVF_ITERS)
+    sf_dir = os.environ.get("ELEKTRA_SF_DIR", "/root/testdata/sf0.01")
+    centroids = train_centroids(_ivf_sample(sf_dir), k=IVF_K, iters=IVF_ITERS)
     return ivf_topk_sql(centroids, k=5, nprobe=IVF_NPROBE)
 
 
@@ -1157,6 +1301,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram_parts": q_degree_histogram_parts,
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
         "dynamic_orders": q_dynamic_orders,
+        "dynamic_levels_orders": q_dynamic_levels_orders,
         "component_vertices_orders": q_component_vertices_orders,
         "component_edges_orders": q_component_edges_orders,
         "transcript_levels": q_transcript_levels,
@@ -1252,6 +1397,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_levels": _transcript_levels_sql(),
         "transcript_levels2": _transcript_levels2_sql(),
         "dynamic_orders": _dynamic_orders_sql(),
+        "dynamic_levels_orders": _dynamic_levels_orders_sql(),
         "component_vertices_orders": f"""
   SELECT 1::BIGINT AS vid
   UNION ALL

@@ -117,15 +117,24 @@ def _alloc_worker(mb: int) -> float:
 def memory_scaling_probe(procs: int = 4, mb: int = 192) -> dict:
     """Host memory-parallelism weather gauge, run once per matched window.
 
-    Pure NumPy streaming sums in 1 vs ``procs`` concurrent processes;
-    ``bw_scaling`` = (aggregate@procs / single) / procs — the same statistic
-    as the 1→4-core efficiency gate, but for the bare machine. This sandbox
-    weathers co-tenancy storms in which parallel memory traffic collapses
-    (observed: the same CC job at 8 s and 36 s at 4 cores hours apart, with
-    4 cores occasionally *slower* than 1); when the probe itself reads below
-    the gate, the host could not supply 4× memory bandwidth during that
-    window regardless of engine design — the annotation lets a reader
-    attribute sub-gate windows to weather vs plan."""
+    THREE dimensions, because this sandbox has three distinct storm modes:
+
+    - ``bw_scaling`` — pure NumPy streaming sums in 1 vs ``procs`` concurrent
+      processes, (aggregate@procs / single) / procs: the same statistic as
+      the 1→4-core efficiency gate, but for the bare machine.
+    - ``alloc_mbs`` — single-process fresh-allocation throughput (fault +
+      zero new buffers): kernel memory compaction (khugepaged/DAMON) stalls
+      page faults while warm streaming stays fast.
+    - ``alloc_par_eff`` — fresh allocation in ``procs`` concurrent processes
+      vs single, same ratio as bw_scaling: **the dimension that killed the
+      round-3 windows** — the driver's run showed healthy single-proc alloc
+      (3.4 GB/s) and healthy streaming (0.90) while the 4-core JVM superstep
+      crawled; concurrent fresh-faulting serializes on the kernel fault path
+      (mmap_lock + compaction) in a way neither single-proc probe sees.
+
+    When a probe reads below the gate, the host could not supply 4× of that
+    resource during the window regardless of engine design — the annotation
+    lets a reader attribute sub-gate windows to weather vs plan."""
     from concurrent.futures import ProcessPoolExecutor
 
     with ProcessPoolExecutor(1) as ex:
@@ -134,28 +143,38 @@ def memory_scaling_probe(procs: int = 4, mb: int = 192) -> dict:
         many = sum(ex.map(_probe_worker, [mb] * procs))
     with ProcessPoolExecutor(1) as ex:
         alloc = sum(ex.map(_alloc_worker, [64]))
+    with ProcessPoolExecutor(procs) as ex:
+        alloc_many = sum(ex.map(_alloc_worker, [64] * procs))
     return {
         "bw_1p_mbs": round(one),
         f"bw_{procs}p_mbs": round(many),
         "bw_scaling": round(many / one / procs, 3),
         "alloc_mbs": round(alloc),
+        "alloc_par_eff": round(alloc_many / alloc / procs, 3) if alloc else 0.0,
     }
 
 
 ALLOC_HEALTHY_MBS = 80  # below this, worker/buffer setup is fault-crawling
+ALLOC_PAR_HEALTHY = 0.45  # below this, concurrent fresh-faulting serializes
 
 
-def await_calm(procs: int, threshold: float = 0.7, tries: int = 4, wait_s: int = 45) -> dict:
+def await_calm(procs: int, threshold: float = 0.7, tries: int = 6, wait_s: int = 45) -> dict:
     """Probe the host's memory weather; if a storm is in progress (parallel
-    streaming below ``threshold`` or fresh-allocation throughput below
-    ``ALLOC_HEALTHY_MBS``), wait it out for up to ``tries`` probes before
-    starting the window — a 45 s wait is far cheaper than burning a ~350 s
-    matched window on weather that caps every memory-bound workload. Purely a
-    *when-to-measure* choice: every executed window is still reported with
-    its bracketing probes, and the gated statistic stays the raw median."""
+    streaming below ``threshold``, fresh-allocation throughput below
+    ``ALLOC_HEALTHY_MBS``, or parallel fresh-alloc efficiency below
+    ``ALLOC_PAR_HEALTHY`` — the r3 killer mode), wait it out for up to
+    ``tries`` probes before starting the window — a 45 s wait is far cheaper
+    than burning a ~350 s matched window on weather that caps every
+    memory-bound workload. Purely a *when-to-measure* choice: every executed
+    window is still reported with its bracketing probes, and the gated
+    statistic stays the raw median."""
     p = memory_scaling_probe(procs=procs)
     while (
-        (p["bw_scaling"] < threshold or p["alloc_mbs"] < ALLOC_HEALTHY_MBS)
+        (
+            p["bw_scaling"] < threshold
+            or p["alloc_mbs"] < ALLOC_HEALTHY_MBS
+            or p["alloc_par_eff"] < ALLOC_PAR_HEALTHY
+        )
         and tries > 1
         and elapsed() + wait_s < BUDGET_SEC
     ):
@@ -240,6 +259,47 @@ def bench_insertion_throughput(spark) -> dict:
     return {"link_insertion_only100_median_sec": round(statistics.median(times), 3)}
 
 
+def bench_mixed_throughput(spark) -> dict:
+    """Reference-parity metric #2 (elektra benchmarks/benchmark.h:50-89,
+    `incrementallUpdateConnectivity`): build the forest from a preload, then
+    run `num_iters` (5, benchmark.h:150) random batches that MIX inserts with
+    ~10% deletes of already-present edges, timing the full MERGE + affected-
+    component recompute path per batch; report the median batch wall. This is
+    the delete-containing counterpart of `insertionOnly` that VERDICT r3
+    flagged as missing — deletes exercise the (more expensive) recompute."""
+    import random
+    import shutil
+
+    from elektra_spark.dynamic.updates import DynamicGraph
+    from elektra_spark.ingest.graph_io import read_edge_list
+    from elektra_spark.tables import SnapshotCatalog
+
+    path = "/root/reference/benchmarks/graphs/email-Eu-core.txt"
+    if not os.path.exists(path):
+        return {}
+    pairs = [(r["src"], r["dst"]) for r in read_edge_list(spark, path).collect()]
+    rng = random.Random(43)
+    rng.shuffle(pairs)
+    n_pre = int(len(pairs) * 0.40)
+    wh = f"{CACHE}/mixed_warehouse"
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = SnapshotCatalog(spark, wh)
+    present = pairs[:n_pre]
+    g = DynamicGraph.create(cat, spark.createDataFrame(present, "src long, dst long"))
+    times = []
+    off = n_pre
+    for _ in range(5):
+        inserts = pairs[off : off + 90]
+        off += 90
+        deletes = rng.sample(present, 10)
+        t0 = time.time()
+        g.batch_add_edges(spark.createDataFrame(inserts, "src long, dst long"))
+        g.batch_delete_edges(spark.createDataFrame(deletes, "src long, dst long"))
+        times.append(time.time() - t0)
+        present = [p for p in present if p not in set(deletes)] + inserts
+    return {"link_mixed100_median_sec": round(statistics.median(times), 3)}
+
+
 def main():
     os.makedirs(CACHE, exist_ok=True)
     sf = sf_of(SF_DIR)
@@ -264,11 +324,17 @@ def main():
     from elektra_spark.operators.cc import connected_components
     from elektra_spark.operators.pagerank import pagerank
 
+    # headline = the engine default (auto → bsp on the dense transcript
+    # graph: message-minimal superstep, worker-resident CSR); the df
+    # rank-scatter-join kernel is kept as a second line for longitudinal
+    # comparison with rounds 1-3 (and because it is the gated scaling
+    # workload below)
+    t0 = time.time()
+    pagerank(edges, n_iter=6).count()
+    queries["pagerank6"] = round(time.time() - t0, 2)
     t0 = time.time()
     pagerank(edges, n_iter=6, kernel="df").count()
     queries["pagerank6_df"] = round(time.time() - t0, 2)
-    # csr PageRank kernel: demoted behind the flag (df wins 1.7× steady-state,
-    # pagerank.py:27-33) and no longer burned in the headline suite.
 
     cc_phases: dict[str, float] = {}
     t0 = time.time()
@@ -295,6 +361,8 @@ def main():
 
     if elapsed() < 0.45 * BUDGET_SEC:
         queries.update(bench_insertion_throughput(spark))
+    if elapsed() < 0.45 * BUDGET_SEC:
+        queries.update(bench_mixed_throughput(spark))
 
     # scaling runs in fresh JVMs on byte-identical input (one shared graph)
     scale_edges = ensure_edges(spark, SCALING_CONVS_CC)
@@ -337,6 +405,8 @@ def main():
             {
                 "pr_lo": min(res_lo["pr_step_secs"][1:]),
                 "pr_hi": min(res_hi["pr_step_secs"][1:]),
+                "bsp_lo": min(res_lo["pr_bsp_step_secs"][1:]),
+                "bsp_hi": min(res_hi["pr_bsp_step_secs"][1:]),
                 "cc_lo": res_lo["cc_total_sec"],
                 "cc_hi": res_hi["cc_total_sec"],
                 "n_edges": res_hi["n_edges"],
@@ -347,35 +417,64 @@ def main():
                 # either side of it; the min is the honest annotation
                 "bw_scaling": round(min(hi_pre["bw_scaling"], hi_post["bw_scaling"]), 3),
                 "alloc_mbs": min(hi_pre["alloc_mbs"], hi_post["alloc_mbs"]),
+                "alloc_par": round(
+                    min(
+                        pre.get("alloc_par_eff", 1.0),
+                        hi_pre.get("alloc_par_eff", 1.0),
+                        hi_post.get("alloc_par_eff", 1.0),
+                    ),
+                    3,
+                ),
+                # df-kernel superstep JVM telemetry at 4N (VERDICT r3 item 1):
+                # worst per-superstep GC and the committed-heap span — if a
+                # slow window shows flat heap + low GC, the cost is outside
+                # the JVM (host fault stall), not storage eviction
+                "hi_gc_max_ms": max(
+                    (t["gc_delta_ms"] for t in res_hi["pr_df_telemetry"]), default=0
+                ),
+                "hi_heap_mb": max(
+                    (t["heap_committed_mb"] for t in res_hi["pr_df_telemetry"]), default=0
+                ),
             }
         )
     for r in rep_results:
         r["eff_pr"] = (r["pr_lo"] / r["pr_hi"]) / (hi / lo)
         r["eff_cc"] = (r["cc_lo"] / r["cc_hi"]) / (hi / lo)
+        r["eff_bsp"] = (r["bsp_lo"] / r["bsp_hi"]) / (hi / lo)
     # median matched window = the headline and gated statistic (all windows
     # listed below); best-window selection would be upward-biased
     eff_pr = statistics.median(r["eff_pr"] for r in rep_results)
     eff_cc = statistics.median(r["eff_cc"] for r in rep_results)
+    eff_bsp = statistics.median(r["eff_bsp"] for r in rep_results)
     med_pr = min(rep_results, key=lambda r: abs(r["eff_pr"] - eff_pr))
     med_cc = min(rep_results, key=lambda r: abs(r["eff_cc"] - eff_cc))
+    med_bsp = min(rep_results, key=lambda r: abs(r["eff_bsp"] - eff_bsp))
     scal = {
         lo: {"pr_step_sec": med_pr["pr_lo"], "cc_sec": med_cc["cc_lo"],
-             "n_edges": rep_results[0]["n_edges"]},
+             "bsp_step_sec": med_bsp["bsp_lo"], "n_edges": rep_results[0]["n_edges"]},
         hi: {"pr_step_sec": med_pr["pr_hi"], "cc_sec": med_cc["cc_hi"],
-             "n_edges": rep_results[0]["n_edges"]},
+             "bsp_step_sec": med_bsp["bsp_hi"], "n_edges": rep_results[0]["n_edges"]},
     }
     pr_steps_per_hour = 3600.0 / scal[hi]["pr_step_sec"]
-    edges_per_sec = 2 * scal[hi]["n_edges"] / scal[hi]["pr_step_sec"]
+    bsp_steps_per_hour = 3600.0 / scal[hi]["bsp_step_sec"]
+    edges_per_sec = 2 * scal[hi]["n_edges"] / scal[hi]["bsp_step_sec"]
 
     queries[f"pr_superstep_sec_local{lo}"] = round(scal[lo]["pr_step_sec"], 3)
     queries[f"pr_superstep_sec_local{hi}"] = round(scal[hi]["pr_step_sec"], 3)
+    queries[f"pr_bsp_superstep_sec_local{lo}"] = round(scal[lo]["bsp_step_sec"], 3)
+    queries[f"pr_bsp_superstep_sec_local{hi}"] = round(scal[hi]["bsp_step_sec"], 3)
     queries[f"cc_sec_local{lo}"] = round(scal[lo]["cc_sec"], 2)
     queries[f"cc_sec_local{hi}"] = round(scal[hi]["cc_sec"], 2)
     queries["scaling_efficiency_pagerank"] = round(eff_pr, 3)
     queries["scaling_efficiency_cc"] = round(eff_cc, 3)
+    queries["scaling_efficiency_pagerank_bsp"] = round(eff_bsp, 3)
 
     total = round(sum(v for k, v in queries.items() if not k.startswith("scaling_")), 2)
 
+    ins = queries.get("link_insertion_only100_median_sec")
+    ins_s = f"{ins}s" if isinstance(ins, (int, float)) else "skipped (budget)"
+    mix = queries.get("link_mixed100_median_sec")
+    mix_s = f"{mix}s" if isinstance(mix, (int, float)) else "skipped (budget)"
     os.makedirs("BENCH", exist_ok=True)
     with open("BENCH/BASELINE.md", "w") as f:
         f.write(
@@ -390,14 +489,33 @@ partitions scaled 4×cores; environmental stalls filtered by min steady superste
 (supersteps 2..{SCALING_ITERS}). Bench wall: {elapsed():.0f}s of a {BUDGET_SEC:.0f}s budget,
 {len(rep_results)} matched window(s) (adaptive — another window runs only if it fits).
 
+Two PageRank kernels are measured on the same input (pagerank.py module
+docstring): **df** — the north rule's literal "repeated rank-scatter join"
+(pure Catalyst join + map-side-combined aggregation; ~13 s of genuinely
+parallelizable JVM work per superstep at local[1] on the scaling graph) — is
+the **gated** N→4N workload; **bsp** — the engine's default on dense-vid
+graphs (north-star CSR-blocks-in-Arrow-UDFs design: worker-resident CSR +
+in-place rank state, Spark moves only cross-bucket messages) — is ~10×
+faster absolute, so at this local scale its ~1.2 s superstep is dominated by
+fixed driver/job overhead (~1 s) and its 1→4-core ratio reflects that
+overhead, not the scalable work; its efficiency is reported, not gated, and
+its absolute supersteps/hour at both levels is the honest throughput
+evidence. (On a 1000-executor cluster at 10^12 edges both kernels'
+supersteps are minutes long; the df measurement exercises the
+shuffle/aggregation machinery whose scaling matters there, the bsp numbers
+show the same engine's optimized executor.)
+
 | metric | value |
 |---|---|
-| PageRank supersteps/hour (local[{hi}], {scal[hi]['n_edges']:,} edges) | {pr_steps_per_hour:,.0f} |
-| PageRank superstep wall (local[{lo}] / local[{hi}]) | {scal[lo]['pr_step_sec']:.2f}s / {scal[hi]['pr_step_sec']:.2f}s |
-| rank-scatter throughput (local[{hi}]) | {edges_per_sec:,.0f} edge-messages/s |
+| PageRank supersteps/hour (bsp kernel, local[{hi}], {scal[hi]['n_edges']:,} edges) | {bsp_steps_per_hour:,.0f} |
+| PageRank supersteps/hour (df kernel, local[{hi}]) | {pr_steps_per_hour:,.0f} |
+| PageRank superstep wall, df kernel (local[{lo}] / local[{hi}]) | {scal[lo]['pr_step_sec']:.2f}s / {scal[hi]['pr_step_sec']:.2f}s |
+| PageRank superstep wall, bsp kernel (local[{lo}] / local[{hi}]) | {scal[lo]['bsp_step_sec']:.2f}s / {scal[hi]['bsp_step_sec']:.2f}s |
+| rank-scatter throughput (bsp, local[{hi}]) | {edges_per_sec:,.0f} edge-messages/s |
 | CC convergence wall (local[{lo}] / local[{hi}]) | {scal[lo]['cc_sec']:.1f}s / {scal[hi]['cc_sec']:.1f}s |
-| **scaling efficiency {lo}→{hi} cores (PageRank, median window)** | **{eff_pr:.3f}** (gate ≥ 0.8) |
+| **scaling efficiency {lo}→{hi} cores (PageRank df, median window)** | **{eff_pr:.3f}** (gate ≥ 0.8) |
 | scaling efficiency {lo}→{hi} cores (CC, median window) | {eff_cc:.3f} |
+| scaling efficiency {lo}→{hi} cores (PageRank bsp, median window; overhead-bound, reported not gated) | {eff_bsp:.3f} |
 
 Matched-window repetitions (each row = one N-then-4N back-to-back pair; the headline
 efficiency is the **median** matched window — co-tenancy storms hit individual runs, so
@@ -407,24 +525,31 @@ concurrent-memory-bandwidth probe: pure NumPy streaming sums in 1 vs {hi} proces
 worker (the min of the bracket is shown; `pre` is the window-start probe, which also
 gates a wait-out-the-storm delay before the window starts). When the bare machine's own
 probe reads below the 0.8 gate, the host could not supply {hi}× memory bandwidth during
-that window and no memory-bound workload can scale past it regardless of plan shape:
+that window and no memory-bound workload can scale past it regardless of plan shape.
 
 `alloc` is the bracketed fresh-allocation probe (MB/s, single process): kernel memory
 compaction in this VM (khugepaged/DAMON) periodically stalls page faults — measured
-21 MB/s bad-phase vs hundreds healthy — which throttles JVM/Arrow/NumPy buffer setup in
-the fresh {hi}-core worker while leaving warm-buffer streaming (and therefore the bw
-probe alone) looking fine; below ~{ALLOC_HEALTHY_MBS} MB/s the window's 4N side is
-fault-bound, not plan-bound:
+21 MB/s bad-phase vs thousands healthy — which throttles JVM/Arrow/NumPy buffer setup
+while leaving warm-buffer streaming looking fine. `allocP` is the **parallel**
+fresh-allocation efficiency (alloc in 1 vs {hi} processes, same ratio as the gate) —
+the round-3 failure mode: the driver's windows showed healthy single-proc alloc and
+healthy streaming while concurrent fresh-faulting serialized on the kernel fault path,
+crushing only the {hi}-core JVM side (df supersteps 17-65 s vs ~14 s at 1 core, while
+warm-buffer CC in the same JVMs stayed healthy). Healthy ≥ ~0.75; the window-start
+probe now waits out phases below {ALLOC_PAR_HEALTHY}. `gc`/`heap` are the {hi}N df
+supersteps' worst per-step GC and committed-heap max (VERDICT r3 instrumentation): a
+slow window with flat heap and low GC is host-fault-bound, not storage-eviction-bound.
 
-| rep | PR step {lo}c / {hi}c | eff_pr | CC {lo}c / {hi}c | eff_cc | host bw eff (pre / {hi}N-bracket) | alloc MB/s ({hi}N-bracket) |
-|---|---|---|---|---|---|---|
-{chr(10).join(f"| {i} | {r['pr_lo']:.2f}s / {r['pr_hi']:.2f}s | {r['eff_pr']:.3f} | {r['cc_lo']:.1f}s / {r['cc_hi']:.1f}s | {r['eff_cc']:.3f} | {r['bw_pre']:.3f} / {r['bw_scaling']:.3f} | {r['alloc_mbs']} |" for i, r in enumerate(rep_results))}
+| rep | PR-df {lo}c / {hi}c | eff_pr | PR-bsp {lo}c / {hi}c | CC {lo}c / {hi}c | eff_cc | bw (pre/brkt) | alloc | allocP | gc ms | heap MB |
+|---|---|---|---|---|---|---|---|---|---|---|
+{chr(10).join(f"| {i} | {r['pr_lo']:.2f}s / {r['pr_hi']:.2f}s | {r['eff_pr']:.3f} | {r['bsp_lo']:.2f}s / {r['bsp_hi']:.2f}s | {r['cc_lo']:.1f}s / {r['cc_hi']:.1f}s | {r['eff_cc']:.3f} | {r['bw_pre']:.2f}/{r['bw_scaling']:.2f} | {r['alloc_mbs']} | {r['alloc_par']:.2f} | {r['hi_gc_max_ms']} | {r['hi_heap_mb']} |" for i, r in enumerate(rep_results))}
 
 Headline suite (local[{CPUS}], sf{sf}):
 
 | query | wall |
 |---|---|
-| PageRank 6 supersteps, df kernel | {queries['pagerank6_df']}s |
+| PageRank 6 supersteps (engine default: bsp kernel) | {queries['pagerank6']}s |
+| PageRank 6 supersteps, df rank-scatter-join kernel | {queries['pagerank6_df']}s |
 | CC convergence (csr kernel) | {queries['cc_convergence']}s |
 | — CC phases: {", ".join(f"{k} {v}s" for k, v in cc_phases.items())} | |
 | triangles (co-purchase graph) | {queries['triangles_copurchase']}s |
@@ -432,7 +557,8 @@ Headline suite (local[{CPUS}], sf{sf}):
 | text profile | {queries['text_profile_docs']}s |
 | star-join revenue | {queries['revenue_by_region_status']}s |
 | ANN top-k (SQL-style oracle surface) | {queries['ann_topk_docs']}s |
-| link-insertion-only100 median batch (email-Eu-core, 40% preload) | {queries.get('link_insertion_only100_median_sec', 'skipped (budget)')}s |
+| link-insertion-only100 median batch (email-Eu-core, 40% preload) | {ins_s} |
+| link-mixed100 median batch (email-Eu-core, ~10% deletes per batch) | {mix_s} |
 
 Reference comparison: the reference publishes no numbers (BASELINE.md §1); its harness
 metric is median batch-link time on email-Eu-core (25,571 edges). Our engine processes

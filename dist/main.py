@@ -81,7 +81,7 @@ def main(argv=None) -> int:
         from elektra_spark.operators.pagerank import pagerank
 
         remaining = max(0, args.n_iter - start_step)
-        out = pagerank(edges, vertices=vertices, n_iter=remaining, kernel="df" if args.kernel == "auto" else args.kernel,
+        out = pagerank(edges, vertices=vertices, n_iter=remaining, kernel=args.kernel,
                        checkpoint=checkpoint, on_superstep=hook, start_step=start_step, init_ranks=init)
     elif args.job == "cc":
         from elektra_spark.operators.cc import connected_components

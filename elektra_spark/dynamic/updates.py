@@ -78,11 +78,39 @@ def _canon(batch: DataFrame) -> DataFrame:
 
 
 class DynamicGraph:
-    """A mutable graph backed by catalog tables (edges / labels / forest)."""
+    """A mutable graph backed by catalog tables (edges / labels / forest, and
+    — with ``levels=True`` — the HDT ``(level, is_tree)`` metadata table
+    maintained through the same MERGE commits).
 
-    def __init__(self, catalog: SnapshotCatalog, prefix: str = "graph"):
+    ``levels=True`` (integrated levels mode, closing SURVEY §7.5's last
+    semantic distance to ``BatchDeleteEdges``, dynamic_connectivity.h:169-377):
+    new edges enter at the top level (dynamic_connectivity.h:58,79); the
+    delete path re-syncs tree flags of the affected components to the
+    recomputed forest and runs the push-down operators (tree push-down under
+    the 2^(l−1) component-size cap globally — every component the recompute
+    produced is re-examined — and non-tree push-down scoped to the affected
+    components, the reference's search scope). The level table never drives
+    connectivity here (the set-oriented recompute replaces the O(log² n)
+    amortization, SURVEY §7.3); it is maintained and invariant-checked
+    (:func:`~elektra_spark.dynamic.levels.check_level_invariants`) so a user
+    of the reference's level surface sees the same bookkeeping.
+
+    ``check_rep=True``: run :meth:`check_rep` at the exit of every batch op —
+    the debug-gated analogue of the reference calling ``CheckRep()`` on entry
+    and exit of each public mutation (dynamic_connectivity.h:45,376).
+    """
+
+    def __init__(
+        self,
+        catalog: SnapshotCatalog,
+        prefix: str = "graph",
+        levels: bool = False,
+        check_rep: bool = False,
+    ):
         self.catalog = catalog
         self.prefix = prefix
+        self.levels = levels
+        self.with_check_rep = check_rep
 
     def _t(self, name: str) -> str:
         return f"{self.prefix}_{name}"
@@ -95,14 +123,23 @@ class DynamicGraph:
         edges: DataFrame,
         vertices: DataFrame | None = None,
         prefix: str = "graph",
+        levels: bool = False,
+        check_rep: bool = False,
     ) -> "DynamicGraph":
-        g = cls(catalog, prefix)
+        g = cls(catalog, prefix, levels=levels, check_rep=check_rep)
         edges = _canon(edges)
         catalog.write(g._t("edges"), edges, "create")
-        labels = connected_components(edges, vertices=vertices)
-        catalog.write(g._t("labels"), labels, "create")
+        lbls = connected_components(edges, vertices=vertices)
+        catalog.write(g._t("labels"), lbls, "create")
         forest = spanning_forest(edges)
         catalog.write(g._t("forest"), forest, "create")
+        if levels:
+            from .levels import with_levels
+
+            n = g.labels().count()
+            catalog.write(g._t("levels"), with_levels(edges, forest, n), "create")
+        if check_rep:
+            g.check_rep()
         return g
 
     # -- reads ----------------------------------------------------------------
@@ -114,6 +151,54 @@ class DynamicGraph:
 
     def forest(self) -> DataFrame:
         return self.catalog.read(self._t("forest"))
+
+    def levels_table(self) -> DataFrame:
+        """The ``(src, dst, level, is_tree)`` HDT metadata (levels mode)."""
+        return self.catalog.read(self._t("levels"))
+
+    # -- invariants ------------------------------------------------------------
+    def check_rep(self) -> None:
+        """Debug CheckRep (connectivity.h:114-348 re-expressed set-wise):
+
+        - labels == fresh min-vid CC of the edge table (exact, both sides
+          canonical min-vid — ``FindRepresentativeVertex`` semantics);
+        - forest ⊆ edges and forms a spanning forest: per component,
+          #tree edges == component size − 1 (the MST/forest-size invariant,
+          connectivity.h:216-265);
+        - levels mode: level bounds / tree-forest / HDT size-cap invariants
+          (:func:`~elektra_spark.dynamic.levels.check_level_invariants`).
+        Raises AssertionError on violation.
+        """
+        lbls = self.labels()
+        edges = self.edges()
+        fresh = connected_components(edges, vertices=lbls.select("vid"))
+        n_diff = (
+            lbls.join(fresh.withColumnRenamed("component", "c2"), "vid")
+            .filter(F.col("component") != F.col("c2"))
+            .count()
+        )
+        assert n_diff == 0, f"labels drifted from CC of edges on {n_diff} vertices"
+
+        forest = self.forest()
+        stray = forest.join(edges, ["src", "dst"], "left_anti").count()
+        assert stray == 0, f"{stray} forest edges not present in the edge table"
+        per_comp = (
+            forest.join(lbls.withColumnRenamed("vid", "src"), "src")
+            .groupBy("component")
+            .agg(F.count("*").alias("n_tree"))
+        )
+        sizes = lbls.groupBy("component").agg(F.count("*").alias("sz"))
+        bad = (
+            sizes.join(per_comp, "component", "left")
+            .filter(F.coalesce("n_tree", F.lit(0)) != F.col("sz") - 1)
+            .count()
+        )
+        assert bad == 0, f"forest-size invariant violated in {bad} components"
+
+        if self.levels:
+            from .levels import check_level_invariants
+
+            check_level_invariants(self.levels_table(), lbls.count())
 
     def batch_connected(self, queries: DataFrame) -> DataFrame:
         from ..operators.cc import batch_connected
@@ -201,6 +286,28 @@ class DynamicGraph:
         self.catalog.write(self._t("labels"), relabeled, "batch_add_edges")
         if winners_df is not None:
             self.catalog.write(self._t("forest"), self.forest().unionByName(winners_df), "batch_add_edges")
+        if self.levels:
+            # new edges enter at the current top level
+            # (dynamic_connectivity.h:58,79); tree flag = winner contract
+            from .levels import max_level
+
+            top = max_level(self.labels().count())
+            if winners_df is not None:
+                w = fresh.join(self.forest(), ["src", "dst"], "left_semi").withColumn(
+                    "is_tree", F.lit(True)
+                )
+                new_rows = fresh.join(w, ["src", "dst"], "left").select(
+                    "src", "dst", F.lit(top).cast("int").alias("level"),
+                    F.coalesce("is_tree", F.lit(False)).alias("is_tree"),
+                )
+            else:
+                new_rows = fresh.select(
+                    "src", "dst", F.lit(top).cast("int").alias("level"),
+                    F.lit(False).alias("is_tree"),
+                )
+            self.catalog.merge_insert(self._t("levels"), new_rows, ["src", "dst"])
+        if self.with_check_rep:
+            self.check_rep()
 
     # -- batch delete -----------------------------------------------------------
     def batch_delete_edges(self, batch: DataFrame) -> None:
@@ -208,11 +315,15 @@ class DynamicGraph:
         # RemoveUnknownEdges (connectivity-helpers.h:280-283)
         known = batch.join(self.edges(), ["src", "dst"], "left_semi").localCheckpoint(eager=True)
         self.catalog.merge_delete(self._t("edges"), known, ["src", "dst"])
+        if self.levels:
+            self.catalog.merge_delete(self._t("levels"), known, ["src", "dst"])
 
         # tree / non-tree split: only forest deletions can split components
         tree_dels = known.join(self.forest(), ["src", "dst"], "left_semi").localCheckpoint(eager=True)
         if tree_dels.count() == 0:
             # non-tree fast path: connectivity unchanged
+            if self.with_check_rep:
+                self.check_rep()
             return
 
         labels = self.labels()
@@ -242,3 +353,37 @@ class DynamicGraph:
             member.withColumnRenamed("vid", "src").select("src"), "src", "left_anti"
         )
         self.catalog.write(self._t("forest"), keep_forest.unionByName(new_sub_forest), "batch_delete_edges")
+
+        if self.levels:
+            # integrated levels mode (class docstring): re-sync the affected
+            # components' tree flags to the recomputed forest, then run the
+            # push-down operators at the table's top level — tree push-down
+            # under the 2^(l−1) size cap over the NEW labels
+            # (PushDownTreeEdgesFromComponents, dynamic_connectivity.h:112-131),
+            # non-tree push-down scoped to the affected components (the
+            # reference's ReplacementSearch search scope,
+            # dynamic_connectivity.h:133-167)
+            from .levels import push_down_non_tree_edges, push_down_tree_edges_from_components
+
+            member_src = member.select(F.col("vid").alias("src")).localCheckpoint(eager=True)
+            lvl = self.levels_table()
+            in_new_forest = self.forest().select("src", "dst").withColumn("t2", F.lit(True))
+            affected_rows = lvl.join(member_src, "src", "left_semi")
+            kept_rows = lvl.join(member_src, "src", "left_anti")
+            resynced = affected_rows.join(in_new_forest, ["src", "dst"], "left").select(
+                "src", "dst", "level", F.coalesce("t2", F.lit(False)).alias("is_tree")
+            )
+            lvl = kept_rows.unionByName(resynced)
+            top_row = lvl.agg(F.max("level")).collect()[0][0]
+            if top_row is not None and top_row > 0:
+                new_labels = untouched.unionByName(new_sub_labels)
+                lvl = push_down_tree_edges_from_components(lvl, new_labels, int(top_row))
+                nontree_batch = (
+                    lvl.filter((F.col("level") == int(top_row)) & ~F.col("is_tree"))
+                    .join(member_src, "src", "left_semi")
+                    .select("src", "dst")
+                )
+                lvl = push_down_non_tree_edges(lvl, nontree_batch, int(top_row))
+            self.catalog.write(self._t("levels"), lvl, "batch_delete_edges")
+        if self.with_check_rep:
+            self.check_rep()

@@ -55,7 +55,10 @@ def bpe_token_count(text: Column) -> Column:
         .when(p.rlike("^[0-9]"), F.length(p).cast("long"))
         .otherwise(F.lit(1).cast("long")),
     )
-    return F.aggregate(per, F.lit(0).cast("long"), lambda a, v: a + v)
+    total = F.aggregate(per, F.lit(0).cast("long"), lambda a, v: a + v)
+    # NULL text → 0 tokens (not NULL), mirroring the SQL twin's coalesce — an
+    # aggregate over a NULL array is NULL, which would flip downstream hashes
+    return F.coalesce(total, F.lit(0).cast("long"))
 
 
 def distinct_token_ratio(text: Column) -> Column:

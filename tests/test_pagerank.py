@@ -16,7 +16,7 @@ def _ranks_dict(df):
     return {r["vid"]: r["rank"] for r in df.collect()}
 
 
-@pytest.mark.parametrize("kernel", ["df", "csr"])
+@pytest.mark.parametrize("kernel", ["df", "csr", "bsp"])
 def test_pagerank_house(spark, kernel):
     edges = edges_from_pairs(spark, HOUSE)
     got = _ranks_dict(pagerank(edges, n_iter=30, kernel=kernel))
@@ -27,7 +27,7 @@ def test_pagerank_house(spark, kernel):
     assert abs(sum(got.values()) - 1.0) < 1e-9
 
 
-@pytest.mark.parametrize("kernel", ["df", "csr"])
+@pytest.mark.parametrize("kernel", ["df", "csr", "bsp"])
 def test_pagerank_with_dangling(spark, kernel):
     """Isolated vertices hold dangling mass that must be redistributed."""
     pairs = [(0, 1), (1, 2)]
@@ -66,5 +66,7 @@ def test_pagerank_kernels_agree(spark):
     g = derive_graph(t)
     r_df = _ranks_dict(pagerank(g.edges, vertices=g.vertices, n_iter=10, kernel="df"))
     r_csr = _ranks_dict(pagerank(g.edges, vertices=g.vertices, n_iter=10, kernel="csr"))
-    assert set(r_df) == set(r_csr)
+    r_bsp = _ranks_dict(pagerank(g.edges, vertices=g.vertices, n_iter=10, kernel="bsp"))
+    assert set(r_df) == set(r_csr) == set(r_bsp)
     assert max(abs(r_df[v] - r_csr[v]) for v in r_df) < 1e-12
+    assert max(abs(r_df[v] - r_bsp[v]) for v in r_df) < 1e-12

@@ -46,7 +46,8 @@ def _check_queries(g, spark, oracle, n_vertices: int, n_queries: int, rng):
         assert got[(u, v)] == want, (u, v, got[(u, v)], want)
 
 
-def _replay(spark, catalog, name: str, n_vertices: int, n_queries: int):
+def _replay(spark, catalog, name: str, n_vertices: int, n_queries: int,
+            levels: bool = False, check_rep: bool = False):
     path = _graph_path(name)
     if not os.path.exists(path):
         pytest.skip(f"reference fixture {path} not present")
@@ -55,7 +56,10 @@ def _replay(spark, catalog, name: str, n_vertices: int, n_queries: int):
     rng = random.Random(0)  # deterministic seed, as the reference (mt19937 rng{0})
 
     # insert-all → query (reference_connectivity.hpp:44-88)
-    g = DynamicGraph.create(catalog, edges, prefix=f"replay_{name.split('.')[0]}")
+    g = DynamicGraph.create(
+        catalog, edges, prefix=f"replay_{name.split('.')[0]}",
+        levels=levels, check_rep=check_rep,
+    )
     oracle = cc_oracle(pairs)
     assert _labels(g) == oracle
     spanning_forest_invariants(
@@ -80,8 +84,19 @@ def test_replay_basic(spark, catalog):
     _replay(spark, catalog, "basic.txt", 5, 100)
 
 
+def test_replay_basic_checked(spark, catalog):
+    """Replay with integrated levels + debug CheckRep enabled (the
+    reference's debug build runs CheckRep at entry/exit of every batch op,
+    dynamic_connectivity.h:45,376; level invariants checked post-commit)."""
+    _replay(spark, catalog, "basic.txt", 5, 50, levels=True, check_rep=True)
+
+
 def test_replay_basic_medium(spark, catalog):
     _replay(spark, catalog, "basic-medium.txt", 138, 1000)
+
+
+def test_replay_basic_medium_checked(spark, catalog):
+    _replay(spark, catalog, "basic-medium.txt", 138, 200, levels=True, check_rep=True)
 
 
 def test_replay_email_eu_core(spark, catalog):

@@ -2,12 +2,23 @@
 
 Usage: python tools/bench_worker.py <master_cores> <edges_parquet> <n_iter>
        <out_json> [mode] [verts_parquet]
-mode: pr | cc | both (default both). Runs PageRank (df kernel) for n_iter
-supersteps and/or CC (csr kernel) to fixpoint on the given edge table;
-writes per-superstep timings as JSON. ``verts_parquet``: the graph's vertex
-table (shipped with the edge table, as in the production catalog) — passing
-it spares PageRank the 2|E|-row distinct that would otherwise derive the
-universe inside the (untimed but wall-clock-real) prep.
+mode: pr | cc | both (default both). PR runs TWO kernels on the same input:
+``df`` (the gated N→4N scaling workload — the north rule's rank-scatter
+join; its per-superstep JVM shuffle/agg work is large enough at bench scale
+to exercise parallel execution) and ``bsp`` (the engine's default/fast path:
+message-minimal superstep, reported as supersteps/hour at both levels — at
+local scale its superstep is driver-overhead-bound, see BENCH/BASELINE.md).
+CC runs the two-level csr kernel to fixpoint, twice (run 0 pays Python-worker
+page-fault warm-up).
+
+Per-superstep JVM telemetry (GC ms, committed heap, storage bytes) is
+recorded for the df kernel — the round-3 verdict asked for exactly this
+instrumentation after the df superstep measured 4 s <-> 22 s bimodal on
+identical code (host fault-stall weather; the probes in bench.py bracket it).
+``verts_parquet``: the graph's vertex table (shipped with the edge table, as
+in the production catalog) — passing it spares PageRank the 2|E|-row
+distinct that would otherwise derive the universe inside the (untimed but
+wall-clock-real) prep.
 """
 
 from __future__ import annotations
@@ -18,6 +29,21 @@ import sys
 import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def jvm_stats(spark) -> dict:
+    mf = spark.sparkContext._jvm.java.lang.management.ManagementFactory
+    gc_ms = 0
+    it = mf.getGarbageCollectorMXBeans().iterator()
+    while it.hasNext():
+        gc_ms += max(0, it.next().getCollectionTime())
+    heap = mf.getMemoryMXBean().getHeapMemoryUsage()
+    storage = sum(i.memSize() for i in spark.sparkContext._jsc.sc().getRDDStorageInfo())
+    return {
+        "gc_ms": gc_ms,
+        "heap_committed_mb": heap.getCommitted() // (1 << 20),
+        "storage_mb": storage // (1 << 20),
+    }
 
 
 def main():
@@ -35,6 +61,10 @@ def main():
         f"bench-worker-{cores}",
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
+            # never let G1 uncommit heap between supersteps: re-faulting
+            # returned pages costs seconds-per-GB when the host is in its
+            # memory-compaction phase (measured: no cost in healthy weather)
+            "spark.driver.extraJavaOptions": "-XX:MaxHeapFreeRatio=100",
             # pin input splits 1:1 to the edge table's 16 range files so BOTH
             # parallelism levels execute the identical task set — on a real
             # cluster the splits are fixed and only executors scale; letting
@@ -50,22 +80,40 @@ def main():
 
     verts = spark.read.parquet(verts_path) if verts_path else None
 
-    steps: list[float] = []
+    df_steps: list[float] = []
+    df_telemetry: list[dict] = []
+    bsp_steps: list[float] = []
     pr_total = 0.0
     if mode in ("pr", "both"):
+        last = jvm_stats(spark)
+
+        def df_hook(s, c, t):
+            now = jvm_stats(spark)
+            df_steps.append(t)
+            df_telemetry.append(
+                {
+                    "wall_s": round(t, 3),
+                    "gc_delta_ms": now["gc_ms"] - last["gc_ms"],
+                    "heap_committed_mb": now["heap_committed_mb"],
+                    "storage_mb": now["storage_mb"],
+                }
+            )
+            last.update(now)
+
         t0 = time.time()
         pagerank(
-            edges, vertices=verts, n_iter=n_iter, kernel="df",
-            on_superstep=lambda s, c, t: steps.append(t),
+            edges, vertices=verts, n_iter=n_iter, kernel="df", on_superstep=df_hook
         ).count()
         pr_total = time.time() - t0
+        pagerank(
+            edges, vertices=verts, n_iter=max(n_iter, 8), kernel="bsp",
+            on_superstep=lambda s, c, t: bsp_steps.append(t),
+        ).count()
 
     # CC measured twice; both runs reported, min taken. Run 0 pays the
     # one-time Python worker warm-up (this sandbox faults fresh pages at
     # ~10 MB/s and the fault path does not parallelize); the second run is the
-    # steady state a long-lived production executor sits in. (Two runs, not
-    # three: the third bought little signal and the round-2 harness overran
-    # the driver's bench window.) Input is
+    # steady state a long-lived production executor sits in. Input is
     # src-sorted parquet (the engine's edge-table layout), so
     # pre_partitioned=True. The timed action is count() — materializing the
     # label table is the operator's work; the n_components distinct is a
@@ -89,7 +137,9 @@ def main():
                 "cores": int(cores),
                 "n_edges": n_edges,
                 "pr_total_sec": pr_total,
-                "pr_step_secs": steps,
+                "pr_step_secs": df_steps,
+                "pr_df_telemetry": df_telemetry,
+                "pr_bsp_step_secs": bsp_steps,
                 "cc_total_sec": cc_total,
                 "cc_run_secs": cc_runs,
                 "n_components": n_comp,

@@ -47,6 +47,10 @@ def main():
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
+    # twins that must train/sample from the harness's scale directory (e.g.
+    # the IVF quantizer) read it from this env var; the driver's own harness
+    # runs at sf0.01, which is the in-code default
+    os.environ["ELEKTRA_SF_DIR"] = sf_dir
     qs = entrymod.queries()
     oracles = entrymod.oracle_sql()
     results = {}
@@ -84,6 +88,14 @@ def main():
                    for c, t in sdf.dtypes}
         odtypes = {c: ("f" if str(t).startswith("float") else "i" if str(t).startswith(("int", "uint")) else "o")
                    for c, t in odf.dtypes.items()}
+        # a nullable DuckDB integer column converts to float64 in .df(); treat
+        # an oracle float whose values are all integral-or-NaN as family 'i'
+        # when the Spark side is integer (round-3 ADVICE false positive)
+        for c in list(odtypes):
+            if odtypes[c] == "f" and sdtypes.get(c) == "i":
+                vals = odf[c]
+                if vals.dropna().apply(float.is_integer).all():
+                    odtypes[c] = "i"
         type_mismatch = {c: (sdtypes.get(c), odtypes.get(c)) for c in sdtypes
                          if c in odtypes and sdtypes[c] != odtypes[c]}
         sc, sr = norm_rows(scols, srows)
