@@ -17,11 +17,16 @@ Three execution kernels, identical results (``kernel='auto'`` default picks
 - ``bsp`` — **the scale/robustness path** (north-star wording: "edges
   materialized as per-partition CSR blocks inside pandas/Arrow UDFs so each
   superstep is a vectorized sparse gather-scatter"): vid-range buckets with
-  worker-resident CSR blocks and rank state in per-bucket files overwritten
-  in place; Spark moves only the cross-bucket contribution rows per
-  superstep (~500k vs 8.3M on the 4.1M-edge bench graph). Requires dense
-  non-negative vids (derive_graph guarantees them). See
-  :func:`_pagerank_bsp` for the full design + cluster mapping.
+  mmap-shared CSR blocks (encoded once by the init job) and rank state in
+  per-bucket files overwritten in place; per superstep Spark moves only the
+  cross-bucket messages, minimized by a PowerGraph-style hybrid cut —
+  contributions combined per (target, dst) for low-fanout sources, values
+  shipped for high-fanout (tool-hub) sources whose edges live resident at
+  the target (~10k rows vs 33M edge-messages on the 16.6M-edge bench
+  graph; naive per-edge messaging was 1.9M rows with 50% landing on the
+  hub-owning bucket). Requires dense non-negative vids (derive_graph
+  guarantees them). See :func:`_pagerank_bsp` and :func:`_load_bsp_bucket`
+  for the full design + cluster mapping.
 - ``df`` — pure JVM / pure Catalyst: the adjacency (pre-joined with source
   degrees, materialized once, cached with its partitioning) is joined with
   the rank table and summed JVM-side. The sum is map-side combinable
@@ -38,16 +43,19 @@ Three execution kernels, identical results (``kernel='auto'`` default picks
   any vid space; on chain-heavy graphs the partials barely combine, so the
   JVM agg still sees ~E rows.
 
-Kernel choice (measured round 4 under tools/kernel_probe.py on the 4.1M-edge
-transcript graph; replaces the round-3 df-vs-csr claim that the driver's
-BENCH_r03 falsified): steady-state superstep df 13.5 s / 3.8-4.9 s at 1/4
-cores (healthy weather; 17-65 s at 4 cores in the driver's pathological
+Kernel choice (measured round 4 under tools/kernel_probe.py; replaces the
+round-3 df-vs-csr claim that the driver's BENCH_r03 falsified): on the
+4.1M-edge transcript graph, steady-state superstep df 13.5 s / 3.8-4.9 s at
+1/4 cores (healthy weather; 17-65 s at 4 cores in the driver's pathological
 windows — its superstep touches ~300 MB of fresh pages per round and this
 sandbox's host periodically serializes first-touch faults at ~10-100 MB/s),
-csr 14.0 s / 5.6 s, bsp 1.2 s / 1.3 s (overhead-bound: the actual
-gather-scatter is ~0.1 s — bsp is 3-10x faster absolute and its steady state
-allocates almost nothing fresh, making it immune to the fault-stall weather
-that made df bimodal). Numbers + window protocol in BENCH/BASELINE.md.
+csr 14.0 s / 5.6 s. bsp on the 4× larger 16.6M-edge graph: 1.2-1.4 s at 1
+core / ~1.6 s at 4 (≈24M edge-messages/s on ONE core; ~0.4 s of that is the
+gather-scatter, the rest fixed per-job cost, which is why its core-scaling
+ratio is reported but not gated at local scale) — bsp is ~40× faster per
+edge than df, and its steady state allocates nothing fresh, making it
+immune to the fault-stall weather that made df bimodal. Numbers + window
+protocol in BENCH/BASELINE.md.
 
 The heavy relation (adjacency) is shuffled/bucketed **once**; supersteps
 move only rank-sized (df/csr) or message-sized (bsp) relations. Each
@@ -123,20 +131,46 @@ def _bsp_range(b: int, n_slots: int, n_buckets: int) -> tuple[int, int]:
     return lo, hi
 
 
+BSP_MIRROR_K = 8  # cross-fanout threshold above which a source is mirrored
+
+
 def _load_bsp_bucket(side_dir: str, bucket: int, n_slots: int, n_buckets: int):
     """Load + encode one vid-range bucket for the bsp kernel (once per
     reused worker; resident thereafter).
 
     Ownership is arithmetic on dense vid slots: bucket b owns
     ``[b*n_slots//B, (b+1)*n_slots//B)``; local index = vid - lo. Edges are
-    split into in-range (dst owned here: int32 local codes) and cross (dst
-    owned elsewhere: global dst + its target bucket, precomputed). The
-    ``mask_<b>.bin`` membership file (written by the init job) marks which
-    slots are real universe vertices — slots outside the universe must stay
-    at rank 0 or the base term would leak mass to ghosts.
+    split three ways (the PowerGraph-style hybrid cut, chosen per
+    (source, target-bucket) group so per-superstep message rows collapse to
+    ~thousands — measured: naive per-cross-edge messages were 1.9M rows on
+    the 16.6M-edge bench graph with 50% landing on the tool-hub bucket):
+
+    - **in-range** (dst owned here): int32 local codes, bincount-scattered.
+    - **combined cross** (source's fanout into the target bucket ≤
+      ``BSP_MIRROR_K``): contributions are pre-aggregated per (tb, dst) with
+      a load-time unique coding — many low-degree sources pointing at the
+      same remote dst (e.g. conversation vertices → a tool hub) become ONE
+      message row per source bucket.
+    - **mirrored** (fanout > K, e.g. a tool hub scattering to thousands of
+      remote dsts): the edges live resident at the TARGET (read from the
+      ``mirror/`` dataset, written once at prep, partitioned by tb) and the
+      source ships a single ``(tb, src, w)`` value row per superstep —
+      fanout many → 1.
+
+    The ``mask_<b>.bin`` membership file (written by the init job) marks
+    which slots are real universe vertices — slots outside the universe must
+    stay at rank 0 or the base term would leak mass to ghosts.
+
+    Encoding runs ONCE per bucket, inside the parallel init job
+    (:func:`_encode_bsp_bucket` → ``.npy`` side files on tmpfs); workers
+    then ``np.load(mmap_mode='r')`` the arrays. Memory-mapping is what makes
+    task→worker assignment irrelevant: any of the reused Python workers can
+    pick up any bucket's task and read the shared page-cache copy zero-cost,
+    instead of re-parsing parquet + re-sorting per (worker, bucket) pair —
+    measured: the re-encode misses kept 4-core supersteps at 5-13 s for six
+    rounds at B=16, vs ~1 s warm.
     """
     import numpy as np
-    import pyarrow.parquet as pq
 
     if _CSR_CACHE["dir"] != side_dir:
         _CSR_CACHE["dir"] = side_dir
@@ -148,12 +182,39 @@ def _load_bsp_bucket(side_dir: str, bucket: int, n_slots: int, n_buckets: int):
     lo, hi = _bsp_range(bucket, n_slots, n_buckets)
     n_owned = hi - lo
     mask = np.fromfile(os.path.join(side_dir, f"mask_{bucket}.bin"), dtype=np.uint8).view(bool)
+    arrs = [
+        np.load(os.path.join(side_dir, f"enc_{bucket}_{name}.npy"), mmap_mode="r")
+        for name in _BSP_ENC_NAMES
+    ]
+    blk = (lo, n_owned, mask, *arrs)
+    _CSR_CACHE["buckets"][key] = blk
+    return blk
+
+
+_BSP_ENC_NAMES = (
+    "inv_owned", "src_in", "dst_in",
+    "src_cross", "cross_code", "ucross_tb", "ucross_dst",
+    "mir_src_local", "mir_tb",
+    "u_msrc", "m_code", "m_dst_local",
+)
+
+
+def _encode_bsp_bucket(side_dir: str, bucket: int, n_slots: int, n_buckets: int):
+    """One-time per-bucket encoding pass (runs inside the parallel init job;
+    see :func:`_load_bsp_bucket` for the layout and the hybrid-cut rules).
+    Writes the encoded arrays as ``.npy`` side files for mmap loading."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    lo, hi = _bsp_range(bucket, n_slots, n_buckets)
+    n_owned = hi - lo
     path = os.path.join(side_dir, f"edges/bucket={bucket}")
+    e32 = lambda: np.empty(0, np.int32)  # noqa: E731
     if not os.path.isdir(path):
         inv_owned = np.zeros(n_owned)
-        src_in = dst_in = src_cross = np.empty(0, np.int32)
-        dst_cross = np.empty(0, np.int64)
-        tb_cross = np.empty(0, np.int32)
+        src_in = dst_in = src_cross = cross_code = e32()
+        ucross_tb = mir_tb = mir_src_local = e32()
+        ucross_dst = np.empty(0, np.int64)
     else:
         t = pq.read_table(path, columns=["src", "dst", "deg"])
         src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
@@ -165,12 +226,40 @@ def _load_bsp_bucket(side_dir: str, bucket: int, n_slots: int, n_buckets: int):
         in_m = (dst >= lo) & (dst < hi)
         src_in = src_local[in_m]
         dst_in = (dst[in_m] - lo).astype(np.int32)
-        src_cross = src_local[~in_m]
-        dst_cross = dst[~in_m]
-        tb_cross = (dst_cross * n_buckets // n_slots).astype(np.int32)
-    blk = (lo, n_owned, mask, inv_owned, src_in, dst_in, src_cross, dst_cross, tb_cross)
-    _CSR_CACHE["buckets"][key] = blk
-    return blk
+        c_src = src_local[~in_m]
+        c_dst = dst[~in_m]
+        c_tb = c_dst * n_buckets // n_slots
+        # per-(src, tb) fanout decides combined vs mirrored (must equal the
+        # prep job's SQL rule — same rows, same threshold)
+        pair = c_src.astype(np.int64) * n_buckets + c_tb
+        u_pair, pair_inv, pair_cnt = np.unique(pair, return_inverse=True, return_counts=True)
+        mirrored = pair_cnt[pair_inv] > BSP_MIRROR_K
+        mir_pairs = u_pair[pair_cnt > BSP_MIRROR_K]
+        mir_src_local = (mir_pairs // n_buckets).astype(np.int32)
+        mir_tb = (mir_pairs % n_buckets).astype(np.int32)
+        src_cross = c_src[~mirrored]
+        # combined-cross coding: one output row per distinct (tb, dst)
+        tbdst = c_tb[~mirrored] * (n_slots + 1) + c_dst[~mirrored]
+        u_tbdst, cross_code = np.unique(tbdst, return_inverse=True)
+        cross_code = cross_code.astype(np.int32)
+        ucross_tb = (u_tbdst // (n_slots + 1)).astype(np.int32)
+        ucross_dst = (u_tbdst % (n_slots + 1)).astype(np.int64)
+    # target-side mirror edges: remote high-fanout sources whose dsts are
+    # owned here (written by the prep job, partitioned by target bucket)
+    mpath = os.path.join(side_dir, f"mirror/tb={bucket}")
+    if not os.path.isdir(mpath):
+        u_msrc = np.empty(0, np.int64)
+        m_code = m_dst_local = e32()
+    else:
+        mt = pq.read_table(mpath, columns=["src", "dst"])
+        msrc = mt.column("src").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        mdst = mt.column("dst").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        u_msrc, m_code = np.unique(msrc, return_inverse=True)
+        m_code = m_code.astype(np.int32)
+        m_dst_local = (mdst - lo).astype(np.int32)
+    local = locals()
+    for name in _BSP_ENC_NAMES:
+        np.save(os.path.join(side_dir, f"enc_{bucket}_{name}.npy"), local[name])
 
 
 def _rw_state(path: str, arr=None, count: int = 0):
@@ -207,16 +296,19 @@ def _pagerank_bsp(
     """Message-minimal BSP executor for dense-vid graphs (the transcript link
     graph: derive_graph emits dense vids, ingest/edges.py docstring).
 
-    Per superstep, Spark moves ONLY the cross-bucket contribution rows
-    (range-bucketed by vid, a chain-structured conversation graph keeps
-    ~boundary + tool-hub flows cross-bucket: ~500k rows vs 8.3M on the bench
-    graph) plus B stat rows; rank/contrib state lives in per-bucket files
-    overwritten in place, and CSR blocks are worker-resident. This is the
-    classic Pregel/GraphLab layout (vertex state partition-resident, only
-    messages move) — on a multi-executor cluster the state files are
-    executor-local scratch (or the Iceberg-committed rank snapshots of
-    :mod:`elektra_spark.checkpoint`, which this path writes every superstep
-    by construction); shuffle carries only the message relation either way.
+    Per superstep, Spark moves ONLY the hybrid-cut-minimized cross-bucket
+    message rows (range-bucketed by vid, a chain-structured conversation
+    graph keeps ~boundary + tool-hub flows cross-bucket; combining +
+    mirroring collapse those to ~10k rows vs 33M edge-messages on the
+    16.6M-edge bench graph — :func:`_load_bsp_bucket`) plus B stat rows;
+    rank/contrib state lives in per-bucket files overwritten in place, and
+    CSR blocks are mmap-shared across the reused Python workers. This is
+    the classic Pregel/PowerGraph layout (vertex state partition-resident,
+    only messages move, high-degree vertices mirrored) — on a
+    multi-executor cluster the state files are executor-local scratch (or
+    the Iceberg-committed rank snapshots of :mod:`elektra_spark.checkpoint`,
+    which this path writes every superstep by construction); shuffle
+    carries only the message relation either way.
 
     Superstep = ONE Spark job chaining two Arrow stages:
       stage A (per source bucket): gather w = rank*inv_deg over the resident
@@ -247,6 +339,24 @@ def _pagerank_bsp(
         .partitionBy("bucket")
         .parquet(os.path.join(side_dir, "edges"))
     )
+    # mirror dataset for the hybrid cut (loader docstring): cross edges whose
+    # (source, target-bucket) fanout exceeds BSP_MIRROR_K live resident at
+    # the TARGET; the source ships one value row per superstep instead of
+    # fanout contribution rows. Derived from the just-written edge dataset
+    # (column-pruned re-read, one extra shuffle at prep — the heavy relation
+    # still moves a bounded number of times, all before the first superstep).
+    ew = spark.read.parquet(os.path.join(side_dir, "edges")).withColumn(
+        "tb", bucket_of("dst")
+    ).filter(F.col("bucket") != F.col("tb"))
+    fan = ew.groupBy("src", "tb").agg(F.count("*").alias("k"))
+    (
+        ew.join(fan.filter(F.col("k") > BSP_MIRROR_K), ["src", "tb"])
+        .select("src", "dst", "tb")
+        .repartition("tb")
+        .write.mode("overwrite")
+        .partitionBy("tb")
+        .parquet(os.path.join(side_dir, "mirror"))
+    )
     universe.withColumn("bucket", bucket_of("vid")).repartition("bucket").write.mode(
         "overwrite"
     ).partitionBy("bucket").parquet(os.path.join(side_dir, "univ"))
@@ -271,6 +381,7 @@ def _pagerank_bsp(
             vids = pq.read_table(upath, columns=["vid"]).column("vid").to_numpy(zero_copy_only=False)
             mask[vids - lo] = 1
         mask.tofile(os.path.join(side_dir, f"mask_{b}.bin"))
+        _encode_bsp_bucket(side_dir, b, n_slots, B)
         rank = np.zeros(hi - lo)
         if init_dir is not None:
             ipath = os.path.join(init_dir, f"bucket={b}")
@@ -289,7 +400,8 @@ def _pagerank_bsp(
     # once (inv_deg==0 under the membership mask) by summing per bucket
     def dangling_probe(key, pdf):
         b = int(key[0])
-        _, _, mask, inv_owned, *_ = _load_bsp_bucket(side_dir, b, n_slots, B)
+        blk = _load_bsp_bucket(side_dir, b, n_slots, B)
+        mask, inv_owned = blk[2], blk[3]
         return pd.DataFrame({"bucket": [b], "n_dangling": [int((mask & (inv_owned == 0.0)).sum())]})
 
     has_dangling = (
@@ -305,17 +417,34 @@ def _pagerank_bsp(
 
         def stage_a(key, pdf):
             b = int(key[0])
-            lo, n_owned, mask, inv_owned, src_in, dst_in, src_cross, dst_cross, tb_cross = (
-                _load_bsp_bucket(side_dir, b, n_slots, B)
-            )
+            (
+                lo, n_owned, mask, inv_owned, src_in, dst_in,
+                src_cross, cross_code, ucross_tb, ucross_dst,
+                mir_src_local, mir_tb, _u_msrc, _m_code, _m_dst_local,
+            ) = _load_bsp_bucket(side_dir, b, n_slots, B)
             rank = _rw_state(os.path.join(side_dir, f"rank_{p}_{b}.bin"), count=n_owned)
             w = rank * inv_owned
             contrib = np.bincount(dst_in, weights=w[src_in], minlength=n_owned)
             _rw_state(os.path.join(side_dir, f"contrib_{b}.bin"), contrib)
+            # combined cross contributions: one row per distinct (tb, dst)
+            ccontrib = np.bincount(
+                cross_code, weights=w[src_cross], minlength=len(ucross_dst)
+            )
             out = {
-                "tb": np.concatenate([tb_cross, np.array([b], np.int32)]),
-                "dst": np.concatenate([dst_cross, np.array([-1], np.int64)]),
-                "c": np.concatenate([w[src_cross], np.array([0.0])]),
+                # mirrored sources ship their w VALUE (m=True; dst = source
+                # vid); the target applies it over its resident mirror edges
+                "tb": np.concatenate([ucross_tb, mir_tb, np.array([b], np.int32)]),
+                "dst": np.concatenate(
+                    [ucross_dst, lo + mir_src_local.astype(np.int64), np.array([-1], np.int64)]
+                ),
+                "c": np.concatenate([ccontrib, w[mir_src_local], np.array([0.0])]),
+                "m": np.concatenate(
+                    [
+                        np.zeros(len(ucross_dst), bool),
+                        np.ones(len(mir_src_local), bool),
+                        np.array([False]),
+                    ]
+                ),
             }
             if has_dangling:
                 out["tb"] = np.concatenate([out["tb"], np.array([-2], np.int32)])
@@ -323,6 +452,7 @@ def _pagerank_bsp(
                 out["c"] = np.concatenate(
                     [out["c"], np.array([float(rank[mask & (inv_owned == 0.0)].sum())])]
                 )
+                out["m"] = np.concatenate([out["m"], np.array([False])])
             return pd.DataFrame(out)
 
         return stage_a
@@ -337,12 +467,30 @@ def _pagerank_bsp(
             n_owned = hi - lo
             contrib = _rw_state(os.path.join(side_dir, f"contrib_{b}.bin"), count=n_owned)
             dsts = pdf["dst"].to_numpy()
-            real = dsts >= 0
+            cs = pdf["c"].to_numpy()
+            mm = pdf["m"].to_numpy()
+            real = (dsts >= 0) & ~mm
             if real.any():
                 contrib = contrib + np.bincount(
                     (dsts[real] - lo).astype(np.int64),
-                    weights=pdf["c"].to_numpy()[real],
+                    weights=cs[real],
                     minlength=n_owned,
+                )
+            if mm.any():
+                # mirrored-source values applied over the resident mirror
+                # edges (loader docstring): align received (src, w) rows to
+                # the load-time unique-source coding, then one bincount
+                blk = _load_bsp_bucket(side_dir, b, n_slots, B)
+                u_msrc, m_code, m_dst_local = blk[12], blk[13], blk[14]
+                wvec = np.zeros(len(u_msrc))
+                pos = np.searchsorted(u_msrc, dsts[mm])
+                if len(u_msrc) == 0 or (u_msrc[np.minimum(pos, len(u_msrc) - 1)] != dsts[mm]).any():
+                    # source- and target-side K classification disagree —
+                    # must fail loudly, not silently misroute rank mass
+                    raise ValueError("mirror-source row without resident mirror edges")
+                wvec[pos] = cs[mm]
+                contrib = contrib + np.bincount(
+                    m_dst_local, weights=wvec[m_code], minlength=n_owned
                 )
             mask = np.fromfile(os.path.join(side_dir, f"mask_{b}.bin"), dtype=np.uint8).view(bool)
             old = _rw_state(os.path.join(side_dir, f"rank_{p}_{b}.bin"), count=n_owned)
@@ -355,7 +503,7 @@ def _pagerank_bsp(
 
         return stage_b
 
-    a_schema = "tb int, dst long, c double"
+    a_schema = "tb int, dst long, c double, m boolean"
     b_schema = "bucket int, sum_rank double, max_delta double"
     for step in range(start_step, start_step + n_iter):
         t0 = time.time()
@@ -463,7 +611,13 @@ def pagerank(
                     f"{n} vertices); use kernel='df' or 'csr'"
                 )
             if dense:
-                buckets = num_buckets or parts
+                # one CSR block per concurrent task slot (executor core):
+                # fewer, bigger resident blocks beat 4×-core bucket counts
+                # because the per-superstep cost is task-overhead-bound once
+                # the hybrid cut has collapsed the message volume (measured
+                # at 16.6M edges / 4 cores: B=cores 1.56 s vs B=4×cores
+                # 2.24 s steady). On a cluster: B = total executor cores.
+                buckets = num_buckets or spark.sparkContext.defaultParallelism
                 out = _pagerank_bsp(
                     spark, adj_deg, universe, n, n_slots, damping, n_iter, buckets,
                     checkpoint, on_superstep, start_step, init_ranks,

@@ -111,3 +111,45 @@ def test_pagerank_kernels_agree(spark):
     assert set(r_df) == set(r_csr) == set(r_bsp)
     assert max(abs(r_df[v] - r_csr[v]) for v in r_df) < 1e-12
     assert max(abs(r_df[v] - r_bsp[v]) for v in r_df) < 1e-12
+
+
+def test_pagerank_bsp_resume(spark):
+    """bsp mid-run resume: 5 supersteps, then 5 more via init_ranks +
+    start_step (exercising the ping-pong state-file index parity across the
+    restart boundary), must equal 10 straight supersteps exactly."""
+    from elektra_spark.ingest.edges import derive_graph
+    from elektra_spark.ingest.transcripts import synth_transcripts
+
+    g = derive_graph(synth_transcripts(spark, n_conversations=6, seed=7))
+    full = _ranks_dict(pagerank(g.edges, vertices=g.vertices, n_iter=10, kernel="bsp"))
+    half = pagerank(g.edges, vertices=g.vertices, n_iter=5, kernel="bsp")
+    resumed = _ranks_dict(
+        pagerank(
+            g.edges, vertices=g.vertices, n_iter=5, kernel="bsp",
+            init_ranks=half, start_step=5,
+        )
+    )
+    assert set(full) == set(resumed)
+    assert max(abs(full[v] - resumed[v]) for v in full) < 1e-15
+
+
+def test_pagerank_bsp_hub_mirror_path(spark):
+    """Force the bsp kernel's hybrid-cut MIRROR path (sources whose
+    cross-bucket fanout exceeds BSP_MIRROR_K ship one value row; their edges
+    live resident at the target): two hubs at the top of a dense vid range,
+    each linked to every chain vertex, a few-bucket layout so the hubs'
+    fanout into every remote bucket is ≫ K. Duplicate hub edges included —
+    the mirror value must be applied once per resident edge. bsp must match
+    df exactly."""
+    n = 120
+    hub1, hub2 = n, n + 1
+    edges = [(i, i + 1) for i in range(n - 1)]
+    edges += [(i, hub1) for i in range(n)]
+    edges += [(i, hub2) for i in range(0, n, 2)]
+    edges += [(7, hub1), (7, hub1)]  # duplicate edges through the mirror path
+    df_edges = spark.createDataFrame(edges, "src long, dst long")
+    r_df = _ranks_dict(pagerank(df_edges, n_iter=12, kernel="df"))
+    r_bsp = _ranks_dict(pagerank(df_edges, n_iter=12, kernel="bsp", num_buckets=5))
+    assert set(r_df) == set(r_bsp)
+    assert max(abs(r_df[v] - r_bsp[v]) for v in r_df) < 1e-12
+    assert abs(sum(r_bsp.values()) - 1.0) < 1e-9

@@ -1,15 +1,19 @@
 """Subprocess worker for bench.py: one clean JVM per invocation.
 
 Usage: python tools/bench_worker.py <master_cores> <edges_parquet> <n_iter>
-       <out_json> [mode] [verts_parquet]
-mode: pr | cc | both (default both). PR runs TWO kernels on the same input:
-``df`` (the gated N→4N scaling workload — the north rule's rank-scatter
-join; its per-superstep JVM shuffle/agg work is large enough at bench scale
-to exercise parallel execution) and ``bsp`` (the engine's default/fast path:
-message-minimal superstep, reported as supersteps/hour at both levels — at
-local scale its superstep is driver-overhead-bound, see BENCH/BASELINE.md).
-CC runs the two-level csr kernel to fixpoint, twice (run 0 pays Python-worker
-page-fault warm-up).
+       <out_json> [mode] [verts_parquet] [bsp_edges_parquet] [bsp_verts_parquet]
+mode: pr | cc | bsp | df | dfcc | both (default both).
+``df`` runs only the df-kernel PageRank — the cheap window variant: the
+gated PR statistic wants as many matched windows as the budget carries,
+while CC's (comfortably passing) efficiency needs only the first window.
+``dfcc`` is what the gated matched windows run: the df rank-scatter-join
+PageRank (the gated N→4N workload — large enough per-superstep JVM
+shuffle/agg work for the core ratio to measure parallel execution) plus CC
+(two-level csr kernel to fixpoint, twice; run 0 pays Python-worker
+page-fault warm-up). ``bsp`` runs only the engine-default bsp kernel
+(north-star CSR-blocks-in-Arrow-UDFs superstep; reported throughput pair on
+its own larger graph — see BENCH/BASELINE.md for why its core ratio is not
+gated). ``both`` runs everything (bsp on ``bsp_edges_parquet`` when given).
 
 Per-superstep JVM telemetry (GC ms, committed heap, storage bytes) is
 recorded for the df kernel — the round-3 verdict asked for exactly this
@@ -50,8 +54,14 @@ def main():
     cores, edges_path, n_iter, out_path = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
     mode = sys.argv[5] if len(sys.argv) > 5 else "both"
     verts_path = sys.argv[6] if len(sys.argv) > 6 else None
+    bsp_edges_path = sys.argv[7] if len(sys.argv) > 7 else None
+    bsp_verts_path = sys.argv[8] if len(sys.argv) > 8 else None
     os.environ["SPARK_GRAFT_CPUS"] = cores
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
+    # fixed heap for the measurement JVM (16g default is more than the
+    # workloads need; a fixed, fully pre-touched heap means steady-state
+    # supersteps fault no fresh pages — see extraJavaOptions below)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", "10g")
 
     from elektra_spark.operators.cc import connected_components
     from elektra_spark.operators.pagerank import pagerank
@@ -61,10 +71,25 @@ def main():
         f"bench-worker-{cores}",
         extra_conf={
             "spark.ui.showConsoleProgress": "false",
-            # never let G1 uncommit heap between supersteps: re-faulting
-            # returned pages costs seconds-per-GB when the host is in its
-            # memory-compaction phase (measured: no cost in healthy weather)
-            "spark.driver.extraJavaOptions": "-XX:MaxHeapFreeRatio=100",
+            # pin the heap: -Xms = -Xmx + AlwaysPreTouch faults every heap
+            # page once at JVM start (untimed prep), and MaxHeapFreeRatio=100
+            # forbids the collector from uncommitting between supersteps — so
+            # a steady-state superstep never touches a fresh page (re-faulting
+            # returned pages costs seconds-per-GB when this sandbox's host is
+            # in its memory-compaction phase — the r3 bimodality). ParallelGC
+            # over G1: measured 4-core df superstep 4.0 s vs 4.9 s steady with
+            # per-step GC ~30 ms vs 100-700 ms — G1's concurrent cycles fight
+            # the superstep for cores on the shuffle-churn allocation pattern.
+            # ParallelGCThreads defaults to the HOST core count (32) — a
+            # local[4] JVM then runs 32-thread GC bursts that thrash under
+            # co-tenancy; pin GC parallelism to the measured core count
+            # (exactly what a right-sized executor gets on a cluster). The
+            # large fixed young gen keeps the shuffle churn dying young:
+            # measured 4-core steady 4.3 s / ~25 ms GC vs 5.6 s / 40-270 ms.
+            "spark.driver.extraJavaOptions": (
+                "-XX:MaxHeapFreeRatio=100 -Xms10g -XX:+AlwaysPreTouch "
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={cores} -Xmn4g"
+            ),
             # pin input splits 1:1 to the edge table's 16 range files so BOTH
             # parallelism levels execute the identical task set — on a real
             # cluster the splits are fixed and only executors scale; letting
@@ -84,7 +109,8 @@ def main():
     df_telemetry: list[dict] = []
     bsp_steps: list[float] = []
     pr_total = 0.0
-    if mode in ("pr", "both"):
+    bsp_n_edges = 0
+    if mode in ("pr", "both", "dfcc", "df"):
         last = jvm_stats(spark)
 
         def df_hook(s, c, t):
@@ -105,8 +131,14 @@ def main():
             edges, vertices=verts, n_iter=n_iter, kernel="df", on_superstep=df_hook
         ).count()
         pr_total = time.time() - t0
+    if mode in ("pr", "both", "bsp"):
+        bsp_edges = spark.read.parquet(bsp_edges_path) if bsp_edges_path else edges
+        bsp_n_edges = bsp_edges.count() if bsp_edges_path else n_edges
+        bsp_verts = (
+            spark.read.parquet(bsp_verts_path) if bsp_verts_path else verts
+        )
         pagerank(
-            edges, vertices=verts, n_iter=max(n_iter, 8), kernel="bsp",
+            bsp_edges, vertices=bsp_verts, n_iter=max(n_iter, 6), kernel="bsp",
             on_superstep=lambda s, c, t: bsp_steps.append(t),
         ).count()
 
@@ -121,7 +153,7 @@ def main():
     cc_runs: list[float] = []
     cc_total = 0.0
     n_comp = 0
-    if mode in ("cc", "both"):
+    if mode in ("cc", "both", "dfcc"):
         labels = None
         for _ in range(2):
             t0 = time.time()
@@ -140,6 +172,7 @@ def main():
                 "pr_step_secs": df_steps,
                 "pr_df_telemetry": df_telemetry,
                 "pr_bsp_step_secs": bsp_steps,
+                "bsp_n_edges": bsp_n_edges,
                 "cc_total_sec": cc_total,
                 "cc_run_secs": cc_runs,
                 "n_components": n_comp,
