@@ -19,12 +19,14 @@ parallelizes), so N=1 → 4N=4 is the honest pair for the ≥0.8 efficiency gate
 — both levels sit inside the machine's real capacity, exactly as N and 4N
 executors would on a cluster. Shuffle partitions scale with cores (4×), as
 any real deployment sizes them. The GATED workload is the df rank-scatter
-join + CC on the shared ≈8.3M-edge graph (df's ~30 s/superstep at 1 core is
+join on the shared ≈8.3M-edge graph (df's ~30 s/superstep at 1 core is
 genuinely parallelizable shuffle/agg work, large enough to dilute the
-~0.9 s fixed per-superstep cost that capped the ratio on smaller graphs;
-CC's Python-kernel working set stays within per-core bandwidth at both
-levels); the engine-default bsp
-kernel runs a throughput pair on the same graph — its
+~0.9 s fixed per-superstep cost that capped the ratio on smaller graphs);
+the gated windows run df ONLY so each is cheap enough that several fit the
+budget even in stormy weather. CC (whose Python-kernel working set stays
+within per-core bandwidth at both levels, and whose efficiency has cleared
+the gate every round) runs ONE matched pair of its own after the gated
+windows; the engine-default bsp kernel runs a throughput pair last — its
 message-minimal superstep is fixed-overhead-bound at any locally reachable
 scale, so its efficiency is reported, not gated (see the report prose).
 All graphs are stored **range-partitioned +
@@ -78,7 +80,9 @@ SCALING_CONVS_BSP = 400_000  # bsp throughput pair runs on the same graph;
 # NumPy compute sits inside a ~1-2 s superstep, which is why bsp's
 # efficiency is reported rather than gated (module docstring + report
 # prose) and why the pair runs LAST, skippable, after the gated windows
-SCALING_ITERS = 5  # min steady superstep over steps 2..5
+SCALING_ITERS = 4  # min steady superstep over steps 2..4 — three steady
+# samples per level; the 5th superstep bought a 4th sample at ~+40 s per
+# window, which the budget spends better on a whole extra matched window
 MAX_REPEATS = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "4"))
 BUDGET_SEC = float(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_SEC", "1500"))
 SCALING_PAIR = (1, 4)  # N and 4N cores (see module docstring)
@@ -335,17 +339,38 @@ def main():
     bsp_verts = verts_of(bsp_edges)
     queries["graph_derivation"] = round(time.time() - t0, 2)
     n_edges = spark.read.parquet(edges_path).count()
+    # one-time bsp graph encoding at FULL parallelism, mmap-shared by both
+    # measurement JVMs of the phase-3 throughput pair (the cluster pattern:
+    # one full-cluster prep job feeds many later rank jobs; without this the
+    # 1-core worker re-paid ~10 min of single-core prep per run). Bucket
+    # count pinned to the pair's high level so both JVMs execute the
+    # identical task set over the identical blocks.
+    from elektra_spark.operators.pagerank import pagerank as _pr_prep
+
+    bsp_prep_dir = f"{CACHE}/bsp_prep_conv{SCALING_CONVS_BSP}_b{hi}"
+    t0 = time.time()
+    _pr_prep(
+        spark.read.parquet(bsp_edges),
+        vertices=spark.read.parquet(bsp_verts),
+        n_iter=1,
+        kernel="bsp",
+        num_buckets=hi,
+        bsp_prep_dir=bsp_prep_dir,
+    ).count()
+    queries["bsp_graph_prep"] = round(time.time() - t0, 2)
     spark.stop()
 
     worker = os.path.join(os.path.dirname(os.path.abspath(__file__)), "tools/bench_worker.py")
 
-    def run_worker(cores: int, tag: str, mode: str, edges_p: str, verts_p: str) -> dict:
+    def run_worker(
+        cores: int, tag: str, mode: str, edges_p: str, verts_p: str, **extra_env: str
+    ) -> dict:
         out = f"{CACHE}/scal_{mode}_{cores}_{tag}.json"
         subprocess.run(
             [sys.executable, worker, str(cores), edges_p, str(SCALING_ITERS), out, mode,
              verts_p],
             check=True,
-            env={**os.environ, "SPARK_GRAFT_SHUFFLE_PARTITIONS": str(4 * cores)},
+            env={**os.environ, "SPARK_GRAFT_SHUFFLE_PARTITIONS": str(4 * cores), **extra_env},
         )
         with open(out) as f:
             return json.load(f)
@@ -357,16 +382,21 @@ def main():
     # on the budget; the bsp throughput pair and the headline suite follow
     # and trim themselves to whatever remains)
     rep_results: list[dict] = []
-    # reserve for the headline suite (~300 s) + the skippable bsp pair
-    # (~350 s with its per-JVM graph prep)
-    window_budget = BUDGET_SEC - 650
+    # reserve for the CC pair (~260 s), the headline suite (~300 s,
+    # self-trimming) and the bsp pair (~120 s with the shared prep)
+    window_budget = BUDGET_SEC - 620
 
     # Matched windows: each repetition runs the N-core and 4N-core workers
-    # back to back (one fresh JVM per level runs df-PageRank then CC) and
-    # efficiency is computed per window — pairing temporally-adjacent runs
-    # compares like weather with like, which is what a dedicated N-vs-4N
-    # cluster comparison would see. Adaptive count: always ≥1 window; another
-    # runs only if the projected total stays inside the window budget.
+    # back to back (one fresh JVM per level runs the df-PageRank supersteps
+    # ONLY — CC and bsp get their own single pairs after the gated windows;
+    # a df-only window is ~2-3× cheaper than one that also carries two CC
+    # fixpoint runs per level, and in round 4 a storm-priced dfcc window ate
+    # the whole window budget, leaving the gated median resting on a single
+    # window) and efficiency is computed per window — pairing
+    # temporally-adjacent runs compares like weather with like, which is
+    # what a dedicated N-vs-4N cluster comparison would see. Adaptive count:
+    # always ≥1 window; another runs only if the projected total (last
+    # window's measured wall) stays inside the window budget.
     window_cost = 0.0
     max_windows = MAX_REPEATS
     rep = 0
@@ -378,21 +408,9 @@ def main():
         # storms can last hours, and a capped wait keeps the budget for
         # windows (every executed window is annotated with its weather)
         pre = await_calm(procs=hi, tries=3)
-        # CC rides along only until one weather-valid window carries it
-        # (cap 2 attempts): its efficiency has cleared the gate comfortably
-        # every round, while the gated PR statistic wants as many matched
-        # windows as the budget buys — a df-only window is ~2× cheaper,
-        # especially when a storm crawls the 1-core CC fixpoint
-        cc_carried = [r for r in rep_results if "eff_cc" in r]
-        mode = (
-            "dfcc"
-            if not cc_carried
-            or (len(cc_carried) < 2 and not any(r["weather_ok"] for r in cc_carried))
-            else "df"
-        )
-        res_lo = run_worker(lo, str(rep), mode, scale_edges, scale_verts)
+        res_lo = run_worker(lo, str(rep), "df", scale_edges, scale_verts)
         hi_pre = memory_scaling_probe(procs=hi)
-        res_hi = run_worker(hi, str(rep), mode, scale_edges, scale_verts)
+        res_hi = run_worker(hi, str(rep), "df", scale_edges, scale_verts)
         hi_post = memory_scaling_probe(procs=hi)
         window_cost = time.time() - w0
         w = {
@@ -435,10 +453,6 @@ def main():
             and w["alloc_par"] >= ALLOC_PAR_HEALTHY
         )
         w["eff_pr"] = (w["pr_lo"] / w["pr_hi"]) / (hi / lo)
-        if res_hi["cc_total_sec"]:
-            w["cc_lo"] = res_lo["cc_total_sec"]
-            w["cc_hi"] = res_hi["cc_total_sec"]
-            w["eff_cc"] = (w["cc_lo"] / w["cc_hi"]) / (hi / lo)
         rep_results.append(w)
         # interim artifact after EVERY window: if the harness is killed
         # mid-run (the round-2 failure mode was rc=124 with NO artifact),
@@ -450,10 +464,9 @@ def main():
                 "# BENCH results (INTERIM — harness still in progress "
                 f"at {elapsed():.0f}s; a complete run overwrites this file)\n\n"
                 "Windows so far (gated stat = median weather-valid eff_pr, gate ≥ 0.8):\n\n"
-                "| rep | PR-df 1c/4c | eff_pr | eff_cc | weather |\n|---|---|---|---|---|\n"
+                "| rep | PR-df 1c/4c | eff_pr | weather |\n|---|---|---|---|\n"
                 + "\n".join(
-                    f"| {i} | {r['pr_lo']:.2f}s / {r['pr_hi']:.2f}s | {r['eff_pr']:.3f} "
-                    + (f"| {r['eff_cc']:.3f} | " if "eff_cc" in r else "| — | ")
+                    f"| {i} | {r['pr_lo']:.2f}s / {r['pr_hi']:.2f}s | {r['eff_pr']:.3f} | "
                     + f"{'ok' if r['weather_ok'] else 'STORM'} |"
                     for i, r in enumerate(rep_results)
                 )
@@ -462,6 +475,35 @@ def main():
         if not w["weather_ok"] and max_windows < MAX_REPEATS + 2:
             max_windows += 1
         rep += 1
+
+    # ---- phase 1.5: the CC convergence pair (one matched window of its
+    # own, same protocol: fresh JVM per level, two fixpoint runs each — run
+    # 0 pays the Python-worker warm-up — bracketing weather probes). The
+    # north metric reports CC convergence wall at both levels; its
+    # efficiency has cleared the gate comfortably every round, so it gets
+    # one window after the gated PR windows rather than riding (and
+    # storm-pricing) every one of them -------------------------------------
+    cc_pair = None
+    if elapsed() + 300 < BUDGET_SEC:
+        cc_pre = memory_scaling_probe(procs=hi)
+        rc_lo = run_worker(lo, "c", "cc", scale_edges, scale_verts)
+        rc_hi = run_worker(hi, "c", "cc", scale_edges, scale_verts)
+        cc_post = memory_scaling_probe(procs=hi)
+        cc_pair = {
+            "cc_lo": rc_lo["cc_total_sec"],
+            "cc_hi": rc_hi["cc_total_sec"],
+            "bw_scaling": round(min(cc_pre["bw_scaling"], cc_post["bw_scaling"]), 3),
+            "alloc_mbs": min(cc_pre["alloc_mbs"], cc_post["alloc_mbs"]),
+            "alloc_par": round(
+                min(cc_pre.get("alloc_par_eff", 1.0), cc_post.get("alloc_par_eff", 1.0)), 3
+            ),
+        }
+        cc_pair["eff_cc"] = (cc_pair["cc_lo"] / cc_pair["cc_hi"]) / (hi / lo)
+        cc_pair["weather_ok"] = (
+            cc_pair["bw_scaling"] >= 0.7
+            and cc_pair["alloc_mbs"] >= ALLOC_HEALTHY_MBS
+            and cc_pair["alloc_par"] >= ALLOC_PAR_HEALTHY
+        )
 
     # ---- phase 2: headline suite with the remaining budget ---------------
     # most-important-first, each query gated on remaining wall so the run
@@ -519,14 +561,20 @@ def main():
         queries.update(bench_mixed_throughput(spark))
     spark.stop()
 
-    # ---- phase 3: bsp throughput pair (reported, not gated; LAST because
-    # its per-JVM graph prep is the most storm-inflatable cost — skipping it
-    # costs two reported lines, never the gate or the headline) ------------
+    # ---- phase 3: bsp throughput pair (reported, not gated; runs LAST and
+    # is skippable — it costs two reported lines, never the gate or the
+    # headline). Both JVMs mmap the phase-0 full-parallelism graph encoding
+    # (SPARK_GRAFT_BSP_PREP_DIR) with the bucket count pinned to the pair's
+    # high level, so the measured wall is load + supersteps, not prep -------
     bsp_pair = None
-    if elapsed() + 420 < BUDGET_SEC:
+    if elapsed() + 190 < BUDGET_SEC:
         pre_bsp = memory_scaling_probe(procs=hi)
-        rb_lo = run_worker(lo, "b", "bsp", bsp_edges, bsp_verts)
-        rb_hi = run_worker(hi, "b", "bsp", bsp_edges, bsp_verts)
+        bsp_env = {
+            "SPARK_GRAFT_BSP_PREP_DIR": bsp_prep_dir,
+            "SPARK_GRAFT_BSP_BUCKETS": str(hi),
+        }
+        rb_lo = run_worker(lo, "b", "bsp", bsp_edges, bsp_verts, **bsp_env)
+        rb_hi = run_worker(hi, "b", "bsp", bsp_edges, bsp_verts, **bsp_env)
         bsp_pair = {
             "lo": min(rb_lo["pr_bsp_step_secs"][1:]),
             "hi": min(rb_hi["pr_bsp_step_secs"][1:]),
@@ -539,28 +587,31 @@ def main():
     # (all windows listed below; stormy windows annotated). Median, not best:
     # best-window selection would be upward-biased. If every window was
     # stormy, the median over all is reported (annotated in the table).
+    n_valid = len([r for r in rep_results if r["weather_ok"]])
     valid = [r for r in rep_results if r["weather_ok"]] or rep_results
     eff_pr = statistics.median(r["eff_pr"] for r in valid)
     med_pr = min(valid, key=lambda r: abs(r["eff_pr"] - eff_pr))
-    # CC rides in the first window(s) only (see loop): its median is over
-    # the cc-carrying windows, weather-valid ones preferred
-    cc_windows = [r for r in rep_results if "eff_cc" in r]
-    cc_valid = [r for r in cc_windows if r["weather_ok"]] or cc_windows
-    eff_cc = statistics.median(r["eff_cc"] for r in cc_valid)
-    med_cc = min(cc_valid, key=lambda r: abs(r["eff_cc"] - eff_cc))
     n_edges_scale = rep_results[0]["n_edges"]
     scal = {
-        lo: {"pr_step_sec": med_pr["pr_lo"], "cc_sec": med_cc["cc_lo"]},
-        hi: {"pr_step_sec": med_pr["pr_hi"], "cc_sec": med_cc["cc_hi"]},
+        lo: {"pr_step_sec": med_pr["pr_lo"]},
+        hi: {"pr_step_sec": med_pr["pr_hi"]},
     }
     pr_steps_per_hour = 3600.0 / scal[hi]["pr_step_sec"]
 
     queries[f"pr_superstep_sec_local{lo}"] = round(scal[lo]["pr_step_sec"], 3)
     queries[f"pr_superstep_sec_local{hi}"] = round(scal[hi]["pr_step_sec"], 3)
-    queries[f"cc_sec_local{lo}"] = round(scal[lo]["cc_sec"], 2)
-    queries[f"cc_sec_local{hi}"] = round(scal[hi]["cc_sec"], 2)
     queries["scaling_efficiency_pagerank_df"] = round(eff_pr, 3)
-    queries["scaling_efficiency_cc"] = round(eff_cc, 3)
+    if cc_pair is not None:
+        queries[f"cc_sec_local{lo}"] = round(cc_pair["cc_lo"], 2)
+        queries[f"cc_sec_local{hi}"] = round(cc_pair["cc_hi"], 2)
+        queries["scaling_efficiency_cc"] = round(cc_pair["eff_cc"], 3)
+        cc_wall_s = f"{cc_pair['cc_lo']:.1f}s / {cc_pair['cc_hi']:.1f}s"
+        cc_eff_s = (
+            f"{cc_pair['eff_cc']:.3f}"
+            + ("" if cc_pair["weather_ok"] else " (STORM-annotated window)")
+        )
+    else:
+        cc_wall_s = cc_eff_s = "skipped (budget)"
 
     if bsp_pair is not None:
         eff_bsp = (bsp_pair["lo"] / bsp_pair["hi"]) / (hi / lo)
@@ -599,21 +650,20 @@ def main():
             f"""# BENCH results (measured; protocol from BASELINE.md §3)
 
 Input: transcript link graph, {n_edges:,} edges at sf={sf} ({n_convs:,} conversations).
-Scaling graphs (byte-identical parquet for both parallelism levels):
-{n_edges_scale:,} edges / {SCALING_CONVS_CC:,} convs for the gated df kernel + CC (one fresh
-JVM per parallelism level per window; CC rides along only until one weather-valid window
-carries it — its efficiency has cleared the gate every round, and a df-only window is ~2×
-cheaper, buying more matched windows for the gated PR median); {n_edges_bsp:,} edges /
-{SCALING_CONVS_BSP:,} convs for the (2× larger) bsp throughput pair, measured once outside
-the gated windows.
+One shared scaling graph (byte-identical parquet for both parallelism levels):
+{n_edges_scale:,} edges / {SCALING_CONVS_CC:,} convs. The gated df-PageRank windows run
+df ONLY (one fresh JVM per parallelism level per window — a window that also carried CC's
+two fixpoint runs per level cost ~2-3× as much, and one storm-priced window ate the whole
+window budget); CC gets a single matched pair of its own after the gated windows, and the
+bsp throughput pair runs last, both on the same graph.
 Sandbox note: 32 advertised CPUs ≈ 10 effective
 (measured via ProcessPool scaling), so the N→4N pair is local[{lo}]→local[{hi}] with shuffle
 partitions scaled 4×cores; environmental stalls filtered by min steady superstep
 (supersteps 2..{SCALING_ITERS}). Bench wall: {elapsed():.0f}s of a {BUDGET_SEC:.0f}s budget,
-{len(rep_results)} matched window(s), {len(valid)} weather-valid (adaptive — the gated
+{len(rep_results)} matched window(s), {n_valid} weather-valid (adaptive — the gated
 windows run FIRST and get first claim on the budget; another runs only if it fits; a stormy
-window earns one replacement, cap +2; the bsp pair and headline suite trim themselves to the
-remaining wall, so the artifact always lands).
+window earns one replacement, cap +2; the CC pair, bsp pair and headline suite trim
+themselves to the remaining wall, so the artifact always lands).
 
 Two PageRank kernels are measured (pagerank.py module docstring has the
 design + measured trade-offs). **df** — the north rule's literal "repeated
@@ -627,7 +677,7 @@ fault no fresh pages. **bsp** — the engine's default on dense-vid graphs
 (north-star CSR-blocks-in-Arrow-UDFs design: mmap-shared CSR blocks +
 in-place rank state; after hybrid combine/mirror message minimization Spark
 moves only a few thousand message rows per superstep on this graph) — is
-measured on its own graph (2× the df graph) and is ~40× faster per edge;
+measured on the same shared graph and is ~40× faster per edge;
 precisely because it compresses the Spark-visible per-superstep work to
 near nothing, its 1→4-core ratio at local scale reflects per-task/driver
 fixed overhead, not the scalable gather-scatter (measured: ~0.4 s of NumPy
@@ -645,9 +695,9 @@ matters there, the bsp numbers show the same engine's optimized executor.)
 | PageRank superstep wall, bsp kernel (local[{lo}] / local[{hi}]) | {bsp_wall_s} |
 | PageRank superstep wall, df kernel (local[{lo}] / local[{hi}]) | {scal[lo]['pr_step_sec']:.2f}s / {scal[hi]['pr_step_sec']:.2f}s |
 | rank-scatter throughput (bsp, local[{hi}]) | {eps_s} edge-messages/s |
-| CC convergence wall (local[{lo}] / local[{hi}]) | {scal[lo]['cc_sec']:.1f}s / {scal[hi]['cc_sec']:.1f}s |
+| CC convergence wall (local[{lo}] / local[{hi}], own matched pair) | {cc_wall_s} |
 | **scaling efficiency {lo}→{hi} cores (PageRank df rank-scatter join, median weather-valid window)** | **{eff_pr:.3f}** (gate ≥ 0.8) |
-| scaling efficiency {lo}→{hi} cores (CC, median weather-valid window) | {eff_cc:.3f} |
+| scaling efficiency {lo}→{hi} cores (CC, own matched pair) | {cc_eff_s} |
 | scaling efficiency {lo}→{hi} cores (PageRank bsp pair; fixed-overhead-bound at local scale, reported not gated) | {eff_bsp_s} |
 
 Matched-window repetitions (each row = one N-then-4N back-to-back pair; the headline
@@ -676,9 +726,12 @@ allocP ≥ {ALLOC_PAR_HEALTHY}); the gated median is computed over weather-valid
 per-step GC and committed-heap max (VERDICT r3 instrumentation): a slow window with flat
 heap and low GC is host-fault-bound, not storage-eviction-bound.
 
-| rep | PR-df {lo}c / {hi}c | **eff_df** | CC {lo}c / {hi}c | eff_cc | weather | bw (pre/brkt) | alloc | allocP | gc ms | heap MB |
-|---|---|---|---|---|---|---|---|---|---|---|
-{chr(10).join(f"| {i} | {r['pr_lo']:.2f}s / {r['pr_hi']:.2f}s | **{r['eff_pr']:.3f}** | " + (f"{r['cc_lo']:.1f}s / {r['cc_hi']:.1f}s | {r['eff_cc']:.3f}" if 'eff_cc' in r else "— | —") + f" | {'ok' if r['weather_ok'] else 'STORM'} | {r['bw_pre']:.2f}/{r['bw_scaling']:.2f} | {r['alloc_mbs']} | {r['alloc_par']:.2f} | {r['hi_gc_max_ms']} | {r['hi_heap_mb']} |" for i, r in enumerate(rep_results))}
+| rep | PR-df {lo}c / {hi}c | **eff_df** | weather | bw (pre/brkt) | alloc | allocP | gc ms | heap MB |
+|---|---|---|---|---|---|---|---|---|
+{chr(10).join(f"| {i} | {r['pr_lo']:.2f}s / {r['pr_hi']:.2f}s | **{r['eff_pr']:.3f}** | {'ok' if r['weather_ok'] else 'STORM'} | {r['bw_pre']:.2f}/{r['bw_scaling']:.2f} | {r['alloc_mbs']} | {r['alloc_par']:.2f} | {r['hi_gc_max_ms']} | {r['hi_heap_mb']} |" for i, r in enumerate(rep_results))}
+
+CC matched pair (same fresh-JVM protocol, two fixpoint runs per level, min of the two;
+bracketed by its own weather probes): {cc_wall_s}, efficiency {cc_eff_s}.
 
 Headline suite (local[{CPUS}], sf{sf}; runs after the gated windows and trims itself to the
 remaining budget — "skipped (budget)" marks queries the wall clock did not reach):
@@ -722,6 +775,10 @@ Reference comparison: the reference publishes no numbers (BASELINE.md §1); {ref
                 "scaling_efficiency": round(eff_pr, 3),
                 "scaling_efficiency_bsp": round(eff_bsp, 3) if eff_bsp else None,
                 "scaling_pair_cores": list(SCALING_PAIR),
+                "scaling_windows_weather_valid": n_valid,
+                "cc_pair": (
+                    {k: round(v, 3) for k, v in cc_pair.items()} if cc_pair else None
+                ),
                 "cc_phase_breakdown": cc_phases,
                 "bench_wall_sec": round(elapsed(), 1),
                 "scaling_windows": [

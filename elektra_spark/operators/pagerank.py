@@ -292,6 +292,7 @@ def _pagerank_bsp(
     on_superstep: SuperstepHook | None,
     start_step: int,
     init_ranks: DataFrame | None,
+    prep_dir: str | None = None,
 ) -> DataFrame:
     """Message-minimal BSP executor for dense-vid graphs (the transcript link
     graph: derive_graph emits dense vids, ingest/edges.py docstring).
@@ -325,41 +326,65 @@ def _pagerank_bsp(
     import numpy as np
 
     B = buckets
-    base_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else None
-    side_dir = tempfile.mkdtemp(prefix="elektra-bsp-", dir=base_tmp)
-    atexit.register(shutil.rmtree, side_dir, ignore_errors=True)
+    # A caller-provided prep_dir makes the heavy one-time graph encoding
+    # (bucket-partitioned edge/mirror/univ datasets + per-bucket .npy CSR
+    # blocks) REUSABLE across sessions: on a cluster the prep is one full-
+    # parallelism job whose output every later (differently sized) job mmaps;
+    # locally it lets the bench prep once at local[32] and measure supersteps
+    # at local[1]/local[4] without re-paying minutes of single-core prep per
+    # JVM. The marker pins (B, n_slots, n): a mismatched reuse re-preps.
+    # Callers own the lifetime AND the input-identity contract (same edge
+    # table ⇒ same prep; the marker cannot fingerprint edge content).
+    marker_val = f"{B},{n_slots},{n}"
+    if prep_dir is not None:
+        # namespace by geometry: a different bucket count (or vid space)
+        # gets its own subtree. Re-encoding IN PLACE would clobber the very
+        # inodes that long-lived Python workers hold mmap'd (np.save
+        # truncates; _CSR_CACHE is keyed by dir+bucket) — separate paths
+        # keep every live cache coherent and make reuse detection trivial.
+        side_dir = os.path.join(prep_dir, f"g{B}x{n_slots}x{n}")
+        os.makedirs(side_dir, exist_ok=True)
+        marker = os.path.join(side_dir, "_PREP_DONE")
+        prep_ok = os.path.exists(marker) and open(marker).read() == marker_val
+    else:
+        base_tmp = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        side_dir = tempfile.mkdtemp(prefix="elektra-bsp-", dir=base_tmp)
+        atexit.register(shutil.rmtree, side_dir, ignore_errors=True)
+        prep_ok = False
 
     # exact long integer division (Python's // on the worker side must agree
     # bit-for-bit; float division would mis-bucket boundary vids)
     bucket_of = lambda name: F.expr(f"cast(({name} * {B}) div {n_slots} as int)")  # noqa: E731
-    (
-        adj_deg.withColumn("bucket", bucket_of("src"))
-        .repartition("bucket")
-        .write.mode("overwrite")
-        .partitionBy("bucket")
-        .parquet(os.path.join(side_dir, "edges"))
-    )
-    # mirror dataset for the hybrid cut (loader docstring): cross edges whose
-    # (source, target-bucket) fanout exceeds BSP_MIRROR_K live resident at
-    # the TARGET; the source ships one value row per superstep instead of
-    # fanout contribution rows. Derived from the just-written edge dataset
-    # (column-pruned re-read, one extra shuffle at prep — the heavy relation
-    # still moves a bounded number of times, all before the first superstep).
-    ew = spark.read.parquet(os.path.join(side_dir, "edges")).withColumn(
-        "tb", bucket_of("dst")
-    ).filter(F.col("bucket") != F.col("tb"))
-    fan = ew.groupBy("src", "tb").agg(F.count("*").alias("k"))
-    (
-        ew.join(fan.filter(F.col("k") > BSP_MIRROR_K), ["src", "tb"])
-        .select("src", "dst", "tb")
-        .repartition("tb")
-        .write.mode("overwrite")
-        .partitionBy("tb")
-        .parquet(os.path.join(side_dir, "mirror"))
-    )
-    universe.withColumn("bucket", bucket_of("vid")).repartition("bucket").write.mode(
-        "overwrite"
-    ).partitionBy("bucket").parquet(os.path.join(side_dir, "univ"))
+    if not prep_ok:
+        (
+            adj_deg.withColumn("bucket", bucket_of("src"))
+            .repartition("bucket")
+            .write.mode("overwrite")
+            .partitionBy("bucket")
+            .parquet(os.path.join(side_dir, "edges"))
+        )
+        # mirror dataset for the hybrid cut (loader docstring): cross edges
+        # whose (source, target-bucket) fanout exceeds BSP_MIRROR_K live
+        # resident at the TARGET; the source ships one value row per superstep
+        # instead of fanout contribution rows. Derived from the just-written
+        # edge dataset (column-pruned re-read, one extra shuffle at prep — the
+        # heavy relation still moves a bounded number of times, all before the
+        # first superstep).
+        ew = spark.read.parquet(os.path.join(side_dir, "edges")).withColumn(
+            "tb", bucket_of("dst")
+        ).filter(F.col("bucket") != F.col("tb"))
+        fan = ew.groupBy("src", "tb").agg(F.count("*").alias("k"))
+        (
+            ew.join(fan.filter(F.col("k") > BSP_MIRROR_K), ["src", "tb"])
+            .select("src", "dst", "tb")
+            .repartition("tb")
+            .write.mode("overwrite")
+            .partitionBy("tb")
+            .parquet(os.path.join(side_dir, "mirror"))
+        )
+        universe.withColumn("bucket", bucket_of("vid")).repartition("bucket").write.mode(
+            "overwrite"
+        ).partitionBy("bucket").parquet(os.path.join(side_dir, "univ"))
     init_dir = None
     if init_ranks is not None:
         init_dir = os.path.join(side_dir, "init")
@@ -375,13 +400,16 @@ def _pagerank_bsp(
 
         b = int(key[0])
         lo, hi = _bsp_range(b, n_slots, B)
-        mask = np.zeros(hi - lo, dtype=np.uint8)
-        upath = os.path.join(side_dir, f"univ/bucket={b}")
-        if os.path.isdir(upath):
-            vids = pq.read_table(upath, columns=["vid"]).column("vid").to_numpy(zero_copy_only=False)
-            mask[vids - lo] = 1
-        mask.tofile(os.path.join(side_dir, f"mask_{b}.bin"))
-        _encode_bsp_bucket(side_dir, b, n_slots, B)
+        if prep_ok:
+            mask = np.fromfile(os.path.join(side_dir, f"mask_{b}.bin"), dtype=np.uint8)
+        else:
+            mask = np.zeros(hi - lo, dtype=np.uint8)
+            upath = os.path.join(side_dir, f"univ/bucket={b}")
+            if os.path.isdir(upath):
+                vids = pq.read_table(upath, columns=["vid"]).column("vid").to_numpy(zero_copy_only=False)
+                mask[vids - lo] = 1
+            mask.tofile(os.path.join(side_dir, f"mask_{b}.bin"))
+            _encode_bsp_bucket(side_dir, b, n_slots, B)
         rank = np.zeros(hi - lo)
         if init_dir is not None:
             ipath = os.path.join(init_dir, f"bucket={b}")
@@ -395,6 +423,9 @@ def _pagerank_bsp(
         return pd.DataFrame({"bucket": [b], "owned": [int(mask.sum())]})
 
     drv.groupBy("bucket").applyInPandas(init_task, "bucket int, owned long").collect()
+    if prep_dir is not None and not prep_ok:
+        with open(os.path.join(side_dir, "_PREP_DONE"), "w") as mf:
+            mf.write(marker_val)
 
     # dangling = universe vertices with no outgoing edge; detected structurally
     # once (inv_deg==0 under the membership mask) by summing per bucket
@@ -566,6 +597,7 @@ def pagerank(
     on_superstep: SuperstepHook | None = None,
     start_step: int = 0,
     init_ranks: DataFrame | None = None,
+    bsp_prep_dir: str | None = None,
 ) -> DataFrame:
     """PageRank → (vid, rank), ranks sum to 1. Fixed ``n_iter`` supersteps so
     engine and oracle execute the identical schedule.
@@ -588,6 +620,13 @@ def pagerank(
     shuffle; the heavy adjacency never moves again.
 
     ``init_ranks``/``start_step`` support mid-run resume from a checkpoint.
+
+    ``bsp_prep_dir``: persistent directory for the bsp kernel's one-time
+    graph encoding (bucketed edge/mirror/univ datasets + per-bucket CSR
+    ``.npy`` blocks). A second run over the same edge table with the same
+    ``num_buckets`` skips the prep entirely and mmaps the existing blocks —
+    the cluster pattern where one full-parallelism prep job feeds many later
+    rank jobs. Caller owns the directory's lifetime and input identity.
     """
     spark = edges.sparkSession
     if checkpoint is None:
@@ -621,6 +660,7 @@ def pagerank(
                 out = _pagerank_bsp(
                     spark, adj_deg, universe, n, n_slots, damping, n_iter, buckets,
                     checkpoint, on_superstep, start_step, init_ranks,
+                    prep_dir=bsp_prep_dir,
                 )
                 universe.unpersist()
                 return out

@@ -153,3 +153,40 @@ def test_pagerank_bsp_hub_mirror_path(spark):
     assert set(r_df) == set(r_bsp)
     assert max(abs(r_df[v] - r_bsp[v]) for v in r_df) < 1e-12
     assert abs(sum(r_bsp.values()) - 1.0) < 1e-9
+
+
+def test_pagerank_bsp_shared_prep_dir(spark, tmp_path):
+    """bsp_prep_dir: second run over the same graph must skip the prep
+    (marker present, no re-write of the encoded blocks) and produce
+    bit-identical ranks; a bucket-count change must invalidate the marker
+    and re-prep rather than silently mis-bucket."""
+    import glob
+    import os
+
+    from elektra_spark.ingest.edges import derive_graph
+    from elektra_spark.ingest.transcripts import synth_transcripts
+
+    g = derive_graph(synth_transcripts(spark, n_conversations=6, seed=7))
+    prep = str(tmp_path / "prep")
+    r1 = _ranks_dict(
+        pagerank(g.edges, vertices=g.vertices, n_iter=8, kernel="bsp",
+                 num_buckets=3, bsp_prep_dir=prep)
+    )
+    # prep is namespaced by geometry: one subtree for B=3, marker inside
+    [sub] = glob.glob(os.path.join(prep, "g3x*"))
+    assert os.path.exists(os.path.join(sub, "_PREP_DONE"))
+    enc = os.path.join(sub, "enc_0_inv_owned.npy")
+    enc_mtime = os.path.getmtime(enc)
+    r2 = _ranks_dict(
+        pagerank(g.edges, vertices=g.vertices, n_iter=8, kernel="bsp",
+                 num_buckets=3, bsp_prep_dir=prep)
+    )
+    assert os.path.getmtime(enc) == enc_mtime
+    assert r1 == r2  # bit-identical, prep skipped
+    r3 = _ranks_dict(
+        pagerank(g.edges, vertices=g.vertices, n_iter=8, kernel="bsp",
+                 num_buckets=4, bsp_prep_dir=prep)
+    )
+    assert glob.glob(os.path.join(prep, "g4x*"))  # own subtree, fresh prep
+    assert set(r3) == set(r1)
+    assert max(abs(r1[v] - r3[v]) for v in r1) < 1e-12  # same result

@@ -137,8 +137,16 @@ def main():
         bsp_verts = (
             spark.read.parquet(bsp_verts_path) if bsp_verts_path else verts
         )
+        # the harness preps the bsp graph encoding ONCE at full parallelism
+        # (bench.py phase 0) and both measurement JVMs mmap it — bucket count
+        # must then be pinned identically at both levels (identical task set,
+        # same rule as the range-file split pinning above)
+        prep_dir = os.environ.get("SPARK_GRAFT_BSP_PREP_DIR")
+        n_buckets = os.environ.get("SPARK_GRAFT_BSP_BUCKETS")
         pagerank(
             bsp_edges, vertices=bsp_verts, n_iter=max(n_iter, 6), kernel="bsp",
+            num_buckets=int(n_buckets) if n_buckets else None,
+            bsp_prep_dir=prep_dir,
             on_superstep=lambda s, c, t: bsp_steps.append(t),
         ).count()
 
