@@ -177,6 +177,15 @@ def q_dynamic_orders(spark, sf_dir):
     cat = SnapshotCatalog(spark, wh)
     g = DynamicGraph.create(cat, edges, vertices=vertices)
 
+    adds, dels = _order_update_batches(spark, sf_dir)
+    g.batch_add_edges(adds.select("src", "dst"))
+    g.batch_delete_edges(dels.select("src", "dst"))
+    return g.labels()
+
+
+def _order_update_batches(spark, sf_dir):
+    """q_dynamic_orders' deterministic insert/delete schedule as two
+    ``(op, src, dst)`` update batches."""
     orders = _t(spark, sf_dir, "orders").select(
         F.col("o_orderkey").cast("long").alias("o"), F.col("o_custkey").cast("long").alias("c")
     )
@@ -185,15 +194,61 @@ def q_dynamic_orders(spark, sf_dir):
         orders.filter(F.col("o") % 100 == 0)
         .join(o2, F.col("o") + 1 == F.col("o_next"))
         .select(
+            F.lit("insert").alias("op"),
             (F.lit(ORDER_VID_OFFSET) + F.col("o")).alias("src"),
             (F.lit(ORDER_VID_OFFSET) + F.col("o_next")).alias("dst"),
         )
     )
     dels = orders.filter(F.col("o") % 13 == 0).select(
-        F.col("c").alias("src"), (F.lit(ORDER_VID_OFFSET) + F.col("o")).alias("dst")
+        F.lit("delete").alias("op"),
+        F.col("c").alias("src"),
+        (F.lit(ORDER_VID_OFFSET) + F.col("o")).alias("dst"),
     )
-    g.batch_add_edges(adds)
-    g.batch_delete_edges(dels)
+    return adds, dels
+
+
+def q_streaming_dynamic_orders(spark, sf_dir):
+    """Streaming batch-dynamic connectivity (elektra_spark/streaming/
+    updates.py): the SAME insert → delete schedule as q_dynamic_orders, but
+    delivered as two parquet drops consumed by a Structured Streaming file
+    source (one file per micro-batch) and applied through ``foreachBatch`` —
+    every micro-batch is one ``BatchAddEdges``/``BatchDeleteEdges`` call on
+    the MERGE catalog, the streaming expression of the reference's update
+    sequence (dynamic_connectivity.h:44-110,169-377). Offsets checkpoint for
+    restart-resume; replays are idempotent. Final labels hash against the
+    same recursive-CTE twin as dynamic_orders (connectivity of the final
+    edge set is delivery-mode independent — that is the point)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from elektra_spark.dynamic.updates import DynamicGraph
+    from elektra_spark.streaming.updates import (
+        apply_edge_stream,
+        read_update_files,
+        write_update_file,
+    )
+    from elektra_spark.tables import SnapshotCatalog
+
+    edges, vertices = _customer_order_graph(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"elektra_stream_dynamic_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    upd_dir = os.path.join(base, "updates")
+    os.makedirs(upd_dir)
+    g = DynamicGraph.create(
+        SnapshotCatalog(spark, os.path.join(base, "wh")), edges, vertices=vertices
+    )
+
+    adds, dels = _order_update_batches(spark, sf_dir)
+    f1 = write_update_file(adds, upd_dir, "b0.parquet")
+    write_update_file(dels, upd_dir, "b1.parquet")
+    t = _time.time()
+    os.utime(f1, (t - 120, t - 120))  # file-source order: inserts first
+
+    apply_edge_stream(
+        read_update_files(spark, upd_dir), g, os.path.join(base, "ckpt")
+    ).awaitTermination()
     return g.labels()
 
 
@@ -674,6 +729,37 @@ def q_events_sessions(spark, sf_dir):
     per = sess.groupBy("user_id", "sess_id").agg(F.count("*").alias("n"))
     return per.groupBy("user_id").agg(
         F.count("*").alias("n_sessions"), F.max("n").alias("max_session_events")
+    )
+
+
+def q_events_sessions_stream(spark, sf_dir):
+    """Streaming-native sessionization (elektra_spark/streaming/sessions.py):
+    watermarked ``session_window`` aggregation over a file-source stream of
+    the SAME events table, drained with ``Trigger.AvailableNow``. Emits one
+    row per session — (user_id, session_start, session_end = last event +
+    gap, n_events, session_value) — against a lag-based DuckDB twin (new
+    session only when the gap is strictly > 1800 s, the boundary rule
+    test_streaming.py pins against Spark's merge semantics)."""
+    import shutil
+    import tempfile
+
+    from elektra_spark.streaming.sessions import drain_to_rows, event_sessions
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"elektra_stream_sessions_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    ev_dir = os.path.join(base, "events")
+    os.makedirs(ev_dir)
+    # the file source wants a directory to watch
+    shutil.copyfile(f"{sf_dir}/events.parquet", os.path.join(ev_dir, "events.parquet"))
+    stream = spark.readStream.schema(
+        "event_id long, ts timestamp, user_id long, value double"
+    ).parquet(ev_dir)
+    rows = drain_to_rows(event_sessions(stream), os.path.join(base, "ckpt"))
+    return spark.createDataFrame(
+        rows,
+        "user_id long, session_start timestamp, session_end timestamp, "
+        "n_events long, session_value double",
     )
 
 
@@ -1301,6 +1387,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "degree_histogram_parts": q_degree_histogram_parts,
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
         "dynamic_orders": q_dynamic_orders,
+        "streaming_dynamic_orders": q_streaming_dynamic_orders,
         "dynamic_levels_orders": q_dynamic_levels_orders,
         "component_vertices_orders": q_component_vertices_orders,
         "component_edges_orders": q_component_edges_orders,
@@ -1332,6 +1419,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal_features,
         # relational/windows surface
         "events_sessions": q_events_sessions,
+        "events_sessions_stream": q_events_sessions_stream,
         "revenue_by_region_status": q_revenue_by_region_status,
     }
 
@@ -1397,6 +1485,9 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_levels": _transcript_levels_sql(),
         "transcript_levels2": _transcript_levels2_sql(),
         "dynamic_orders": _dynamic_orders_sql(),
+        # delivery mode (streaming micro-batches vs direct batch calls) must
+        # not change the final edge set, so the twin is the same CC query
+        "streaming_dynamic_orders": _dynamic_orders_sql(),
         "dynamic_levels_orders": _dynamic_levels_orders_sql(),
         "component_vertices_orders": f"""
   SELECT 1::BIGINT AS vid
@@ -1450,6 +1541,23 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
     FROM g
   ), per AS (SELECT user_id, sess_id, count(*) AS n FROM s GROUP BY user_id, sess_id)
   SELECT user_id, count(*) AS n_sessions, max(n) AS max_session_events FROM per GROUP BY user_id
+  """,
+        "events_sessions_stream": """
+  WITH g AS (
+    SELECT user_id, event_id, ts, value,
+           CASE WHEN epoch(ts) - lag(epoch(ts)) OVER w IS NULL
+                  OR epoch(ts) - lag(epoch(ts)) OVER w > 1800 THEN 1 ELSE 0 END AS new_sess
+    FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+  ), s AS (
+    SELECT user_id, ts, value,
+           sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess_id
+    FROM g
+  )
+  SELECT user_id, min(ts) AS session_start,
+         max(ts) + INTERVAL 1800 SECOND AS session_end,
+         count(*) AS n_events, round(sum(value), 4) AS session_value
+  FROM s GROUP BY user_id, sess_id
   """,
         "revenue_by_region_status": """
   SELECT r_name, o_orderstatus,

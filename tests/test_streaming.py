@@ -1,0 +1,188 @@
+"""Structured Streaming surfaces.
+
+1. Streaming batch-dynamic connectivity: every micro-batch is one
+   ``BatchAddEdges``/``BatchDeleteEdges`` update applied through
+   ``DynamicGraph`` inside ``foreachBatch`` — the streaming expression of the
+   reference's update sequence (dynamic_connectivity.h:44-110,169-377; the
+   mixed benchmark's random batches, benchmarks/benchmark.h:50-89). Checked
+   against the batch API applied to the same updates, the CC oracle, and
+   CheckRep; restart-resume goes through the streaming checkpoint, and
+   replays are idempotent via the MERGE catalog.
+2. Watermarked session windows (streaming/sessions.py): drained streaming
+   result must equal the identical batch aggregation; half-open-interval gap
+   semantics pinned exactly.
+"""
+
+import os
+import time
+
+import pytest
+
+from elektra_spark.dynamic.updates import DynamicGraph
+from elektra_spark.ingest.graph_io import edges_from_pairs
+from elektra_spark.streaming.sessions import drain_to_rows, event_sessions
+from elektra_spark.streaming.updates import (
+    UPDATE_SCHEMA,
+    apply_edge_stream,
+    read_update_files,
+    write_update_file,
+)
+from elektra_spark.tables import SnapshotCatalog
+
+from .oracles import cc_oracle
+
+BASE = [(0, 1), (1, 2), (3, 4), (5, 6), (7, 8), (8, 9)]
+BATCH1 = [("insert", 2, 3), ("insert", 4, 5)]  # chain 0..6 together
+BATCH2 = [("delete", 1, 2), ("insert", 6, 7), ("delete", 8, 9)]
+
+
+def _final_pairs():
+    pairs = list(BASE)
+    for op, u, v in BATCH1 + BATCH2:
+        if op == "insert":
+            pairs.append((u, v))
+        else:
+            pairs.remove((u, v))
+    return pairs
+
+
+def _labels(g):
+    return {r["vid"]: r["component"] for r in g.labels().collect()}
+
+
+def _write_update_file(spark, dirpath, rows, name):
+    # one parquet file per micro-batch; mtime staggers the file-source order
+    return write_update_file(
+        spark.createDataFrame(rows, UPDATE_SCHEMA), dirpath, name + ".parquet"
+    )
+
+
+def test_stream_updates_match_batch_and_oracle(spark, tmp_path):
+    src_dir = str(tmp_path / "updates")
+    os.makedirs(src_dir)
+    f1 = _write_update_file(spark, src_dir, BATCH1, "b0")
+    f2 = _write_update_file(spark, src_dir, BATCH2, "b1")
+    os.utime(f1, (time.time() - 120, time.time() - 120))
+
+    g = DynamicGraph.create(
+        SnapshotCatalog(spark, str(tmp_path / "wh_stream")),
+        edges_from_pairs(spark, BASE),
+        check_rep=True,
+    )
+    seen = []
+    q = apply_edge_stream(
+        read_update_files(spark, src_dir),
+        g,
+        str(tmp_path / "ckpt"),
+        on_batch=lambda bid, ni, nd: seen.append((bid, ni, nd)),
+    )
+    q.awaitTermination()
+
+    # one micro-batch per file, insert/delete split as authored
+    assert seen == [(0, 2, 0), (1, 1, 2)]
+    final = _final_pairs()
+    assert _labels(g) == cc_oracle(final, vids=range(10))
+
+    # batch API over the same updates ⇒ identical labels
+    gb = DynamicGraph.create(
+        SnapshotCatalog(spark, str(tmp_path / "wh_batch")),
+        edges_from_pairs(spark, BASE),
+    )
+    for batch in (BATCH1, BATCH2):
+        ins = [(u, v) for op, u, v in batch if op == "insert"]
+        dels = [(u, v) for op, u, v in batch if op == "delete"]
+        if ins:
+            gb.batch_add_edges(spark.createDataFrame(ins, "src long, dst long"))
+        if dels:
+            gb.batch_delete_edges(spark.createDataFrame(dels, "src long, dst long"))
+    assert _labels(g) == _labels(gb)
+
+
+def test_stream_updates_resume_and_replay(spark, tmp_path):
+    """Offsets live in the streaming checkpoint: a restarted query picks up
+    the not-yet-processed file only; wiping the checkpoint and replaying
+    everything is harmless (MERGE idempotency)."""
+    src_dir = str(tmp_path / "updates")
+    os.makedirs(src_dir)
+    _write_update_file(spark, src_dir, BATCH1, "b0")
+
+    g = DynamicGraph.create(
+        SnapshotCatalog(spark, str(tmp_path / "wh")),
+        edges_from_pairs(spark, BASE),
+    )
+    ckpt = str(tmp_path / "ckpt")
+    apply_edge_stream(read_update_files(spark, src_dir), g, ckpt).awaitTermination()
+    mid = list(BASE) + [(u, v) for _, u, v in BATCH1]
+    assert _labels(g) == cc_oracle(mid, vids=range(10))
+
+    # second file arrives; same checkpoint ⇒ only the new file is processed
+    _write_update_file(spark, src_dir, BATCH2, "b1")
+    seen = []
+    apply_edge_stream(
+        read_update_files(spark, src_dir),
+        g,
+        ckpt,
+        on_batch=lambda bid, ni, nd: seen.append((ni, nd)),
+    ).awaitTermination()
+    assert seen == [(1, 2)]
+    final_labels = _labels(g)
+    assert final_labels == cc_oracle(_final_pairs(), vids=range(10))
+
+    # full replay from scratch (lost checkpoint) converges to the same state
+    apply_edge_stream(
+        read_update_files(spark, src_dir), g, str(tmp_path / "ckpt2")
+    ).awaitTermination()
+    assert _labels(g) == final_labels
+
+
+EVENTS_SCHEMA = "event_id long, ts timestamp, user_id long, value double"
+
+
+def _mk_events(spark, rows):
+    from datetime import datetime, timedelta
+
+    t0 = datetime(2026, 1, 1, 12, 0, 0)
+    return spark.createDataFrame(
+        [
+            (i, t0 + timedelta(seconds=off), uid, val)
+            for i, (uid, off, val) in enumerate(rows)
+        ],
+        EVENTS_SCHEMA,
+    )
+
+
+def test_session_window_gap_semantics(spark, tmp_path):
+    """Boundary pin: gap == 1800s still merges (split only when strictly
+    greater) — the same rule as the batch lag surface's ``> 1800``."""
+    df = _mk_events(
+        spark,
+        [(1, 0, 1.0), (1, 1800, 1.0), (2, 0, 1.0), (2, 1801, 1.0)],
+    )
+    got = {
+        (r["user_id"], r["n_events"])
+        for r in event_sessions(df, gap_seconds=1800).collect()
+    }
+    assert got == {(1, 2), (2, 1)}
+
+
+def test_streaming_sessions_match_batch(spark, tmp_path):
+    rows = []
+    for uid in range(4):
+        off = uid * 7
+        for s in range(3):  # three sessions per user
+            for j in range(4):  # four events per session
+                rows.append((uid, off, float(uid + j) / 3.0))
+                off += 600  # 10 min within-session gap
+            off += 3600  # 1h between sessions
+    df = _mk_events(spark, rows)
+    events_dir = str(tmp_path / "events")
+    df.coalesce(1).write.parquet(events_dir)
+
+    stream = spark.readStream.schema(EVENTS_SCHEMA).parquet(events_dir)
+    streamed = drain_to_rows(
+        event_sessions(stream), checkpoint_dir=str(tmp_path / "ckpt")
+    )
+    batch = event_sessions(df).collect()
+    key = lambda r: (r["user_id"], r["session_start"])  # noqa: E731
+    assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
+    assert len(streamed) == 12
