@@ -23,7 +23,10 @@ import time
 
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="elektra-spark")
-    p.add_argument("job", choices=["pagerank", "cc", "lpa", "triangles", "forest", "derive"])
+    p.add_argument(
+        "job",
+        choices=["pagerank", "cc", "lpa", "triangles", "forest", "derive", "stream-updates"],
+    )
     p.add_argument("--edges", help="edge parquet path (src,dst)")
     p.add_argument("--synth-convs", type=int, help="synthesize transcript graph with N conversations")
     p.add_argument("--n-iter", type=int, default=20)
@@ -33,7 +36,69 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-id", default=None)
     p.add_argument("--resume", action="store_true", help="continue from the latest committed superstep")
     p.add_argument("--output", help="write result parquet here")
+    # stream-updates: live maintenance of the connectivity tables from a
+    # directory of (op, src, dst) parquet drops (streaming/updates.py)
+    p.add_argument("--updates-dir", help="stream-updates: directory of update-file drops")
+    p.add_argument("--warehouse", help="stream-updates: DynamicGraph catalog root")
+    p.add_argument("--prefix", default="graph", help="stream-updates: catalog table prefix")
+    p.add_argument(
+        "--follow",
+        action="store_true",
+        help="stream-updates: keep running for new drops (default drains available files and stops)",
+    )
     return p
+
+
+def _stream_updates(spark, args) -> int:
+    """Live connectivity maintenance: consume (op, src, dst) parquet drops
+    from --updates-dir, one micro-batch per file, through the batch-dynamic
+    MERGE path. First run bootstraps the graph from --edges/--synth-convs;
+    later runs attach to the existing warehouse and the streaming checkpoint
+    resumes from the first unprocessed drop."""
+    import os
+
+    from elektra_spark.dynamic.updates import DynamicGraph
+    from elektra_spark.streaming.updates import apply_edge_stream, read_update_files
+    from elektra_spark.tables import SnapshotCatalog
+
+    if not (args.updates_dir and args.warehouse):
+        raise SystemExit("stream-updates needs --updates-dir and --warehouse")
+    cat = SnapshotCatalog(spark, args.warehouse)
+    if cat.exists(f"{args.prefix}_edges"):
+        g = DynamicGraph(cat, args.prefix)
+    else:
+        if args.synth_convs:
+            from elektra_spark.ingest.edges import derive_graph
+            from elektra_spark.ingest.transcripts import synth_transcripts
+
+            gg = derive_graph(synth_transcripts(spark, args.synth_convs, seed=42))
+            edges, vertices = gg.edges, gg.vertices
+        elif args.edges:
+            edges, vertices = spark.read.parquet(args.edges), None
+        else:
+            raise SystemExit("first run needs --edges or --synth-convs to bootstrap")
+        g = DynamicGraph.create(cat, edges, vertices=vertices, prefix=args.prefix)
+
+    t0 = time.time()
+    applied = []
+    q = apply_edge_stream(
+        read_update_files(spark, args.updates_dir),
+        g,
+        os.path.join(args.warehouse, f"_stream_ckpt_{args.prefix}"),
+        available_now=not args.follow,
+        on_batch=lambda bid, ni, nd: applied.append((bid, ni, nd))
+        or print(f"batch {bid}: +{ni} edges, -{nd} edges"),
+    )
+    q.awaitTermination()
+    out = g.labels()
+    if args.output:
+        out.write.mode("overwrite").parquet(args.output)
+    n_comp = out.select("component").distinct().count()
+    print(
+        f"stream-updates: {len(applied)} micro-batches applied in "
+        f"{time.time() - t0:.1f}s; {n_comp} components"
+    )
+    return 0
 
 
 def main(argv=None) -> int:
@@ -44,6 +109,9 @@ def main(argv=None) -> int:
     # leaves the submitted master untouched; otherwise local[$SPARK_GRAFT_CPUS]
     spark = get_spark(f"elektra-{args.job}")
     spark.sparkContext.setLogLevel("WARN")
+
+    if args.job == "stream-updates":
+        return _stream_updates(spark, args)
 
     if args.synth_convs:
         from elektra_spark.ingest.edges import derive_graph

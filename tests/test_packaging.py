@@ -42,3 +42,35 @@ def test_cli_spark_submit_cc_roundtrip(tmp_path):
     )
     assert r.returncode == 0, r.stderr[-3000:]
     assert os.path.exists(out + "/_SUCCESS")
+
+
+def test_cli_stream_updates_bootstrap_and_resume(spark, tmp_path):
+    """stream-updates job in-process (same code path as the packaged CLI):
+    bootstrap from a synthesized graph, drain one drop, then a second
+    invocation attaches to the existing warehouse and consumes only the new
+    drop (streaming checkpoint resume)."""
+    from elektra_spark.cli import main
+    from elektra_spark.streaming.updates import UPDATE_SCHEMA, write_update_file
+
+    upd = str(tmp_path / "drops")
+    os.makedirs(upd)
+    wh = str(tmp_path / "wh")
+    write_update_file(
+        spark.createDataFrame([("insert", 0, 90000)], UPDATE_SCHEMA), upd, "b0.parquet"
+    )
+    args = ["stream-updates", "--updates-dir", upd, "--warehouse", wh,
+            "--synth-convs", "10"]
+    assert main(args) == 0
+
+    write_update_file(
+        spark.createDataFrame([("delete", 0, 90000)], UPDATE_SCHEMA), upd, "b1.parquet"
+    )
+    out = str(tmp_path / "labels")
+    assert main(["stream-updates", "--updates-dir", upd, "--warehouse", wh,
+                 "--output", out]) == 0
+    import pyspark.sql.functions as F
+
+    labels = spark.read.parquet(out)
+    # vertex 90000 was linked to 0 by drop b0 and unlinked by drop b1:
+    # it must be a singleton component again
+    assert labels.filter((F.col("vid") == 90000) & (F.col("component") == 90000)).count() == 1
