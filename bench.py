@@ -46,8 +46,10 @@ $SPARK_GRAFT_BENCH_BUDGET_SEC total wall (default 1500 s — round 1's bench
 finished at 792 s inside the driver's window, so ~1600 s of window exists;
 round 2's fixed 4-window harness timed out and produced no artifact at all)
 and stops adding windows when the next one would overrun; the report file is
-additionally rewritten after every completed window, so an artifact always
-lands even if the harness is killed mid-run.
+additionally rewritten after every completed window, and a SIGTERM handler
+prints a partial-but-honest JSON line (flagged `terminated_early`) over
+whatever has completed, so an artifact always lands even if the harness is
+killed mid-run by an external wall clock.
 """
 
 from __future__ import annotations
@@ -92,6 +94,51 @@ T_START = time.time()
 
 def elapsed() -> float:
     return time.time() - T_START
+
+
+# Shared mutable snapshot for the SIGTERM flush: if an external wall-clock
+# kill (the round-2 failure mode: rc=124, no artifact) lands mid-run, the
+# handler prints a JSON line over whatever has completed — partial but
+# honest, flagged `terminated_early` — instead of dying with nothing.
+_STATE: dict = {"done": False}
+
+
+def _flush_on_term(signum, frame):
+    if _STATE.get("done"):
+        os._exit(0)
+    payload = {
+        "metric": "headline_total_sec",
+        "unit": "sec",
+        "terminated_early": True,
+        "bench_wall_sec": round(elapsed(), 1),
+        "queries": _STATE.get("queries", {}),
+        "sf": _STATE.get("sf"),
+        "n_edges": _STATE.get("n_edges"),
+        "scaling_pair_cores": list(SCALING_PAIR),
+    }
+    payload["value"] = round(
+        sum(v for k, v in payload["queries"].items()
+            if isinstance(v, (int, float)) and not k.startswith("scaling_")), 2
+    )
+    reps = _STATE.get("rep_results") or []
+    if reps:
+        valid = [r for r in reps if r.get("weather_ok")] or reps
+        payload["scaling_efficiency"] = round(
+            statistics.median(r["eff_pr"] for r in valid), 3
+        )
+        payload["scaling_windows_weather_valid"] = len(
+            [r for r in reps if r.get("weather_ok")]
+        )
+        payload["scaling_windows"] = [
+            {k: round(v, 3) for k, v in r.items()} for r in reps
+        ]
+    cc_pair = _STATE.get("cc_pair")
+    if cc_pair:
+        payload["cc_pair"] = {k: round(v, 3) for k, v in cc_pair.items()}
+    try:
+        print(json.dumps(payload), flush=True)
+    finally:
+        os._exit(0)
 
 
 def _probe_worker(mb: int) -> float:
@@ -323,10 +370,16 @@ def main():
     n_convs = max(500, int(500_000 * sf))
     lo, hi = SCALING_PAIR
 
+    import signal
+
+    signal.signal(signal.SIGTERM, _flush_on_term)
+
     from elektra_spark.session import get_spark
 
     queries: dict[str, float] = {}
     cc_phases: dict[str, float] = {}
+    _STATE["queries"] = queries
+    _STATE["sf"] = sf
 
     # ---- phase 0: derive every input graph up front (one session) --------
     spark = get_spark("bench", extra_conf={"spark.ui.showConsoleProgress": "false"})
@@ -339,6 +392,7 @@ def main():
     bsp_verts = verts_of(bsp_edges)
     queries["graph_derivation"] = round(time.time() - t0, 2)
     n_edges = spark.read.parquet(edges_path).count()
+    _STATE["n_edges"] = n_edges
     # one-time bsp graph encoding at FULL parallelism, mmap-shared by both
     # measurement JVMs of the phase-3 throughput pair (the cluster pattern:
     # one full-cluster prep job feeds many later rank jobs; without this the
@@ -382,6 +436,7 @@ def main():
     # on the budget; the bsp throughput pair and the headline suite follow
     # and trim themselves to whatever remains)
     rep_results: list[dict] = []
+    _STATE["rep_results"] = rep_results
     # reserve for the CC pair (~260 s), the headline suite (~300 s,
     # self-trimming) and the bsp pair (~120 s with the shared prep)
     window_budget = BUDGET_SEC - 620
@@ -504,6 +559,7 @@ def main():
             and cc_pair["alloc_mbs"] >= ALLOC_HEALTHY_MBS
             and cc_pair["alloc_par"] >= ALLOC_PAR_HEALTHY
         )
+        _STATE["cc_pair"] = cc_pair
 
     # ---- phase 2: headline suite with the remaining budget ---------------
     # most-important-first, each query gated on remaining wall so the run
@@ -522,15 +578,18 @@ def main():
     # graph: message-minimal superstep, mmap-shared CSR); the df
     # rank-scatter-join kernel is the second line — the longitudinal
     # comparison with rounds 1-3 and the gated scaling workload above
-    if fits(60):
+    # margins are sized for STORM pricing, not calm timings: r3's driver run
+    # measured pagerank6_df at 131 s in a window where calm cost is ~15 s —
+    # a margin that only covers the calm case overshoots the external wall
+    if fits(150):
         t0 = time.time()
         pagerank(edges, n_iter=6).count()
         queries["pagerank6"] = round(time.time() - t0, 2)
-    if fits(45):
+    if fits(150):
         t0 = time.time()
         pagerank(edges, n_iter=6, kernel="df").count()
         queries["pagerank6_df"] = round(time.time() - t0, 2)
-    if fits(45):
+    if fits(100):
         t0 = time.time()
         connected_components(
             edges, kernel="csr", on_phase=lambda n, s: cc_phases.__setitem__(n, round(s, 2))
@@ -543,7 +602,7 @@ def main():
     import __spark_entry__ as entry
 
     for name, margin in [
-        ("triangles_copurchase", 60),
+        ("triangles_copurchase", 100),
         ("minhash_candidates_docs", 30),
         ("text_profile_docs", 15),
         ("revenue_by_region_status", 15),
@@ -785,8 +844,10 @@ Reference comparison: the reference publishes no numbers (BASELINE.md §1); {ref
                     {k: round(v, 3) for k, v in r.items()} for r in rep_results
                 ],
             }
-        )
+        ),
+        flush=True,
     )
+    _STATE["done"] = True
 
 
 if __name__ == "__main__":
