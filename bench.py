@@ -33,7 +33,7 @@ All graphs are stored **range-partitioned +
 sorted by src** (the engine's edge-table layout; on a cluster, the Iceberg
 sort order), with input splits pinned 1:1 to the range files so both
 parallelism levels execute the identical task set. Steady state is measured
-for all jobs — min steady superstep for PageRank, min of two CC runs —
+for all jobs — min steady superstep for PageRank, min of three CC runs —
 because run 0 pays the one-time Python-worker page-fault warm-up that
 long-lived production executors amortize away.
 
@@ -608,10 +608,10 @@ def main():
 
     cc_pair = None
     rc_lo = None
-    cc_pre = memory_scaling_probe(procs=hi) if elapsed() + 300 < BUDGET_SEC else None
-    if cc_pre is not None and elapsed() + phase_margin(cc_pre, 300) < BUDGET_SEC:
+    cc_pre = memory_scaling_probe(procs=hi) if elapsed() + 400 < BUDGET_SEC else None
+    if cc_pre is not None and elapsed() + phase_margin(cc_pre, 400) < BUDGET_SEC:
         try:
-            rc_lo = run_worker(lo, "c", "cc", scale_edges, scale_verts, timeout_s=400.0)
+            rc_lo = run_worker(lo, "c", "cc", scale_edges, scale_verts, timeout_s=550.0)
             rc_hi = run_worker(hi, "c", "cc", scale_edges, scale_verts, timeout_s=250.0)
         except WorkerTimeout:
             rc_lo = None

@@ -152,8 +152,13 @@ def main():
 
     # CC measured twice; both runs reported, min taken. Run 0 pays the
     # one-time Python worker warm-up (this sandbox faults fresh pages at
-    # ~10 MB/s and the fault path does not parallelize); the second run is the
-    # steady state a long-lived production executor sits in. Input is
+    # ~10 MB/s and the fault path does not parallelize); the later runs are the
+    # steady state a long-lived production executor sits in. Three runs (min
+    # taken, same min-steady protocol as the PR supersteps): a matched-weather
+    # recheck measured min-of-2 pairs 17.0 s <-> 21.4 s at 4 cores on identical
+    # input — run 2 is sometimes still warming, and one extra steady sample per
+    # level (~+85 s/pair symmetric, well inside the pair caps) settles it.
+    # Input is
     # src-sorted parquet (the engine's edge-table layout), so
     # pre_partitioned=True. The timed action is count() — materializing the
     # label table is the operator's work; the n_components distinct is a
@@ -163,7 +168,7 @@ def main():
     n_comp = 0
     if mode in ("cc", "both", "dfcc"):
         labels = None
-        for _ in range(2):
+        for _ in range(int(os.environ.get("SPARK_GRAFT_CC_RUNS", "3"))):
             t0 = time.time()
             labels = connected_components(edges, kernel="csr", pre_partitioned=True)
             labels.count()
