@@ -103,10 +103,15 @@ def elapsed() -> float:
 # kill (the round-2 failure mode: rc=124, no artifact) lands mid-run, the
 # handler prints a JSON line over whatever has completed — partial but
 # honest, flagged `terminated_early` — instead of dying with nothing.
-_STATE: dict = {"done": False}
+_STATE: dict = {"done": False, "pid": os.getpid()}
 
 
 def _flush_on_term(signum, frame):
+    # Forked children (probe pools) inherit this handler and a copy of
+    # _STATE; a process-group kill would make each of them print a duplicate
+    # flush line. Only the main bench process flushes.
+    if os.getpid() != _STATE.get("pid"):
+        os._exit(0)
     if _STATE.get("done"):
         os._exit(0)
     payload = {
@@ -141,6 +146,17 @@ def _flush_on_term(signum, frame):
     try:
         print(json.dumps(payload), flush=True)
     finally:
+        # Scaling workers run in their own sessions (so a WorkerTimeout can
+        # killpg them without suiciding the bench); a driver wall-clock kill
+        # of the bench group therefore misses a live worker and would leave
+        # an orphaned JVM burning cores under whatever the driver runs next.
+        import signal as _sig
+
+        for pid in _STATE.get("worker_pids", ()):  # at most one is live
+            try:
+                os.killpg(os.getpgid(pid), _sig.SIGKILL)
+            except (ProcessLookupError, PermissionError, OSError):
+                pass
         os._exit(0)
 
 
@@ -443,6 +459,7 @@ def main():
         cmd = [sys.executable, worker, str(cores), edges_p, str(SCALING_ITERS), out, mode,
                verts_p]
         proc = subprocess.Popen(cmd, env=env, start_new_session=True)
+        _STATE.setdefault("worker_pids", set()).add(proc.pid)
         try:
             rc = proc.wait(timeout=timeout_s)
         except subprocess.TimeoutExpired:
@@ -454,6 +471,8 @@ def main():
                 pass
             proc.wait()
             raise WorkerTimeout(f"{mode} worker at {cores} cores exceeded {timeout_s:.0f}s")
+        finally:
+            _STATE["worker_pids"].discard(proc.pid)
         if rc != 0:
             raise subprocess.CalledProcessError(rc, cmd)
         with open(out) as f:
