@@ -2,10 +2,23 @@
 
 Usage: python tools/bench_worker.py <master_cores> <edges_parquet> <n_iter>
        <out_json> [mode] [verts_parquet] [bsp_edges_parquet] [bsp_verts_parquet]
-mode: pr | cc | bsp | df | dfcc | both (default both).
+mode: pr | cc | bsp | df | dfgate | dfcc | both (default both).
 ``df`` runs only the df-kernel PageRank — the cheap window variant: the
 gated PR statistic wants as many matched windows as the budget carries,
 while CC's (comfortably passing) efficiency needs only the first window.
+``dfgate`` is the long-lived-executor variant of ``df``: ONE JVM serves
+every matched window of the run, with supersteps released in groups of
+``n_iter`` by a file handshake under $SPARK_GRAFT_GATE_DIR (bench.py
+touches ``go_<cores>_<g>``, the worker runs the group and writes
+``done_<cores>_<g>.json`` with the group's step walls + JVM telemetry).
+Superstep 1 is the global warm-up (excluded by protocol); the worker
+announces it with ``ready_<cores>.json`` and then blocks for group 0. A
+fresh-JVM-per-window protocol spent ~70 % of each window on startup +
+adjacency prep, which capped a 1500 s budget at ONE window — a single draw
+of a statistic whose run-to-run spread straddles the gate. On a cluster
+the executors serving superstep 40 are the ones that served superstep 1,
+so long-lived measurement JVMs are the faithful model, and the handshake
+keeps each window's lo/hi groups temporally adjacent (matched weather).
 ``dfcc`` is what the gated matched windows run: the df rank-scatter-join
 PageRank (the gated N→4N workload — large enough per-superstep JVM
 shuffle/agg work for the core ratio to measure parallel execution) plus CC
@@ -50,6 +63,24 @@ def jvm_stats(spark) -> dict:
     }
 
 
+def _write_json_atomic(path: str, obj: dict) -> None:
+    tmp = path + ".tmp"
+    with open(tmp, "w") as f:
+        json.dump(obj, f)
+    os.replace(tmp, path)  # bench.py never sees a partial file
+
+
+def _gate_wait(path: str, deadline_s: float, poll_s: float = 0.25) -> None:
+    """Block until bench.py touches ``path``. A worker orphaned by a killed
+    bench must not idle-hold a 10 GB pre-touched JVM forever — exit hard on
+    deadline (bench treats a dead worker like a WorkerTimeout)."""
+    t0 = time.time()
+    while not os.path.exists(path):
+        if time.time() - t0 > deadline_s:
+            os._exit(3)
+        time.sleep(poll_s)
+
+
 def main():
     cores, edges_path, n_iter, out_path = sys.argv[1], sys.argv[2], int(sys.argv[3]), sys.argv[4]
     mode = sys.argv[5] if len(sys.argv) > 5 else "both"
@@ -58,10 +89,18 @@ def main():
     bsp_verts_path = sys.argv[8] if len(sys.argv) > 8 else None
     os.environ["SPARK_GRAFT_CPUS"] = cores
     os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "32")
-    # fixed heap for the measurement JVM (16g default is more than the
-    # workloads need; a fixed, fully pre-touched heap means steady-state
-    # supersteps fault no fresh pages — see extraJavaOptions below)
-    os.environ.setdefault("SPARK_DRIVER_MEMORY", "10g")
+    # fixed heap for the measurement JVM: a fixed, fully pre-touched heap
+    # means steady-state supersteps fault no fresh pages (see
+    # extraJavaOptions below). Size is a dial because the pre-touch itself
+    # is a 1-2 GB/s-at-best fault burst on this host — and the SECOND
+    # pre-touch of a concurrent JVM pair runs at ~50 MB/s once the first
+    # has committed its heap (kernel compaction serializes the fault path):
+    # measured 26 s alone vs 208 s beside an idle pre-touched peer at 10 g.
+    # The df superstep's live set (cached adjacency + one superstep's
+    # shuffle) is well under 2 g, so the dfgate pair runs right-sized heaps.
+    heap_gb = os.environ.get("SPARK_GRAFT_WORKER_HEAP_GB", "10")
+    young_gb = max(1, int(heap_gb) * 2 // 5)
+    os.environ.setdefault("SPARK_DRIVER_MEMORY", f"{heap_gb}g")
 
     from elektra_spark.operators.cc import connected_components
     from elektra_spark.operators.pagerank import pagerank
@@ -87,8 +126,9 @@ def main():
             # large fixed young gen keeps the shuffle churn dying young:
             # measured 4-core steady 4.3 s / ~25 ms GC vs 5.6 s / 40-270 ms.
             "spark.driver.extraJavaOptions": (
-                "-XX:MaxHeapFreeRatio=100 -Xms10g -XX:+AlwaysPreTouch "
-                f"-XX:+UseParallelGC -XX:ParallelGCThreads={cores} -Xmn4g"
+                f"-XX:MaxHeapFreeRatio=100 -Xms{heap_gb}g -XX:+AlwaysPreTouch "
+                f"-XX:+UseParallelGC -XX:ParallelGCThreads={cores} -Xmn{young_gb}g "
+                + os.environ.get("SPARK_GRAFT_WORKER_EXTRA_JVM", "")
             ),
             # pin input splits 1:1 to the edge table's 16 range files so BOTH
             # parallelism levels execute the identical task set — on a real
@@ -129,6 +169,53 @@ def main():
         t0 = time.time()
         pagerank(
             edges, vertices=verts, n_iter=n_iter, kernel="df", on_superstep=df_hook
+        ).count()
+        pr_total = time.time() - t0
+    if mode == "dfgate":
+        gate = os.environ["SPARK_GRAFT_GATE_DIR"]
+        n_groups = int(os.environ.get("SPARK_GRAFT_GATE_GROUPS", "6"))
+        wait_s = float(os.environ.get("SPARK_GRAFT_GATE_WAIT_SEC", "1800"))
+        k = n_iter  # steady supersteps per gated group
+        last = jvm_stats(spark)
+
+        def gate_hook(s, c, t):
+            now = jvm_stats(spark)
+            df_steps.append(t)
+            df_telemetry.append(
+                {
+                    "wall_s": round(t, 3),
+                    "gc_delta_ms": now["gc_ms"] - last["gc_ms"],
+                    "heap_committed_mb": now["heap_committed_mb"],
+                    "storage_mb": now["storage_mb"],
+                }
+            )
+            last.update(now)
+            done = len(df_steps)
+            if done == 1:
+                # step 1 = global warm-up (adjacency materialization rides
+                # it); announce readiness, then block for the first group
+                _write_json_atomic(
+                    f"{gate}/ready_{cores}.json",
+                    {"warmup_step_sec": round(t, 3), "n_edges": n_edges},
+                )
+                _gate_wait(f"{gate}/go_{cores}_0", wait_s)
+            elif (done - 1) % k == 0:
+                g = (done - 1) // k - 1
+                _write_json_atomic(
+                    f"{gate}/done_{cores}_{g}.json",
+                    {
+                        "group": g,
+                        "step_secs": df_steps[1 + g * k : 1 + (g + 1) * k],
+                        "telemetry": df_telemetry[1 + g * k : 1 + (g + 1) * k],
+                    },
+                )
+                if g + 1 < n_groups:
+                    _gate_wait(f"{gate}/go_{cores}_{g + 1}", wait_s)
+
+        t0 = time.time()
+        pagerank(
+            edges, vertices=verts, n_iter=1 + n_groups * k, kernel="df",
+            on_superstep=gate_hook,
         ).count()
         pr_total = time.time() - t0
     if mode in ("pr", "both", "bsp"):
