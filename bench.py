@@ -803,6 +803,7 @@ def main():
 
     cc_pair = None
     rc_lo = None
+    trace("phase 1.5: CC matched pair")
     cc_pre = memory_scaling_probe(procs=hi) if elapsed() + 400 < BUDGET_SEC else None
     if cc_pre is not None and elapsed() + phase_margin(cc_pre, 400) < BUDGET_SEC:
         try:
@@ -882,37 +883,66 @@ def main():
         entry.queries()[name](spark, SF_DIR).count()
         queries[name] = round(time.time() - t0, 2)
 
-    if fits(200):
-        queries.update(bench_insertion_throughput(spark))
-    if fits(160):
-        queries.update(bench_mixed_throughput(spark))
     spark.stop()
 
-    # ---- phase 3: bsp throughput pair (reported, not gated; runs LAST and
-    # is skippable — it costs two reported lines, never the gate or the
-    # headline). Both JVMs mmap the phase-0 full-parallelism graph encoding
-    # (SPARK_GRAFT_BSP_PREP_DIR) with the bucket count pinned to the pair's
-    # high level, so the measured wall is load + supersteps, not prep -------
+    # ---- phase 3: bsp throughput pair (reported, not gated). Runs BEFORE
+    # the insertion/mixed reference-parity benches: the last two committed
+    # artifacts starved it (one run missed the 190 s margin by 5 s) while
+    # those benches — the most trimmable lines in the report — had already
+    # spent ~300 s. Both JVMs mmap the phase-0 full-parallelism graph
+    # encoding (SPARK_GRAFT_BSP_PREP_DIR) with the bucket count pinned to
+    # the pair's high level, so the measured wall is load + supersteps, not
+    # prep. Tail fallback: when only the hi-level worker fits, run it alone
+    # — supersteps/hour and edge-message throughput (the north metric's
+    # first clause) need only the high level; the non-gated efficiency line
+    # is then the one reported as skipped. ---------------------------------
     bsp_pair = None
-    pre_bsp = memory_scaling_probe(procs=hi) if elapsed() + 190 < BUDGET_SEC else None
-    if pre_bsp is not None and elapsed() + phase_margin(pre_bsp, 190) < BUDGET_SEC:
+    trace("phase 3: bsp throughput pair")
+    pre_bsp = memory_scaling_probe(procs=hi) if elapsed() + 110 < BUDGET_SEC else None
+    if pre_bsp is not None:
         bsp_env = {
             "SPARK_GRAFT_BSP_PREP_DIR": bsp_prep_dir,
             "SPARK_GRAFT_BSP_BUCKETS": str(hi),
         }
+        full_fits = elapsed() + phase_margin(pre_bsp, 190) < BUDGET_SEC
+        hi_fits = elapsed() + phase_margin(pre_bsp, 100) < BUDGET_SEC
         try:
-            rb_lo = run_worker(lo, "b", "bsp", bsp_edges, bsp_verts, timeout_s=200.0,
-                               **bsp_env)
-            rb_hi = run_worker(hi, "b", "bsp", bsp_edges, bsp_verts, timeout_s=200.0,
-                               **bsp_env)
+            rb_lo = (
+                run_worker(lo, "b", "bsp", bsp_edges, bsp_verts, timeout_s=200.0,
+                           **bsp_env)
+                if full_fits
+                else None
+            )
+            rb_hi = (
+                run_worker(hi, "b", "bsp", bsp_edges, bsp_verts, timeout_s=200.0,
+                           **bsp_env)
+                if (full_fits or hi_fits)
+                else None
+            )
+        except WorkerTimeout:
+            rb_lo = rb_hi = None
+        if rb_hi is not None:
             bsp_pair = {
-                "lo": min(rb_lo["pr_bsp_step_secs"][1:]),
+                "lo": min(rb_lo["pr_bsp_step_secs"][1:]) if rb_lo is not None else None,
                 "hi": min(rb_hi["pr_bsp_step_secs"][1:]),
                 "n_edges": rb_hi["bsp_n_edges"],
                 "bw_pre": pre_bsp["bw_scaling"],
             }
-        except WorkerTimeout:
-            bsp_pair = None
+
+    # ---- phase 4: reference-parity insertion/mixed benches (lowest
+    # priority — medians over many small dynamic batches, useful for the
+    # reference comparison but not a north-metric line; they trim last) ----
+    if fits(220):
+        trace("phase 4: insertion/mixed parity benches")
+        spark = get_spark(
+            "bench-parity", extra_conf={"spark.ui.showConsoleProgress": "false"}
+        )
+        spark.sparkContext.setLogLevel("ERROR")
+        if fits(200):
+            queries.update(bench_insertion_throughput(spark))
+        if fits(160):
+            queries.update(bench_mixed_throughput(spark))
+        spark.stop()
 
     # ---- stats + final report --------------------------------------------
     # median matched WEATHER-VALID window = the headline and gated statistic
@@ -946,17 +976,22 @@ def main():
         cc_wall_s = cc_eff_s = "skipped (budget)"
 
     if bsp_pair is not None:
-        eff_bsp = (bsp_pair["lo"] / bsp_pair["hi"]) / (hi / lo)
         n_edges_bsp = bsp_pair["n_edges"]
         bsp_steps_per_hour = 3600.0 / bsp_pair["hi"]
         edges_per_sec = 2 * n_edges_bsp / bsp_pair["hi"]
-        queries[f"pr_bsp_superstep_sec_local{lo}"] = round(bsp_pair["lo"], 3)
         queries[f"pr_bsp_superstep_sec_local{hi}"] = round(bsp_pair["hi"], 3)
-        queries["scaling_efficiency_pagerank_bsp"] = round(eff_bsp, 3)
         bsp_hour_s = f"{bsp_steps_per_hour:,.0f}"
-        bsp_wall_s = f"{bsp_pair['lo']:.2f}s / {bsp_pair['hi']:.2f}s"
-        eff_bsp_s = f"{eff_bsp:.3f}"
         eps_s = f"{edges_per_sec:,.0f}"
+        if bsp_pair["lo"] is not None:
+            eff_bsp = (bsp_pair["lo"] / bsp_pair["hi"]) / (hi / lo)
+            queries[f"pr_bsp_superstep_sec_local{lo}"] = round(bsp_pair["lo"], 3)
+            queries["scaling_efficiency_pagerank_bsp"] = round(eff_bsp, 3)
+            bsp_wall_s = f"{bsp_pair['lo']:.2f}s / {bsp_pair['hi']:.2f}s"
+            eff_bsp_s = f"{eff_bsp:.3f}"
+        else:
+            eff_bsp = None
+            bsp_wall_s = f"skipped (budget) / {bsp_pair['hi']:.2f}s"
+            eff_bsp_s = "skipped (budget: hi-only tail)"
         ref_cmp = (
             f"its harness\nmetric is median batch-link time on email-Eu-core (25,571 edges). "
             f"Our engine processes\n{edges_per_sec:,.0f} edge-messages/s per superstep — the "
@@ -968,6 +1003,7 @@ def main():
         n_edges_bsp = 0
         bsp_hour_s = bsp_wall_s = eff_bsp_s = eps_s = "skipped (budget)"
         ref_cmp = "its harness\nmetric is median batch-link time on email-Eu-core (25,571 edges)."
+    bsp_sz_s = f"{n_edges_bsp:,} edges" if n_edges_bsp else "skipped"
 
     total = round(
         sum(v for k, v in queries.items() if not k.startswith("scaling_")), 2
@@ -1028,7 +1064,7 @@ matters there, the bsp numbers show the same engine's optimized executor.)
 
 | metric | value |
 |---|---|
-| PageRank supersteps/hour (engine default bsp, local[{hi}], {n_edges_bsp:,} edges) | {bsp_hour_s} |
+| PageRank supersteps/hour (engine default bsp, local[{hi}], {bsp_sz_s}) | {bsp_hour_s} |
 | PageRank supersteps/hour (df kernel, local[{hi}], {n_edges_scale:,} edges) | {pr_steps_per_hour:,.0f} |
 | PageRank superstep wall, bsp kernel (local[{lo}] / local[{hi}]) | {bsp_wall_s} |
 | PageRank superstep wall, df kernel (local[{lo}] / local[{hi}]) | {scal[lo]['pr_step_sec']:.2f}s / {scal[hi]['pr_step_sec']:.2f}s |
