@@ -793,13 +793,21 @@ def main():
     # parallel-alloc storm crushes): each optional pair phase probes the
     # weather first and demands a storm-priced margin before committing
     # the wall; a skipped pair is reported as skipped, never a blown budget.
+    # Graduated, not binary: the measured blow-up (690 s CC pair) happened at
+    # alloc_par=0.22 / alloc 21 MB/s — a SEVERE phase where concurrent fresh
+    # faulting fully serializes. Mild phases (alloc_par 0.25-0.45, streaming
+    # bw and single-proc alloc healthy) have never produced one: the 06:42
+    # run's three PR windows measured eff 0.84-0.92 at alloc_par 0.21-0.48,
+    # yet binary 3x pricing starved the CC pair out of a budget it fit twice
+    # before. Severe keeps the full 3x; mild prices 1.5x.
     def phase_margin(probe: dict, calm: float) -> float:
-        stormy = (
-            probe.get("alloc_par_eff", 1.0) < ALLOC_PAR_HEALTHY
+        severe = (
+            probe.get("alloc_par_eff", 1.0) < 0.25
             or probe["alloc_mbs"] < ALLOC_HEALTHY_MBS
             or probe["bw_scaling"] < 0.7
         )
-        return calm * 3.0 if stormy else calm
+        mild = probe.get("alloc_par_eff", 1.0) < ALLOC_PAR_HEALTHY
+        return calm * (3.0 if severe else 1.5 if mild else 1.0)
 
     cc_pair = None
     rc_lo = None
@@ -883,19 +891,37 @@ def main():
         entry.queries()[name](spark, SF_DIR).count()
         queries[name] = round(time.time() - t0, 2)
 
+    # ---- phase 2.5: parity benches in the still-open headline session,
+    # but ONLY behind a margin that reserves the bsp pair's full wall
+    # (~250 s incl. both JVM startups): the two phases compete for the
+    # budget tail — the 06:00 run landed the bsp pair and then missed
+    # phase 4's 220 s margin by 8 s, the 04:18 run spent ~300 s here first
+    # and starved the bsp pair. Reusing this session saves a ~25 s startup;
+    # mixed runs first (the delete-containing batch bench VERDICT r3 asked
+    # for; insertion is recorded in three prior artifacts and trims first).
+    parity_done: set = set()
+    if fits(250 + 140):
+        trace("phase 2.5: mixed parity bench (in headline session)")
+        queries.update(bench_mixed_throughput(spark))
+        parity_done.add("mixed")
+    if fits(250 + 120):
+        trace("phase 2.5: insertion parity bench (in headline session)")
+        queries.update(bench_insertion_throughput(spark))
+        parity_done.add("insertion")
+
     spark.stop()
 
     # ---- phase 3: bsp throughput pair (reported, not gated). Runs BEFORE
-    # the insertion/mixed reference-parity benches: the last two committed
-    # artifacts starved it (one run missed the 190 s margin by 5 s) while
-    # those benches — the most trimmable lines in the report — had already
-    # spent ~300 s. Both JVMs mmap the phase-0 full-parallelism graph
-    # encoding (SPARK_GRAFT_BSP_PREP_DIR) with the bucket count pinned to
-    # the pair's high level, so the measured wall is load + supersteps, not
-    # prep. Tail fallback: when only the hi-level worker fits, run it alone
-    # — supersteps/hour and edge-message throughput (the north metric's
-    # first clause) need only the high level; the non-gated efficiency line
-    # is then the one reported as skipped. ---------------------------------
+    # any leftover insertion/mixed reference-parity benches: the last two
+    # committed artifacts starved it (one run missed the 190 s margin by
+    # 5 s) while those benches — the most trimmable lines in the report —
+    # had already spent ~300 s. Both JVMs mmap the phase-0 full-parallelism
+    # graph encoding (SPARK_GRAFT_BSP_PREP_DIR) with the bucket count
+    # pinned to the pair's high level, so the measured wall is load +
+    # supersteps, not prep. Tail fallback: when only the hi-level worker
+    # fits, run it alone — supersteps/hour and edge-message throughput (the
+    # north metric's first clause) need only the high level; the non-gated
+    # efficiency line is then the one reported as skipped. -----------------
     bsp_pair = None
     trace("phase 3: bsp throughput pair")
     pre_bsp = memory_scaling_probe(procs=hi) if elapsed() + 110 < BUDGET_SEC else None
@@ -929,19 +955,20 @@ def main():
                 "bw_pre": pre_bsp["bw_scaling"],
             }
 
-    # ---- phase 4: reference-parity insertion/mixed benches (lowest
-    # priority — medians over many small dynamic batches, useful for the
-    # reference comparison but not a north-metric line; they trim last) ----
-    if fits(220):
-        trace("phase 4: insertion/mixed parity benches")
+    # ---- phase 4: leftover reference-parity benches (lowest priority —
+    # medians over many small dynamic batches; whatever phase 2.5's
+    # bsp-reserving margin pushed out runs here if the tail still fits) ----
+    leftover = [b for b in ("mixed", "insertion") if b not in parity_done]
+    if leftover and fits(120 + 120 * len(leftover)):
+        trace(f"phase 4: leftover parity benches {leftover}")
         spark = get_spark(
             "bench-parity", extra_conf={"spark.ui.showConsoleProgress": "false"}
         )
         spark.sparkContext.setLogLevel("ERROR")
-        if fits(200):
-            queries.update(bench_insertion_throughput(spark))
-        if fits(160):
+        if "mixed" in leftover and fits(160):
             queries.update(bench_mixed_throughput(spark))
+        if "insertion" in leftover and fits(140):
+            queries.update(bench_insertion_throughput(spark))
         spark.stop()
 
     # ---- stats + final report --------------------------------------------
@@ -952,6 +979,18 @@ def main():
     n_valid = len([r for r in rep_results if r["weather_ok"]])
     valid = [r for r in rep_results if r["weather_ok"]] or rep_results
     eff_pr = statistics.median(r["eff_pr"] for r in valid)
+    # qualifiers on the gated line: if no window was weather-valid the median
+    # over ALL windows is the (annotated) fallback; and when the gate held in
+    # every window INCLUDING storm-annotated ones, say so — that is stronger
+    # evidence than storm-filtering implies (a storm can only make a window
+    # noisier, and even the noisy draws cleared the bar)
+    min_eff_all = min(r["eff_pr"] for r in rep_results)
+    gate_note = "" if n_valid else "; no weather-valid window — median over ALL windows"
+    if min_eff_all >= 0.8 and len(rep_results) > 1:
+        gate_note += (
+            f"; gate held in every one of the {len(rep_results)} windows"
+            f" (min {min_eff_all:.3f}), storm-annotated included"
+        )
     med_pr = min(valid, key=lambda r: abs(r["eff_pr"] - eff_pr))
     n_edges_scale = rep_results[0]["n_edges"]
     scal = {
@@ -1070,7 +1109,7 @@ matters there, the bsp numbers show the same engine's optimized executor.)
 | PageRank superstep wall, df kernel (local[{lo}] / local[{hi}]) | {scal[lo]['pr_step_sec']:.2f}s / {scal[hi]['pr_step_sec']:.2f}s |
 | rank-scatter throughput (bsp, local[{hi}]) | {eps_s} edge-messages/s |
 | CC convergence wall (local[{lo}] / local[{hi}], own matched pair) | {cc_wall_s} |
-| **scaling efficiency {lo}→{hi} cores (PageRank df rank-scatter join, median weather-valid window)** | **{eff_pr:.3f}** (gate ≥ 0.8) |
+| **scaling efficiency {lo}→{hi} cores (PageRank df rank-scatter join, median weather-valid window)** | **{eff_pr:.3f}** (gate ≥ 0.8{gate_note}) |
 | scaling efficiency {lo}→{hi} cores (CC, own matched pair) | {cc_eff_s} |
 | scaling efficiency {lo}→{hi} cores (PageRank bsp pair; fixed-overhead-bound at local scale, reported not gated) | {eff_bsp_s} |
 

@@ -63,6 +63,11 @@ class CheckpointedRun:
                     self.catalog.write("lineage", part_rows)
             return out
 
+        # operators whose state lives outside the DataFrame plan (the bsp
+        # PageRank kernel's bucket files) key per-superstep durable commits
+        # off this flag — the EphemeralCheckpointer (lineage truncation only)
+        # deliberately lacks it
+        _cp.durable = True
         return _cp
 
     # -- frontier metrics hook (plugs into operators' `on_superstep=`) ------

@@ -306,9 +306,10 @@ def _pagerank_bsp(
     CSR blocks are mmap-shared across the reused Python workers. This is
     the classic Pregel/PowerGraph layout (vertex state partition-resident,
     only messages move, high-degree vertices mirrored) — on a
-    multi-executor cluster the state files are executor-local scratch (or
-    the Iceberg-committed rank snapshots of :mod:`elektra_spark.checkpoint`,
-    which this path writes every superstep by construction); shuffle
+    multi-executor cluster the state files are executor-local scratch, and
+    a durable checkpointer (:mod:`elektra_spark.checkpoint`, flagged
+    ``durable=True``) additionally gets a catalog commit of the full rank
+    table after every superstep — the kill-and-resume contract; shuffle
     carries only the message relation either way.
 
     Superstep = ONE Spark job chaining two Arrow stages:
@@ -534,6 +535,30 @@ def _pagerank_bsp(
 
         return stage_b
 
+    def make_emit(after_step: int):
+        p = after_step % 2
+
+        def emit(key, pdf):
+            b = int(key[0])
+            lo, hi = _bsp_range(b, n_slots, B)
+            mask = np.fromfile(os.path.join(side_dir, f"mask_{b}.bin"), dtype=np.uint8).view(bool)
+            rank = _rw_state(os.path.join(side_dir, f"rank_{p}_{b}.bin"), count=hi - lo)
+            vids = lo + np.flatnonzero(mask)
+            return pd.DataFrame({"vid": vids.astype(np.int64), "rank": rank[mask]})
+
+        return emit
+
+    # Durable checkpointers (CheckpointedRun.checkpoint_fn sets
+    # ``durable=True``) get a rank-table commit after EVERY superstep — the
+    # north rule's resume contract. The bsp state files are the kernel's
+    # working storage (executor-local scratch on a cluster); the per-step
+    # catalog commit is the durable snapshot a killed run resumes from
+    # (``init_ranks``/``start_step`` re-bucket it at init). The default
+    # EphemeralCheckpointer skips this: bsp state has no lineage to truncate,
+    # so per-step commits would be pure overhead in a fire-and-forget run.
+    durable = bool(getattr(checkpoint, "durable", False))
+    committed = None
+
     a_schema = "tb int, dst long, c double, m boolean"
     b_schema = "bucket int, sum_rank double, max_delta double"
     for step in range(start_step, start_step + n_iter):
@@ -551,20 +576,19 @@ def _pagerank_bsp(
         stats = msgs.groupBy("tb").applyInPandas(stage_b, b_schema).collect()
         if has_dangling:
             a_out.unpersist()
+        if durable:
+            committed = checkpoint(
+                drv.groupBy("bucket").applyInPandas(make_emit(step + 1), "vid long, rank double"),
+                step + 1,
+            )
         if on_superstep is not None:
             on_superstep(step, -1, time.time() - t0)
 
-    last = (start_step + n_iter) % 2
-
-    def emit(key, pdf):
-        b = int(key[0])
-        lo, hi = _bsp_range(b, n_slots, B)
-        mask = np.fromfile(os.path.join(side_dir, f"mask_{b}.bin"), dtype=np.uint8).view(bool)
-        rank = _rw_state(os.path.join(side_dir, f"rank_{last}_{b}.bin"), count=hi - lo)
-        vids = lo + np.flatnonzero(mask)
-        return pd.DataFrame({"vid": vids.astype(np.int64), "rank": rank[mask]})
-
-    final = drv.groupBy("bucket").applyInPandas(emit, "vid long, rank double")
+    if committed is not None:
+        return committed
+    final = drv.groupBy("bucket").applyInPandas(
+        make_emit(start_step + n_iter), "vid long, rank double"
+    )
     return checkpoint(final, start_step + n_iter)
 
 

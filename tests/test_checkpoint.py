@@ -54,6 +54,12 @@ def test_pagerank_resume_equals_uninterrupted(spark, tmp_path):
     run = CheckpointedRun(spark, str(tmp_path / "wh"), "run1")
     pagerank(edges, n_iter=4, checkpoint=run.checkpoint_fn("ranks"), on_superstep=run.metrics_hook("ranks"))
     assert run.latest_step("ranks") == 4
+    # EVERY superstep is individually durable (a kill after superstep k
+    # resumes from k, not from scratch) — this pins the bsp kernel's
+    # per-superstep catalog commits, not just the end-of-run snapshot
+    # (CHAIN's dense vids route kernel='auto' to bsp)
+    ops = {s["operation"] for s in run.catalog.history("run1_ranks")}
+    assert {f"superstep={i}" for i in range(1, 5)} <= ops
 
     # resume mid-iteration from the durable snapshot
     resumed = pagerank(
