@@ -1027,6 +1027,24 @@ def main():
             queries["scaling_efficiency_pagerank_bsp"] = round(eff_bsp, 3)
             bsp_wall_s = f"{bsp_pair['lo']:.2f}s / {bsp_pair['hi']:.2f}s"
             eff_bsp_s = f"{eff_bsp:.3f}"
+            # Amdahl split solved from the measured pair itself
+            # (lo = F + W, hi = F + W/(hi/lo) with F = fixed per-superstep
+            # job cost — scheduler/Arrow round-trips — and W = scalable
+            # gather-scatter): quantifies WHY the bsp ratio is
+            # overhead-bound at local scale. W grows with the edge count,
+            # F does not; the crossover where supersteps become
+            # compute-dominated is ~F/W * current edges.
+            _r = hi / lo
+            _w = (bsp_pair["lo"] - bsp_pair["hi"]) * _r / (_r - 1.0)
+            _f = bsp_pair["lo"] - _w
+            if _w > 0 and _f > 0:
+                eff_bsp_s += (
+                    f" — Amdahl split solved from the pair: scalable work "
+                    f"{_w:.2f}s vs fixed per-job cost {_f:.2f}s per superstep; "
+                    f"W scales with edges, F does not (W=F parity at "
+                    f"~{_f / _w * n_edges_bsp / 1e6:,.0f}M edges; at 10^12 "
+                    f"edges W dominates outright)"
+                )
         else:
             eff_bsp = None
             bsp_wall_s = f"skipped (budget) / {bsp_pair['hi']:.2f}s"
