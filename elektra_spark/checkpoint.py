@@ -66,7 +66,11 @@ class CheckpointedRun:
         # operators whose state lives outside the DataFrame plan (the bsp
         # PageRank kernel's bucket files) key per-superstep durable commits
         # off this flag — the EphemeralCheckpointer (lineage truncation only)
-        # deliberately lacks it
+        # deliberately lacks it. CONTRACT (documented at CheckpointFn,
+        # operators/cc.py): the flag lives on the function object, so any
+        # wrapper (partial/lambda/decorator) must re-set
+        # ``wrapper.durable = inner.durable`` or per-step durability silently
+        # downgrades to an end-of-run commit.
         _cp.durable = True
         return _cp
 

@@ -67,6 +67,16 @@ def _no_aqe(spark: SparkSession):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", prev)
 
+# CheckpointFn contract: callable (state_df, step) -> materialized state_df;
+# step < 0 marks a static relation (materialize only, no commit). Optional
+# attribute ``durable: bool`` — operators whose working state lives OUTSIDE
+# the DataFrame plan (the bsp PageRank kernel's bucket files) read it via
+# getattr to decide per-superstep catalog commits. The flag lives on the
+# function OBJECT, so wrapping a checkpoint fn (functools.partial, lambda,
+# decorator) silently drops it and downgrades to end-of-run-only commits:
+# wrappers must re-set ``wrapper.durable = inner.durable``
+# (CheckpointedRun.checkpoint_fn sets it; EphemeralCheckpointer deliberately
+# lacks it). See elektra_spark/checkpoint.py:70.
 CheckpointFn = Callable[[DataFrame, int], DataFrame]
 SuperstepHook = Callable[[int, int, float], Any]
 

