@@ -2,16 +2,30 @@
 
 The Spark-side plumbing is real and tested: schema contract, partition-sized
 Arrow batching through ``mapInPandas``, deterministic feature extraction over
-raw bytes. The *codec* step (JPEG/PNG decode, audio resample, video frame
-sampling) is STUBBED — the decode libraries (Pillow/librosa/av) are not in
-this container — behind ``decode_stub``: a clearly-marked deterministic fake
-that derives a fixed-shape array from the bytes, so the pipeline shape
-(batch sizes, UDF signatures, schema evolution) is exercised end to end and
-a real codec drops in by replacing one function.
+raw bytes.
+
+Codec status (one REAL, rest stubbed):
+
+- **WAV/PCM16 audio: REAL** — :func:`decode_wav` is a genuine RIFF chunk
+  walker + little-endian PCM16 decoder in pure NumPy (no external codec
+  library needed): it verifies the RIFF/WAVE container, walks word-aligned
+  chunks to find ``fmt ``/``data`` (tolerating interleaved extension chunks
+  such as LIST/INFO), parses the format block, and vectorizes the PCM frames
+  into an ``(n_frames, n_channels)`` int16 array.
+  :func:`extract_wav_features` runs it Arrow-batched through
+  ``mapInPandas``; tests decode bytes written by Python's independent stdlib
+  ``wave`` writer to prove the parser is real.
+- JPEG/PNG image decode, compressed-audio resample, and video frame sampling
+  remain STUBBED behind ``decode_stub`` (Pillow/librosa/av are not in this
+  container): a clearly-marked deterministic fake that derives a fixed-shape
+  array from the bytes, so the pipeline shape (batch sizes, UDF signatures,
+  schema evolution) is exercised end to end and a real codec drops in by
+  replacing one function — exactly as ``decode_wav`` dropped in.
 """
 
 from __future__ import annotations
 
+import struct
 from collections.abc import Iterator
 
 import pandas as pd
@@ -79,6 +93,123 @@ def extract_features(media: DataFrame, batch_hint: int = 1024) -> DataFrame:
     return media.mapInPandas(
         kernel, "media_id long, kind string, feature array<float>, n_bytes long"
     )
+
+
+def decode_wav(payload: bytes):
+    """REAL WAV decoder (pure NumPy — no codec library): RIFF container
+    check, word-aligned chunk walk (``fmt ``/``data`` may be separated by
+    LIST/INFO/fact chunks), PCM16 format-block parse, vectorized frame
+    decode. → ``(sample_rate, n_channels, samples[int16, (frames, ch)])``.
+
+    Raises ``ValueError`` on non-WAV bytes or unsupported encodings (only
+    uncompressed PCM16 — the training-pipeline interchange format — is in
+    scope; compressed codecs stay stubbed, module docstring)."""
+    import numpy as np
+
+    if payload is None or len(payload) < 12 or payload[:4] != b"RIFF" or payload[8:12] != b"WAVE":
+        raise ValueError("not a RIFF/WAVE container")
+    fmt_body = data_body = None
+    pos = 12
+    while pos + 8 <= len(payload):
+        cid = payload[pos : pos + 4]
+        (size,) = struct.unpack("<I", payload[pos + 4 : pos + 8])
+        body = payload[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt_body = body
+        elif cid == b"data":
+            data_body = body
+        pos += 8 + size + (size & 1)  # RIFF chunks are 2-byte aligned
+    if fmt_body is None or data_body is None:
+        raise ValueError("WAV missing fmt/data chunk")
+    audio_format, n_channels, sample_rate, _byte_rate, _block_align, bits = struct.unpack(
+        "<HHIIHH", fmt_body[:16]
+    )
+    if audio_format != 1 or bits != 16:
+        raise ValueError(f"unsupported WAV encoding (format={audio_format}, bits={bits}); only PCM16")
+    samples = np.frombuffer(data_body[: len(data_body) - len(data_body) % (2 * n_channels)], dtype="<i2")
+    return int(sample_rate), int(n_channels), samples.reshape(-1, n_channels)
+
+
+def encode_wav(samples, sample_rate: int = 8000, extra_chunk: bytes | None = None) -> bytes:
+    """Minimal PCM16 WAV writer (mono or (frames, ch) int16). Used by the
+    synthetic media generator; ``extra_chunk`` injects a LIST chunk between
+    ``fmt `` and ``data`` so readers that assume a fixed 44-byte header
+    (instead of walking chunks) break on our own fixtures."""
+    import numpy as np
+
+    arr = np.asarray(samples, dtype="<i2")
+    if arr.ndim == 1:
+        arr = arr[:, None]
+    n_channels = arr.shape[1]
+    data = arr.tobytes()
+    fmt = struct.pack(
+        "<HHIIHH", 1, n_channels, sample_rate,
+        sample_rate * n_channels * 2, n_channels * 2, 16,
+    )
+    chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+    if extra_chunk is not None:
+        pad = extra_chunk + (b"\x00" if len(extra_chunk) % 2 else b"")
+        chunks += b"LIST" + struct.pack("<I", len(extra_chunk)) + pad
+    chunks += b"data" + struct.pack("<I", len(data)) + data
+    return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+
+def extract_wav_features(media: DataFrame) -> DataFrame:
+    """Real-codec feature path: (media_id, payload=WAV bytes) →
+    (media_id, sample_rate, n_channels, n_samples, duration_ms, peak,
+    mean_abs). Arrow-batched ``mapInPandas``; per row one :func:`decode_wav`
+    + vectorized NumPy reductions (no per-sample Python). At 100 TB this is
+    the same shape as any decode stage: opaque binary column in, typed
+    features out, partition-parallel, no shuffle."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in (
+                "media_id", "sample_rate", "n_channels", "n_samples", "duration_ms", "peak", "mean_abs",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                rate, ch, samples = decode_wav(payload)
+                n = samples.shape[0]
+                absamp = np.abs(samples.astype(np.int64))
+                out["media_id"].append(mid)
+                out["sample_rate"].append(rate)
+                out["n_channels"].append(ch)
+                out["n_samples"].append(n)
+                out["duration_ms"].append(n * 1000 // rate)
+                out["peak"].append(int(absamp.max()) if n else 0)
+                out["mean_abs"].append(float(absamp.sum() / max(n * ch, 1)))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        kernel,
+        "media_id long, sample_rate long, n_channels long, n_samples long, "
+        "duration_ms long, peak long, mean_abs double",
+    )
+
+
+def synth_wav_media(spark, n: int = 48, seed: int = 42) -> DataFrame:
+    """Deterministic REAL WAV table: payload is a valid PCM16 RIFF file whose
+    samples are a pure integer function of (media_id, frame index) —
+    ``s[j] = (id*257 + j*73 + seed) % 4096 - 2048`` — so a SQL oracle can
+    reproduce the decoded features exactly. Every third file carries a LIST
+    chunk between fmt and data (the chunk-walk test)."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        n_samples = 64 + (i * 37 + seed) % 256
+        j = np.arange(n_samples, dtype=np.int64)
+        s = ((i * 257 + j * 73 + seed) % 4096 - 2048).astype("<i2")
+        payload = encode_wav(
+            s, sample_rate=8000,
+            extra_chunk=(b"INFOsynthetic" if i % 3 == 0 else None),
+        )
+        rows.append((i, "audio", "audio/wav", payload, None, None, n_samples * 1000 // 8000))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synth_media(spark, n: int = 64, seed: int = 42) -> DataFrame:
