@@ -551,6 +551,24 @@ def q_wav_features(spark, sf_dir):
     )
 
 
+def q_bmp_features(spark, sf_dir):
+    """Second REAL codec path: decode_bmp genuinely parses the BMP container
+    (row padding, BGR order, bottom-up AND top-down storage) over valid
+    24-bit payloads whose pixels are a pure integer function of
+    (media_id, y, x, channel); the DuckDB twin recomputes the channel means
+    from that formula."""
+    from elektra_spark.multimodal.binary import extract_bmp_features, synth_bmp_media
+
+    media = synth_bmp_media(spark, n=48, seed=42)
+    f = extract_bmp_features(media)
+    return f.select(
+        "media_id", "width", "height", "n_pixels",
+        F.round("mean_r", 6).alias("mean_r"),
+        F.round("mean_g", 6).alias("mean_g"),
+        F.round("mean_b", 6).alias("mean_b"),
+    )
+
+
 def q_ann_lsh_docs(spark, sf_dir):
     from elektra_spark.sim.ann import cosine_topk_lsh
 
@@ -1281,6 +1299,39 @@ def _wav_features_sql(n: int = 48, seed: int = 42) -> str:
   """
 
 
+def _bmp_features_sql(n: int = 48, seed: int = 42) -> str:
+    """Twin of q_bmp_features: synth_bmp_media's RGB pixels are
+    ``(id*31 + y*7 + x*3 + c*11 + seed) % 256`` at w = 5 + id%6,
+    h = 4 + id%5, so the decoded channel means are integer-exact. The Spark
+    side REALLY parses the BMP bytes (decode_bmp); this twin recomputes
+    from the generation formula — agreement proves the parse."""
+
+    def chan_sum(c: int) -> str:
+        return (
+            "list_sum(flatten(list_transform(generate_series(0, h - 1), "
+            "y -> list_transform(generate_series(0, w - 1), "
+            f"x -> (media_id * 31 + y * 7 + x * 3 + {c} * 11 + {seed}) % 256))))"
+        )
+
+    return f"""
+  WITH m AS (SELECT i::BIGINT AS media_id, 5 + (i % 6) AS w, 4 + (i % 5) AS h
+             FROM generate_series(0, {n - 1}) t(i)),
+  s AS (SELECT media_id, w, h,
+               {chan_sum(0)} AS sr,
+               {chan_sum(1)} AS sg,
+               {chan_sum(2)} AS sb
+        FROM m)
+  SELECT media_id,
+         w::BIGINT AS width,
+         h::BIGINT AS height,
+         (w * h)::BIGINT AS n_pixels,
+         round(sr::DOUBLE / (w * h), 6) AS mean_r,
+         round(sg::DOUBLE / (w * h), 6) AS mean_g,
+         round(sb::DOUBLE / (w * h), 6) AS mean_b
+  FROM s
+  """
+
+
 def _lpa_sql() -> str:
     base = f"""
   WITH v AS (SELECT c_custkey AS vid FROM customer
@@ -1468,6 +1519,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_stats": q_embedding_stats,
         "multimodal_features": q_multimodal_features,
         "wav_features": q_wav_features,
+        "bmp_features": q_bmp_features,
         # relational/windows surface
         "events_sessions": q_events_sessions,
         "events_sessions_stream": q_events_sessions_stream,
@@ -1565,6 +1617,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "embedding_near_dups": _embedding_near_dups_sql(),
         "multimodal_features": _multimodal_sql(),
         "wav_features": _wav_features_sql(),
+        "bmp_features": _bmp_features_sql(),
         "lang_stats_docs": """
   SELECT lang, count(*) AS n_docs,
          round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,

@@ -1,6 +1,7 @@
-"""Benchmark harness — prints ONE JSON line with headline query timings and
-the N→4N scaling-efficiency evidence; writes the full report to
-BENCH/BASELINE.md.
+"""Benchmark harness — prints ONE **compact** JSON line (headline walls +
+gated stats; the per-window probe detail that outgrew the driver's capture
+in round 4 lives in BENCH/report_full.json instead) and writes the full
+prose report to BENCH/BASELINE.md.
 
 Headline (at local[$SPARK_GRAFT_CPUS], input $SPARK_GRAFT_SF_DIR):
   - PageRank 6 supersteps on the transcript link graph (df kernel)
@@ -87,6 +88,14 @@ SCALING_CONVS_BSP = SCALING_CONVS_CC  # bsp throughput pair runs on the same gra
 # NumPy compute sits inside a ~1-2 s superstep, which is why bsp's
 # efficiency is reported rather than gated (module docstring + report
 # prose) and why the pair runs LAST, skippable, after the gated windows
+# second-scale bsp point (~33M edges at the default): the r4 Amdahl split
+# (W = scalable gather-scatter, F = fixed per-superstep job cost) was solved
+# from ONE graph size; running the same pair at ~4× the edges shows W
+# scaling with the graph while F stays flat — the two-point fit VERDICT r4
+# asked for. Lowest-priority phase: first run pays graph derivation + prep
+# into the /tmp cache (heavy), later runs reuse it; skipped cleanly when the
+# budget is spent (SPARK_GRAFT_BSP2=0 disables outright).
+SCALING_CONVS_BSP2 = int(os.environ.get("SPARK_GRAFT_SCALING_CONVS2", 1_600_000))
 SCALING_ITERS = 4  # min steady superstep over steps 2..4 — three steady
 # samples per level; the 5th superstep bought a 4th sample at ~+40 s per
 # window, which the budget spends better on a whole extra matched window
@@ -145,13 +154,24 @@ def _flush_on_term(signum, frame):
         payload["scaling_windows_weather_valid"] = len(
             [r for r in reps if r.get("weather_ok")]
         )
-        payload["scaling_windows"] = [
-            {k: round(v, 3) for k, v in r.items()} for r in reps
-        ]
     cc_pair = _STATE.get("cc_pair")
     if cc_pair:
         payload["cc_pair"] = {k: round(v, 3) for k, v in cc_pair.items()}
     try:
+        # same compact-line contract as the normal exit: per-window detail
+        # goes to the file, the printed line stays inside the capture window
+        if reps:
+            try:
+                os.makedirs("BENCH", exist_ok=True)
+                with open("BENCH/report_full.json", "w") as f:
+                    json.dump(
+                        dict(payload, scaling_windows=[
+                            {k: round(v, 3) for k, v in r.items()} for r in reps
+                        ]),
+                        f, indent=1,
+                    )
+            except Exception:
+                pass
         print(json.dumps(payload), flush=True)
     finally:
         # Scaling workers run in their own sessions (so a WorkerTimeout can
@@ -932,28 +952,98 @@ def main():
         }
         full_fits = elapsed() + phase_margin(pre_bsp, 190) < BUDGET_SEC
         hi_fits = elapsed() + phase_margin(pre_bsp, 100) < BUDGET_SEC
-        try:
-            rb_lo = (
-                run_worker(lo, "b", "bsp", bsp_edges, bsp_verts, timeout_s=200.0,
-                           **bsp_env)
-                if full_fits
-                else None
-            )
-            rb_hi = (
-                run_worker(hi, "b", "bsp", bsp_edges, bsp_verts, timeout_s=200.0,
-                           **bsp_env)
-                if (full_fits or hi_fits)
-                else None
-            )
-        except WorkerTimeout:
-            rb_lo = rb_hi = None
-        if rb_hi is not None:
+
+        # each worker's hard cap is sized to the wall actually left (a calm
+        # window's 200 s ceiling otherwise lets a mid-run storm overshoot
+        # BUDGET_SEC by the difference), and each leg gets its own
+        # try/except so a completed leg is kept when only the other times
+        # out (lo-only mirrors the hi-only tail fallback)
+        def bsp_cap(reserve: float) -> float:
+            return min(200.0, max(60.0, BUDGET_SEC - elapsed() - reserve))
+
+        rb_lo = rb_hi = None
+        if full_fits:
+            try:
+                rb_lo = run_worker(lo, "b", "bsp", bsp_edges, bsp_verts,
+                                   timeout_s=bsp_cap(120), **bsp_env)
+            except WorkerTimeout:
+                trace("bsp lo worker timed out; trying the hi leg alone")
+        if full_fits or hi_fits:
+            try:
+                rb_hi = run_worker(hi, "b", "bsp", bsp_edges, bsp_verts,
+                                   timeout_s=bsp_cap(30), **bsp_env)
+            except WorkerTimeout:
+                trace("bsp hi worker timed out; keeping any completed lo leg")
+        if rb_lo is not None or rb_hi is not None:
             bsp_pair = {
                 "lo": min(rb_lo["pr_bsp_step_secs"][1:]) if rb_lo is not None else None,
-                "hi": min(rb_hi["pr_bsp_step_secs"][1:]),
-                "n_edges": rb_hi["bsp_n_edges"],
+                "hi": min(rb_hi["pr_bsp_step_secs"][1:]) if rb_hi is not None else None,
+                "n_edges": (rb_hi or rb_lo)["bsp_n_edges"],
                 "bw_pre": pre_bsp["bw_scaling"],
             }
+
+    # ---- phase 3b: second-scale bsp pair (~33M edges) — the two-point
+    # Amdahl evidence (see SCALING_CONVS_BSP2 comment). Cold cost is real
+    # (derive + encode ~4× the 8.3M graph) and cached across runs in /tmp,
+    # so the margin distinguishes cached from cold; a skip is reported as
+    # skipped, never a blown budget. ---------------------------------------
+    bsp2_pair = None
+    if SCALING_CONVS_BSP2 > 0 and os.environ.get("SPARK_GRAFT_BSP2", "1") != "0":
+        b2_cached = os.path.exists(
+            f"{CACHE}/edges_conv{SCALING_CONVS_BSP2}_srcsorted/_SUCCESS"
+        )
+        # env override so a smoke can exercise the pair path on a tiny graph
+        b2_margin = float(
+            os.environ.get("SPARK_GRAFT_BSP2_MARGIN", 330 if b2_cached else 800)
+        )
+        pre_b2 = (
+            memory_scaling_probe(procs=hi)
+            if elapsed() + b2_margin + 60 < BUDGET_SEC
+            else None
+        )
+        if pre_b2 is not None and elapsed() + phase_margin(pre_b2, b2_margin) < BUDGET_SEC:
+            trace(f"phase 3b: second-scale bsp pair ({SCALING_CONVS_BSP2:,} convs, cached={b2_cached})")
+            sp2 = get_spark("bench-bsp2", extra_conf={"spark.ui.showConsoleProgress": "false"})
+            sp2.sparkContext.setLogLevel("ERROR")
+            try:
+                b2_edges = ensure_edges(sp2, SCALING_CONVS_BSP2)
+                b2_verts = verts_of(b2_edges)
+                bsp2_prep = f"{CACHE}/bsp_prep_conv{SCALING_CONVS_BSP2}_b{hi}"
+                t0 = time.time()
+                _pr_prep(
+                    sp2.read.parquet(b2_edges), vertices=sp2.read.parquet(b2_verts),
+                    n_iter=1, kernel="bsp", num_buckets=hi, bsp_prep_dir=bsp2_prep,
+                ).count()
+                queries["bsp2_graph_prep"] = round(time.time() - t0, 2)
+            finally:
+                sp2.stop()
+            env2 = {
+                "SPARK_GRAFT_BSP_PREP_DIR": bsp2_prep,
+                "SPARK_GRAFT_BSP_BUCKETS": str(hi),
+            }
+
+            def bsp2_cap(reserve: float) -> float:
+                return min(320.0, max(60.0, BUDGET_SEC - elapsed() - reserve))
+
+            rb2_lo = rb2_hi = None
+            if elapsed() + 200 < BUDGET_SEC:
+                try:
+                    rb2_lo = run_worker(lo, "b2", "bsp", b2_edges, b2_verts,
+                                        timeout_s=bsp2_cap(140), **env2)
+                except WorkerTimeout:
+                    trace("bsp2 lo worker timed out")
+            if rb2_lo is not None and elapsed() + 100 < BUDGET_SEC:
+                try:
+                    rb2_hi = run_worker(hi, "b2", "bsp", b2_edges, b2_verts,
+                                        timeout_s=bsp2_cap(30), **env2)
+                except WorkerTimeout:
+                    trace("bsp2 hi worker timed out")
+            if rb2_lo is not None and rb2_hi is not None:
+                bsp2_pair = {
+                    "lo": min(rb2_lo["pr_bsp_step_secs"][1:]),
+                    "hi": min(rb2_hi["pr_bsp_step_secs"][1:]),
+                    "n_edges": rb2_hi["bsp_n_edges"],
+                }
 
     # ---- phase 4: leftover reference-parity benches (lowest priority —
     # medians over many small dynamic batches; whatever phase 2.5's
@@ -987,9 +1077,12 @@ def main():
     min_eff_all = min(r["eff_pr"] for r in rep_results)
     gate_note = "" if n_valid else "; no weather-valid window — median over ALL windows"
     if min_eff_all >= 0.8 and len(rep_results) > 1:
+        # the "storm-annotated included" qualifier is only true when storm
+        # windows actually existed; an all-valid run says so instead
         gate_note += (
             f"; gate held in every one of the {len(rep_results)} windows"
-            f" (min {min_eff_all:.3f}), storm-annotated included"
+            f" (min {min_eff_all:.3f}), "
+            + ("storm-annotated included" if n_valid < len(rep_results) else "all weather-valid")
         )
     med_pr = min(valid, key=lambda r: abs(r["eff_pr"] - eff_pr))
     n_edges_scale = rep_results[0]["n_edges"]
@@ -1014,7 +1107,14 @@ def main():
     else:
         cc_wall_s = cc_eff_s = "skipped (budget)"
 
-    if bsp_pair is not None:
+    def amdahl_split(lo_s: float, hi_s: float) -> tuple[float, float]:
+        # lo = F + W, hi = F + W/(hi/lo): F = fixed per-superstep job cost
+        # (scheduler/Arrow round-trips), W = scalable gather-scatter
+        _r = hi / lo
+        w = (lo_s - hi_s) * _r / (_r - 1.0)
+        return w, lo_s - w
+
+    if bsp_pair is not None and bsp_pair["hi"] is not None:
         n_edges_bsp = bsp_pair["n_edges"]
         bsp_steps_per_hour = 3600.0 / bsp_pair["hi"]
         edges_per_sec = 2 * n_edges_bsp / bsp_pair["hi"]
@@ -1027,16 +1127,11 @@ def main():
             queries["scaling_efficiency_pagerank_bsp"] = round(eff_bsp, 3)
             bsp_wall_s = f"{bsp_pair['lo']:.2f}s / {bsp_pair['hi']:.2f}s"
             eff_bsp_s = f"{eff_bsp:.3f}"
-            # Amdahl split solved from the measured pair itself
-            # (lo = F + W, hi = F + W/(hi/lo) with F = fixed per-superstep
-            # job cost — scheduler/Arrow round-trips — and W = scalable
-            # gather-scatter): quantifies WHY the bsp ratio is
-            # overhead-bound at local scale. W grows with the edge count,
-            # F does not; the crossover where supersteps become
-            # compute-dominated is ~F/W * current edges.
-            _r = hi / lo
-            _w = (bsp_pair["lo"] - bsp_pair["hi"]) * _r / (_r - 1.0)
-            _f = bsp_pair["lo"] - _w
+            # Amdahl split solved from the measured pair itself: quantifies
+            # WHY the bsp ratio is overhead-bound at local scale. W grows
+            # with the edge count, F does not; the crossover where
+            # supersteps become compute-dominated is ~F/W * current edges.
+            _w, _f = amdahl_split(bsp_pair["lo"], bsp_pair["hi"])
             if _w > 0 and _f > 0:
                 eff_bsp_s += (
                     f" — Amdahl split solved from the pair: scalable work "
@@ -1047,20 +1142,73 @@ def main():
                 )
         else:
             eff_bsp = None
-            bsp_wall_s = f"skipped (budget) / {bsp_pair['hi']:.2f}s"
-            eff_bsp_s = "skipped (budget: hi-only tail)"
+            bsp_wall_s = f"skipped (lo leg timed out) / {bsp_pair['hi']:.2f}s"
+            eff_bsp_s = "skipped (hi-only tail)"
         ref_cmp = (
             f"its harness\nmetric is median batch-link time on email-Eu-core (25,571 edges). "
             f"Our engine processes\n{edges_per_sec:,.0f} edge-messages/s per superstep — the "
             f"whole email-Eu-core graph per\n~{25571 / edges_per_sec * 1000:.0f} ms of "
             f"superstep time at local[{hi}]."
         )
+    elif bsp_pair is not None:  # lo leg only: the reverse tail fallback
+        eff_bsp = None
+        n_edges_bsp = bsp_pair["n_edges"]
+        queries[f"pr_bsp_superstep_sec_local{lo}"] = round(bsp_pair["lo"], 3)
+        bsp_hour_s = eps_s = "skipped (hi leg timed out)"
+        bsp_wall_s = f"{bsp_pair['lo']:.2f}s / skipped (hi leg timed out)"
+        eff_bsp_s = "skipped (hi leg timed out; lo wall kept)"
+        ref_cmp = "its harness\nmetric is median batch-link time on email-Eu-core (25,571 edges)."
     else:
         eff_bsp = None
         n_edges_bsp = 0
         bsp_hour_s = bsp_wall_s = eff_bsp_s = eps_s = "skipped (budget)"
         ref_cmp = "its harness\nmetric is median batch-link time on email-Eu-core (25,571 edges)."
     bsp_sz_s = f"{n_edges_bsp:,} edges" if n_edges_bsp else "skipped"
+
+    # ---- second-scale bsp point: the two-point Amdahl fit -----------------
+    if bsp2_pair is not None:
+        eff_bsp2 = (bsp2_pair["lo"] / bsp2_pair["hi"]) / (hi / lo)
+        queries[f"pr_bsp2_superstep_sec_local{lo}"] = round(bsp2_pair["lo"], 3)
+        queries[f"pr_bsp2_superstep_sec_local{hi}"] = round(bsp2_pair["hi"], 3)
+        queries["scaling_efficiency_pagerank_bsp_2x"] = round(eff_bsp2, 3)
+        w2, f2 = amdahl_split(bsp2_pair["lo"], bsp2_pair["hi"])
+        if bsp_pair is not None and bsp_pair["hi"] is not None and bsp_pair["lo"] is not None:
+            w1, f1 = amdahl_split(bsp_pair["lo"], bsp_pair["hi"])
+            edge_ratio = bsp2_pair["n_edges"] / max(bsp_pair["n_edges"], 1)
+            w_ratio = w2 / max(w1, 1e-9)
+            # state the measured ratios; claim the prediction CONFIRMED only
+            # when the data actually shows it (W tracking the graph within
+            # ~2×, F staying within ~2× flat) — a noisy/tiny pair must not
+            # print a confirmation it did not measure
+            confirmed = (
+                w1 > 0 and f1 > 0 and w2 > 0
+                and w_ratio >= 0.5 * edge_ratio
+                and f2 <= 2.0 * max(f1, 1e-9)
+            )
+            verdict_s = (
+                "confirming the one-point split's prediction: W tracks the "
+                "graph while F stays ~flat, so the ratio climbs toward the "
+                "W-dominated regime as the graph grows"
+                if confirmed
+                else "W growth below the edge ratio in this draw — treat as "
+                "weather-affected; RUNS.md accumulates the longitudinal view"
+            )
+            bsp2_s = (
+                f"{bsp2_pair['lo']:.2f}s / {bsp2_pair['hi']:.2f}s at "
+                f"{bsp2_pair['n_edges']:,} edges — eff {eff_bsp2:.3f} "
+                f"(vs {((bsp_pair['lo'] / bsp_pair['hi']) / (hi / lo)):.3f} at "
+                f"{bsp_pair['n_edges']:,}). Two-point Amdahl fit: W "
+                f"{w1:.2f}s → {w2:.2f}s ({w_ratio:.1f}× at {edge_ratio:.1f}× the "
+                f"edges) while F {f1:.2f}s → {f2:.2f}s — {verdict_s}"
+            )
+        else:
+            bsp2_s = (
+                f"{bsp2_pair['lo']:.2f}s / {bsp2_pair['hi']:.2f}s at "
+                f"{bsp2_pair['n_edges']:,} edges — eff {eff_bsp2:.3f}; "
+                f"W {w2:.2f}s vs F {f2:.2f}s per superstep"
+            )
+    else:
+        bsp2_s = "skipped (budget)"
 
     total = round(
         sum(v for k, v in queries.items() if not k.startswith("scaling_")), 2
@@ -1130,6 +1278,7 @@ matters there, the bsp numbers show the same engine's optimized executor.)
 | **scaling efficiency {lo}→{hi} cores (PageRank df rank-scatter join, median weather-valid window)** | **{eff_pr:.3f}** (gate ≥ 0.8{gate_note}) |
 | scaling efficiency {lo}→{hi} cores (CC, own matched pair) | {cc_eff_s} |
 | scaling efficiency {lo}→{hi} cores (PageRank bsp pair; fixed-overhead-bound at local scale, reported not gated) | {eff_bsp_s} |
+| bsp pair at the second scale (~4× edges; two-point Amdahl evidence) | {bsp2_s} |
 
 Matched-window repetitions (each row = one N-then-4N back-to-back pair; the headline
 efficiency is the **median weather-valid** matched window — co-tenancy storms hit individual
@@ -1217,41 +1366,49 @@ Reference comparison: the reference publishes no numbers (BASELINE.md §1); {ref
     except Exception:
         pass  # history is best-effort; never fail the artifact over it
 
-    print(
-        json.dumps(
-            {
-                "metric": "headline_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": queries,
-                "sf": sf,
-                "n_edges": n_edges,
-                # gated statistic (north rule ≥0.8): the df rank-scatter
-                # join, median weather-valid matched window — the kernel
-                # with enough per-superstep JVM work for the ratio to
-                # measure parallel execution; the engine-default bsp
-                # kernel's supersteps/hour is the throughput headline
-                "pagerank_supersteps_per_hour": (
-                    round(3600.0 / bsp_pair["hi"], 1) if bsp_pair else None
-                ),
-                "pagerank_supersteps_per_hour_df": round(pr_steps_per_hour, 1),
-                "scaling_efficiency": round(eff_pr, 3),
-                "scaling_efficiency_bsp": round(eff_bsp, 3) if eff_bsp else None,
-                "scaling_pair_cores": list(SCALING_PAIR),
-                "scaling_windows_weather_valid": n_valid,
-                "scaling_windows_dropped": dropped_windows,
-                "cc_pair": (
-                    {k: round(v, 3) for k, v in cc_pair.items()} if cc_pair else None
-                ),
-                "cc_phase_breakdown": cc_phases,
-                "bench_wall_sec": round(elapsed(), 1),
-                "scaling_windows": [
-                    {k: round(v, 3) for k, v in r.items()} for r in rep_results
-                ],
-            }
+    # The stdout contract is ONE JSON line the driver captures — and the
+    # capture window is finite: BENCH_r04 lost its structured form because
+    # the line (verbose scaling_windows + phase breakdowns) outgrew it
+    # (VERDICT r4 ask #2). So the printed line carries ONLY the compact
+    # summary (headline walls + gated stats, ~1.5 KB) and the verbose
+    # detail (per-window probe rows, CC phase breakdown) goes to
+    # BENCH/report_full.json, which is committed alongside BASELINE.md.
+    compact = {
+        "metric": "headline_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": queries,
+        "sf": sf,
+        "n_edges": n_edges,
+        # gated statistic (north rule ≥0.8): the df rank-scatter join,
+        # median weather-valid matched window — the kernel with enough
+        # per-superstep JVM work for the ratio to measure parallel
+        # execution; the engine-default bsp kernel's supersteps/hour is
+        # the throughput headline
+        "pagerank_supersteps_per_hour": (
+            round(3600.0 / bsp_pair["hi"], 1)
+            if bsp_pair and bsp_pair["hi"] is not None
+            else None
         ),
-        flush=True,
+        "pagerank_supersteps_per_hour_df": round(pr_steps_per_hour, 1),
+        "scaling_efficiency": round(eff_pr, 3),
+        "scaling_efficiency_bsp": round(eff_bsp, 3) if eff_bsp else None,
+        "scaling_pair_cores": list(SCALING_PAIR),
+        "scaling_windows_weather_valid": n_valid,
+        "scaling_windows_dropped": dropped_windows,
+        "cc_pair": (
+            {k: round(v, 3) for k, v in cc_pair.items()} if cc_pair else None
+        ),
+        "bench_wall_sec": round(elapsed(), 1),
+    }
+    full = dict(
+        compact,
+        cc_phase_breakdown=cc_phases,
+        scaling_windows=[{k: round(v, 3) for k, v in r.items()} for r in rep_results],
     )
+    with open("BENCH/report_full.json", "w") as f:
+        json.dump(full, f, indent=1)
+    print(json.dumps(compact), flush=True)
     _STATE["done"] = True
 
 

@@ -4,7 +4,7 @@ The Spark-side plumbing is real and tested: schema contract, partition-sized
 Arrow batching through ``mapInPandas``, deterministic feature extraction over
 raw bytes.
 
-Codec status (one REAL, rest stubbed):
+Codec status (two REAL, rest stubbed):
 
 - **WAV/PCM16 audio: REAL** — :func:`decode_wav` is a genuine RIFF chunk
   walker + little-endian PCM16 decoder in pure NumPy (no external codec
@@ -15,12 +15,16 @@ Codec status (one REAL, rest stubbed):
   :func:`extract_wav_features` runs it Arrow-batched through
   ``mapInPandas``; tests decode bytes written by Python's independent stdlib
   ``wave`` writer to prove the parser is real.
-- JPEG/PNG image decode, compressed-audio resample, and video frame sampling
+- **BMP/24-bit images: REAL** — :func:`decode_bmp` parses the
+  BITMAPFILEHEADER/BITMAPINFOHEADER, honors 4-byte row padding, BGR→RGB
+  channel order, and both bottom-up and top-down (negative-height) row
+  storage; :func:`extract_bmp_features` is the Arrow-batched feature path.
+- JPEG/PNG decode, compressed-audio resample, and video frame sampling
   remain STUBBED behind ``decode_stub`` (Pillow/librosa/av are not in this
   container): a clearly-marked deterministic fake that derives a fixed-shape
   array from the bytes, so the pipeline shape (batch sizes, UDF signatures,
   schema evolution) is exercised end to end and a real codec drops in by
-  replacing one function — exactly as ``decode_wav`` dropped in.
+  replacing one function — exactly as ``decode_wav``/``decode_bmp`` did.
 """
 
 from __future__ import annotations
@@ -189,6 +193,114 @@ def extract_wav_features(media: DataFrame) -> DataFrame:
         "media_id long, sample_rate long, n_channels long, n_samples long, "
         "duration_ms long, peak long, mean_abs double",
     )
+
+
+def decode_bmp(payload: bytes):
+    """REAL BMP decoder (pure NumPy): BITMAPFILEHEADER check, BITMAPINFOHEADER
+    parse, uncompressed 24-bit pixel decode honoring the 4-byte row padding,
+    BGR→RGB channel order, and both bottom-up (height > 0) and top-down
+    (height < 0) row direction. → ``(width, height, pixels[uint8, (h, w, 3)])``.
+
+    Raises ``ValueError`` on non-BMP bytes or unsupported encodings (only
+    BI_RGB 24-bit — palette/RLE/compressed variants stay out of scope)."""
+    import numpy as np
+
+    if payload is None or len(payload) < 54 or payload[:2] != b"BM":
+        raise ValueError("not a BMP file")
+    (data_off,) = struct.unpack("<I", payload[10:14])
+    hdr_size, width, height_raw, planes, bpp, compression = struct.unpack(
+        "<IiiHHI", payload[14:34]
+    )
+    if hdr_size < 40 or planes != 1:
+        raise ValueError(f"unsupported BMP header (size={hdr_size}, planes={planes})")
+    if bpp != 24 or compression != 0:
+        raise ValueError(f"unsupported BMP encoding (bpp={bpp}, compression={compression}); only uncompressed 24-bit")
+    top_down = height_raw < 0
+    height = -height_raw if top_down else height_raw
+    stride = (width * 3 + 3) & ~3  # rows padded to 4-byte boundaries
+    data = payload[data_off : data_off + stride * height]
+    if len(data) < stride * height:
+        raise ValueError("BMP pixel data truncated")
+    rows = np.frombuffer(data, dtype=np.uint8).reshape(height, stride)[:, : width * 3]
+    px = rows.reshape(height, width, 3)[:, :, ::-1]  # BGR → RGB
+    if not top_down:
+        px = px[::-1]  # bottom-up storage → natural row order
+    return int(width), int(height), np.ascontiguousarray(px)
+
+
+def encode_bmp(pixels, top_down: bool = False) -> bytes:
+    """Minimal uncompressed 24-bit BMP writer ((h, w, 3) RGB uint8). Used by
+    the synthetic media generator; ``top_down`` emits the negative-height
+    variant so the decoder's row-direction handling is testable."""
+    import numpy as np
+
+    px = np.asarray(pixels, dtype=np.uint8)
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    rows = np.zeros((h, stride), dtype=np.uint8)
+    bgr = px[:, :, ::-1]
+    if not top_down:
+        bgr = bgr[::-1]
+    rows[:, : w * 3] = bgr.reshape(h, w * 3)
+    data = rows.tobytes()
+    dib = struct.pack("<IiiHHIIiiII", 40, w, (-h if top_down else h), 1, 24, 0,
+                      len(data), 2835, 2835, 0, 0)
+    off = 14 + len(dib)
+    hdr = b"BM" + struct.pack("<IHHI", off + len(data), 0, 0, off)
+    return hdr + dib + data
+
+
+def extract_bmp_features(media: DataFrame) -> DataFrame:
+    """Real-codec image feature path: (media_id, payload=BMP bytes) →
+    (media_id, width, height, n_pixels, mean_r, mean_g, mean_b).
+    Arrow-batched ``mapInPandas``; vectorized channel means per image."""
+
+    def kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            out = {k: [] for k in (
+                "media_id", "width", "height", "n_pixels", "mean_r", "mean_g", "mean_b",
+            )}
+            for mid, payload in zip(pdf["media_id"], pdf["payload"]):
+                w, h, px = decode_bmp(payload)
+                means = px.reshape(-1, 3).astype(np.float64).mean(axis=0)
+                out["media_id"].append(mid)
+                out["width"].append(w)
+                out["height"].append(h)
+                out["n_pixels"].append(w * h)
+                out["mean_r"].append(float(means[0]))
+                out["mean_g"].append(float(means[1]))
+                out["mean_b"].append(float(means[2]))
+            yield pd.DataFrame(out)
+
+    return media.mapInPandas(
+        kernel,
+        "media_id long, width long, height long, n_pixels long, "
+        "mean_r double, mean_g double, mean_b double",
+    )
+
+
+def synth_bmp_media(spark, n: int = 48, seed: int = 42) -> DataFrame:
+    """Deterministic REAL BMP table: payload is a valid uncompressed 24-bit
+    BMP whose RGB pixels are a pure integer function of
+    (media_id, y, x, channel) — ``(id*31 + y*7 + x*3 + c*11 + seed) % 256``
+    — so a SQL oracle reproduces the decoded channel means exactly. Widths
+    cycle through non-multiple-of-4 row sizes (padding exercised) and every
+    third file is stored top-down (negative height)."""
+    import numpy as np
+
+    rows = []
+    for i in range(n):
+        w = 5 + (i % 6)
+        h = 4 + (i % 5)
+        y, x, c = np.meshgrid(np.arange(h), np.arange(w), np.arange(3), indexing="ij")
+        px = ((i * 31 + y * 7 + x * 3 + c * 11 + seed) % 256).astype(np.uint8)
+        payload = encode_bmp(px, top_down=(i % 3 == 0))
+        rows.append((i, "image", "image/bmp", payload, w, h, None))
+    return spark.createDataFrame(rows, MEDIA_SCHEMA)
 
 
 def synth_wav_media(spark, n: int = 48, seed: int = 42) -> DataFrame:

@@ -361,6 +361,62 @@ def test_decode_wav_against_stdlib_wave():
         decode_wav(b"\x00" * 64)
 
 
+def test_decode_bmp_real_parse():
+    """BMP decoder vs a HAND-WRITTEN byte literal (independent of encode_bmp)
+    plus round-trips covering row padding, bottom-up vs top-down storage, and
+    loud failure on unsupported encodings."""
+    import struct
+
+    import numpy as np
+    import pytest
+
+    from elektra_spark.multimodal.binary import decode_bmp, encode_bmp
+
+    # hand-crafted 2x1 bottom-up 24-bit BMP: red pixel then blue pixel
+    literal = (
+        b"BM" + struct.pack("<IHHI", 62, 0, 0, 54)
+        + struct.pack("<IiiHHIIiiII", 40, 2, 1, 1, 24, 0, 8, 2835, 2835, 0, 0)
+        + b"\x00\x00\xff"  # BGR for red
+        + b"\xff\x00\x00"  # BGR for blue
+        + b"\x00\x00"      # row pad to 8 bytes
+    )
+    w, h, px = decode_bmp(literal)
+    assert (w, h) == (2, 1)
+    assert px.tolist() == [[[255, 0, 0], [0, 0, 255]]]
+
+    rng = np.random.RandomState(11)
+    for wdt, top_down in [(3, False), (5, True), (8, False)]:  # 3 → padded rows
+        want = rng.randint(0, 256, size=(4, wdt, 3)).astype(np.uint8)
+        got_w, got_h, got = decode_bmp(encode_bmp(want, top_down=top_down))
+        assert (got_w, got_h) == (wdt, 4)
+        assert np.array_equal(got, want)
+
+    with pytest.raises(ValueError, match="not a BMP"):
+        decode_bmp(b"\x00" * 64)
+
+
+def test_extract_bmp_features_matches_numpy(spark):
+    """Spark bmp-feature path vs direct NumPy decode of the same payloads."""
+    import numpy as np
+
+    from elektra_spark.multimodal.binary import (
+        decode_bmp, extract_bmp_features, synth_bmp_media,
+    )
+
+    media = synth_bmp_media(spark, n=12, seed=42)
+    src = {r["media_id"]: r["payload"] for r in media.collect()}
+    got = {r["media_id"]: r for r in extract_bmp_features(media).collect()}
+    assert set(got) == set(src)
+    for mid, payload in src.items():
+        w, h, px = decode_bmp(bytes(payload))
+        means = px.reshape(-1, 3).astype(np.float64).mean(axis=0)
+        r = got[mid]
+        assert (r["width"], r["height"], r["n_pixels"]) == (w, h, w * h)
+        assert abs(r["mean_r"] - means[0]) < 1e-9
+        assert abs(r["mean_g"] - means[1]) < 1e-9
+        assert abs(r["mean_b"] - means[2]) < 1e-9
+
+
 def test_extract_wav_features_matches_numpy(spark):
     """Spark wav-feature path vs direct NumPy decode of the same payloads."""
     import numpy as np
