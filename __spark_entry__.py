@@ -27,6 +27,10 @@ PR_ITERS = 4
 PR_DAMPING = 0.85
 LPA_ROUNDS = 2
 TRANSCRIPT_PR_ITERS = 10
+BFS_MAX_HOPS = 12  # bounded k-hop contract — the DuckDB twin caps identically
+HITS_ITERS = 8
+KCORE_K = 80  # non-trivial peel on the sf0.01 copurchase graph (6 rounds, 1857-vertex core)
+KCORE_SQL_ROUNDS = 10  # unrolled oracle rounds; ≥ the instance's peel depth (rounds past the fixpoint are no-ops)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -484,6 +488,46 @@ def q_transcript_pagerank(spark, sf_dir):
 
     g = _transcript_graph(spark)
     return pagerank(g.edges, vertices=g.vertices, n_iter=10).select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_transcript_bfs(spark, sf_dir):
+    """Bounded multi-source BFS (operators/bfs.py): ``BFS_MAX_HOPS``-hop
+    distance from the tool-actor hub set over the transcript link graph —
+    every turn's "how far is the nearest tool call" feature. Vertices
+    outside the bound (e.g. tool-free conversations, which form their own
+    components) report -1; the bound is part of the operator contract and
+    the DuckDB twin caps its recursion identically."""
+    from elektra_spark.operators.bfs import hop_distance
+
+    g = _transcript_graph(spark)
+    seeds = g.vertices.filter(F.col("kind") == "tool").select("vid")
+    return hop_distance(g.edges, seeds, vertices=g.vertices, max_hops=BFS_MAX_HOPS)
+
+
+def q_transcript_hits(spark, sf_dir):
+    """HITS hubs & authorities (operators/hits.py) over the *directed*
+    transcript edge set (reply vid→vid+1, turn→tool actor): tool actors
+    surface as authorities, tool-heavy turns as hubs. Fixed ``HITS_ITERS``
+    synchronous L1-normalized iterations; the DuckDB twin unrolls the same
+    chain (same shape as the PageRank oracle)."""
+    from elektra_spark.operators.hits import hits
+
+    g = _transcript_graph(spark)
+    return hits(g.edges, vertices=g.vertices, n_iter=HITS_ITERS).select(
+        "vid", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
+    )
+
+
+def q_kcore_copurchase(spark, sf_dir):
+    """k-core extraction (operators/kcore.py) on the copurchase projection:
+    synchronous degree-peel to the fixpoint, returning surviving vertices
+    with their within-core degree. KCORE_K=80 exercises a real cascade at
+    sf0.01 (6 peel rounds, 143 vertices removed); the DuckDB twin unrolls
+    KCORE_SQL_ROUNDS ≥ peel-depth synchronous rounds (extra rounds are
+    no-ops at the fixpoint)."""
+    from elektra_spark.operators.kcore import k_core
+
+    return k_core(_copurchase_graph(spark, sf_dir), k=KCORE_K)
 
 
 def q_transcript_forest(spark, sf_dir):
@@ -1124,6 +1168,89 @@ def _transcript_pagerank_sql() -> str:
     )
 
 
+def _transcript_bfs_sql() -> str:
+    """Bounded multi-source BFS twin: recursive CTE over the both-directions
+    edge relation, seeded at the tool-actor vertices, with the recursion
+    capped at exactly ``BFS_MAX_HOPS`` (the operator's contract bound — the
+    cap also bounds the closure at |V|×(hops+1) (vid, dist) pairs, so cyclic
+    walks terminate)."""
+    return (
+        "WITH RECURSIVE "
+        + _transcript_tables_sql(300).lstrip()
+        + f""",
+  d(vid, dist) AS (
+    SELECT vid, 0 FROM tool_v
+    UNION
+    SELECT b.dst, d.dist + 1 FROM d JOIN b ON b.src = d.vid WHERE d.dist < {BFS_MAX_HOPS}
+  ),
+  md AS (SELECT vid, min(dist) AS dist FROM d GROUP BY vid)
+  SELECT v.vid, coalesce(md.dist, -1)::INTEGER AS dist
+  FROM verts v LEFT JOIN md USING (vid)"""
+    )
+
+
+def _transcript_hits_sql() -> str:
+    """Unrolled HITS chain (same shape as the PageRank oracle): per
+    iteration, authority = L1-normalized in-flow of hub mass over the
+    directed edge set, then hub = L1-normalized out-flow of authority mass.
+    MATERIALIZED per half-step — the next half-step references each vector
+    once, but DuckDB would otherwise inline the whole chain exponentially."""
+    base = (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + """,
+  nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+  h0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM nn) AS score FROM verts)"""
+    )
+    chain = []
+    for i in range(1, HITS_ITERS + 1):
+        chain.append(
+            f""",
+  ar{i} AS MATERIALIZED (SELECT e.dst AS vid, sum(h{i - 1}.score) AS raw
+          FROM edges e JOIN h{i - 1} ON e.src = h{i - 1}.vid GROUP BY e.dst),
+  a{i} AS MATERIALIZED (SELECT v.vid, coalesce(ar{i}.raw, 0) / (SELECT sum(raw) FROM ar{i}) AS score
+         FROM verts v LEFT JOIN ar{i} USING (vid)),
+  hr{i} AS MATERIALIZED (SELECT e.src AS vid, sum(a{i}.score) AS raw
+          FROM edges e JOIN a{i} ON e.dst = a{i}.vid GROUP BY e.src),
+  h{i} AS MATERIALIZED (SELECT v.vid, coalesce(hr{i}.raw, 0) / (SELECT sum(raw) FROM hr{i}) AS score
+         FROM verts v LEFT JOIN hr{i} USING (vid))"""
+        )
+    return (
+        base
+        + "".join(chain)
+        + f"""
+  SELECT h{HITS_ITERS}.vid, round(h{HITS_ITERS}.score, 8) AS hub,
+         round(a{HITS_ITERS}.score, 8) AS auth
+  FROM h{HITS_ITERS} JOIN a{HITS_ITERS} USING (vid)"""
+    )
+
+
+def _kcore_sql(k: int, rounds: int) -> str:
+    """Unrolled synchronous degree-peel twin of operators/kcore.py: round i
+    recomputes degrees over the subgraph induced by round i-1's survivors
+    and drops vertices below k. ``rounds`` must be ≥ the instance's peel
+    depth (verified at the sf0.01 contract scale); extra rounds are no-ops
+    at the fixpoint, so the final relation is the k-core with within-core
+    degrees regardless of slack."""
+    parts = [
+        f"""WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+  b AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+  v0 AS MATERIALIZED (SELECT DISTINCT src AS vid FROM b)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+  d{i} AS MATERIALIZED (SELECT b.src AS vid, count(*) AS deg FROM b
+        JOIN v{i - 1} p ON b.src = p.vid JOIN v{i - 1} q ON b.dst = q.vid GROUP BY b.src),
+  v{i} AS MATERIALIZED (SELECT vid FROM d{i} WHERE deg >= {k})"""
+        )
+    parts.append(
+        f"""
+  SELECT vid, deg::BIGINT AS deg FROM d{rounds} WHERE deg >= {k}"""
+    )
+    return "".join(parts)
+
+
 def _transcript_roundtrip_sql() -> str:
     fx = _transcript_fixture(50)
     return f"SELECT conv_id, turn_idx, TRUE AS text_equal FROM read_parquet('{fx}')"
@@ -1486,6 +1613,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_copurchase": q_triangles_copurchase,
         "triangles_per_vertex_copurchase": q_triangles_per_vertex_copurchase,
         "degree_histogram_parts": q_degree_histogram_parts,
+        "kcore_copurchase": q_kcore_copurchase,
+        "transcript_bfs": q_transcript_bfs,
+        "transcript_hits": q_transcript_hits,
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
         "dynamic_orders": q_dynamic_orders,
         "streaming_dynamic_orders": q_streaming_dynamic_orders,
@@ -1593,6 +1723,9 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_cc": _transcript_cc_sql(),
         "transcript_pagerank": _transcript_pagerank_sql(),
         "transcript_forest": _transcript_forest_sql(),
+        "transcript_bfs": _transcript_bfs_sql(),
+        "transcript_hits": _transcript_hits_sql(),
+        "kcore_copurchase": _kcore_sql(KCORE_K, KCORE_SQL_ROUNDS),
         "transcript_levels": _transcript_levels_sql(),
         "transcript_levels2": _transcript_levels2_sql(),
         "dynamic_orders": _dynamic_orders_sql(),

@@ -77,8 +77,47 @@ def _no_aqe(spark: SparkSession):
 # wrappers must re-set ``wrapper.durable = inner.durable``
 # (CheckpointedRun.checkpoint_fn sets it; EphemeralCheckpointer deliberately
 # lacks it). See elektra_spark/checkpoint.py:70.
+# Liveness: EphemeralCheckpointer additionally assumes a SINGLE state chain
+# (each call's output is consumed only by the next call's input); loops that
+# retain several live frames per round must use RetainedCheckpointer.
 CheckpointFn = Callable[[DataFrame, int], DataFrame]
 SuperstepHook = Callable[[int, int, float], Any]
+
+
+class RetainedCheckpointer:
+    """Superstep materializer for loops that keep **more than one live state
+    frame** per round (BFS visited+frontier, HITS hub+auth, k-core deg+edges).
+
+    :class:`EphemeralCheckpointer` assumes a single state chain — each call's
+    output is consumed only by the next call's input — which lets it unpersist
+    old frames and delete the previous hard commit. A loop that still holds an
+    older frame when the next commit lands would see its backing files vanish
+    (FAILED_READ_FILE on the next action). This variant trades that
+    aggressiveness for safety: every call is a parquet hard commit (lineage
+    truncated every round — no plan-depth growth) and **nothing is deleted
+    until process exit**, so any frame the loop retained stays readable.
+    Scratch lives on tmpfs when available; round states for the operators
+    using this are vertex-sized tables, not edge-sized, so retained bytes
+    stay modest. Static relations (step < 0) are localCheckpointed once,
+    as in EphemeralCheckpointer.
+    """
+
+    def __init__(self, scratch: str | None = None):
+        import atexit
+        import tempfile
+
+        base = "/dev/shm" if os.path.isdir("/dev/shm") else None
+        self.dir = scratch or tempfile.mkdtemp(prefix="elektra-rckpt-", dir=base)
+        self._n = 0
+        atexit.register(shutil.rmtree, self.dir, ignore_errors=True)
+
+    def __call__(self, df: DataFrame, step: int) -> DataFrame:
+        if step < 0:
+            return df.localCheckpoint(eager=True)
+        self._n += 1
+        path = os.path.join(self.dir, f"s{self._n}")
+        df.write.mode("overwrite").parquet(path)
+        return df.sparkSession.read.parquet(path)
 
 
 class EphemeralCheckpointer:

@@ -61,3 +61,150 @@ def test_degrees(spark):
     edges = edges_from_pairs(spark, HOUSE)
     got = {r["vid"]: r["degree"] for r in degrees(edges).collect()}
     assert got == {0: 2, 1: 4, 2: 3, 3: 3, 4: 2}
+
+
+# ------------------------------------------------- BFS / k-core / HITS
+def _bfs_oracle(pairs, seeds, max_hops):
+    """Plain-python multi-source BFS with the bounded-hop contract."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = set(adj) | set(seeds)
+    dist = {v: 0 for v in seeds}
+    frontier = set(seeds)
+    for step in range(1, max_hops + 1):
+        frontier = {n for v in frontier for n in adj.get(v, ()) if n not in dist}
+        for n in frontier:
+            dist[n] = step
+        if not frontier:
+            break
+    return {v: dist.get(v, -1) for v in verts}
+
+
+def _kcore_oracle(pairs, k):
+    """Synchronous peel to the fixpoint → {vid: within-core degree}."""
+    edges = set(pairs)
+    while True:
+        deg = {}
+        for a, b in edges:
+            deg[a] = deg.get(a, 0) + 1
+            deg[b] = deg.get(b, 0) + 1
+        removed = {v for v, d in deg.items() if d < k}
+        if not removed:
+            return {v: d for v, d in deg.items() if d >= k}
+        edges = {(a, b) for a, b in edges if a not in removed and b not in removed}
+
+
+def _hits_oracle(pairs, verts, n_iter):
+    """Directed L1-normalized HITS power iteration (pairs are src→dst)."""
+    hub = {v: 1.0 / len(verts) for v in verts}
+    auth = {v: 0.0 for v in verts}
+    for _ in range(n_iter):
+        raw = {}
+        for a, b in pairs:
+            raw[b] = raw.get(b, 0.0) + hub[a]
+        tot = sum(raw.values()) or 1.0
+        auth = {v: raw.get(v, 0.0) / tot for v in verts}
+        raw = {}
+        for a, b in pairs:
+            raw[a] = raw.get(a, 0.0) + auth[b]
+        tot = sum(raw.values()) or 1.0
+        hub = {v: raw.get(v, 0.0) / tot for v in verts}
+    return hub, auth
+
+
+@pytest.mark.parametrize(
+    "pairs,seeds,max_hops",
+    [
+        (HOUSE, [0], 8),
+        (CLIQUE5_PLUS_PATH + [(10, 11)], [0], 8),  # (10,11) unreachable → -1
+        (CLIQUE5_PLUS_PATH, [0, 7], 1),  # bound tighter than eccentricity
+        (_random_graph(7, 80, 130), [0, 1, 2], 6),
+    ],
+    ids=["house", "disconnected", "bounded", "random"],
+)
+def test_hop_distance_matches_oracle(spark, pairs, seeds, max_hops):
+    from elektra_spark.operators.bfs import hop_distance
+
+    edges = edges_from_pairs(spark, pairs)
+    verts = sorted({v for e in pairs for v in e} | set(seeds))
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    got = {r["vid"]: r["dist"] for r in hop_distance(edges, seeds, vertices=vdf, max_hops=max_hops).collect()}
+    assert got == _bfs_oracle(pairs, seeds, max_hops)
+
+
+@pytest.mark.parametrize(
+    "pairs,k",
+    [
+        (HOUSE, 2),  # whole house is the 2-core
+        (CLIQUE5_PLUS_PATH, 2),  # path dangles off the clique → peeled
+        (CLIQUE5_PLUS_PATH, 4),  # only the K5 survives
+        (CLIQUE5_PLUS_PATH, 5),  # empty core
+        (_random_graph(13, 70, 160), 3),
+    ],
+    ids=["house2", "clique2", "clique4", "empty", "random3"],
+)
+def test_k_core_matches_oracle(spark, pairs, k):
+    from elektra_spark.operators.kcore import k_core
+
+    edges = edges_from_pairs(spark, pairs)
+    got = {r["vid"]: r["deg"] for r in k_core(edges, k=k).collect()}
+    want = _kcore_oracle(pairs, k)
+    assert got == want
+    # fixpoint invariant: every member keeps ≥ k within-core neighbors
+    assert all(d >= k for d in got.values()) or not got
+
+
+def test_hits_matches_oracle(spark):
+    from elektra_spark.operators.hits import hits
+
+    pairs = _random_graph(17, 50, 110)  # canonical a<b pairs = directed a→b
+    verts = sorted({v for e in pairs for v in e})
+    edges = edges_from_pairs(spark, pairs)
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    rows = hits(edges, vertices=vdf, n_iter=6).collect()
+    hub_o, auth_o = _hits_oracle(pairs, verts, 6)
+    for r in rows:
+        assert abs(r["hub"] - hub_o[r["vid"]]) < 1e-9
+        assert abs(r["auth"] - auth_o[r["vid"]]) < 1e-9
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-9
+    assert abs(sum(r["auth"] for r in rows) - 1.0) < 1e-9
+
+
+def test_kcore_oracle_unroll_depth_converges():
+    """The contract twin unrolls KCORE_SQL_ROUNDS synchronous peel rounds;
+    assert the sf0.01 instance actually reaches its fixpoint within that
+    budget (rounds past the fixpoint are no-ops, so any depth ≥ the
+    instance's is exact)."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("ELEKTRA_SF_DIR", "/root/testdata/sf0.01")
+    li = f"{sf_dir}/lineitem.parquet"
+    if not os.path.exists(li):
+        pytest.skip(f"no contract-scale data at {sf_dir}")
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{li}')")
+    con.execute(f"CREATE TABLE e AS {entry._COPURCHASE_SQL}")
+    con.execute("CREATE TABLE b AS SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e")
+    con.execute("CREATE TABLE v AS SELECT DISTINCT src AS vid FROM b")
+    rounds = 0
+    while rounds <= entry.KCORE_SQL_ROUNDS:
+        rounds += 1
+        con.execute(
+            """CREATE OR REPLACE TABLE d AS SELECT b.src AS vid, count(*) AS deg FROM b
+               JOIN v p ON b.src = p.vid JOIN v q ON b.dst = q.vid GROUP BY b.src"""
+        )
+        n_rem = con.sql(
+            f"SELECT count(*) FROM v LEFT JOIN d USING (vid) WHERE coalesce(deg, 0) < {entry.KCORE_K}"
+        ).fetchone()[0]
+        if n_rem == 0:
+            break
+        con.execute(f"CREATE OR REPLACE TABLE v AS SELECT vid FROM d WHERE deg >= {entry.KCORE_K}")
+    assert rounds <= entry.KCORE_SQL_ROUNDS, (
+        f"k-core oracle unroll depth {entry.KCORE_SQL_ROUNDS} < peel depth {rounds} at {sf_dir}"
+    )
