@@ -31,6 +31,11 @@ BFS_MAX_HOPS = 12  # bounded k-hop contract — the DuckDB twin caps identically
 HITS_ITERS = 8
 KCORE_K = 80  # non-trivial peel on the sf0.01 copurchase graph (6 rounds, 1857-vertex core)
 KCORE_SQL_ROUNDS = 10  # unrolled oracle rounds; ≥ the instance's peel depth (rounds past the fixpoint are no-ops)
+PPR_ITERS = 10
+LINKPRED_MAX_PIVOT_DEG = 160  # contract hub guard (sf0.01 copurchase degrees run 42–206)
+LINKPRED_TOP_K = 100
+SSSP_MAX_HOPS = 12  # bounded Bellman–Ford contract — the DuckDB twin caps its recursion identically
+TFIDF_K = 3
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -469,6 +474,32 @@ def q_triangles_per_vertex_copurchase(spark, sf_dir):
     return triangle_count_per_vertex(_copurchase_graph(spark, sf_dir))
 
 
+def q_clustering_coeff_copurchase(spark, sf_dir):
+    """Watts–Strogatz local clustering coefficient per vertex
+    (triangles.py local_clustering_coefficient): 2·T(v)/(d(v)·(d(v)−1)),
+    composed from the per-vertex triangle wedge join + the degree
+    aggregate. The DuckDB twin mirrors the division
+    parenthesis-for-parenthesis over the same canonicalized triangle fan."""
+    from elektra_spark.operators.triangles import local_clustering_coefficient
+
+    return local_clustering_coefficient(_copurchase_graph(spark, sf_dir))
+
+
+def q_link_predict_copurchase(spark, sf_dir):
+    """Adamic–Adar link prediction (operators/linkpred.py): top-100
+    non-adjacent pairs by Σ 1/ln(deg(w)) over common neighbors w, pivots
+    degree-guarded to ≤ LINKPRED_MAX_PIVOT_DEG (the MinHash-max_bucket-style
+    spam-hub contract). Deterministic cut under (round(score,6) DESC, a, b);
+    the DuckDB twin applies the identical guard and total order."""
+    from elektra_spark.operators.linkpred import adamic_adar
+
+    return adamic_adar(
+        _copurchase_graph(spark, sf_dir),
+        max_pivot_degree=LINKPRED_MAX_PIVOT_DEG,
+        top_k=LINKPRED_TOP_K,
+    )
+
+
 # ------------------------------------------- transcripts (fixture-backed)
 def _transcript_graph(spark, n_conversations=300):
     from elektra_spark.ingest.edges import derive_graph
@@ -516,6 +547,35 @@ def q_transcript_hits(spark, sf_dir):
     return hits(g.edges, vertices=g.vertices, n_iter=HITS_ITERS).select(
         "vid", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
     )
+
+
+def q_transcript_ppr(spark, sf_dir):
+    """Personalized PageRank (operators/ppr.py): random walk with restart to
+    the tool-actor seed set over the transcript link graph — proximity of
+    every turn to the tool hubs, the seed-anchored recommendation query.
+    Fixed PPR_ITERS supersteps, dangling mass returned to the seeds; the
+    DuckDB twin unrolls the identical chain (_ppr_chain)."""
+    from elektra_spark.operators.ppr import personalized_pagerank
+
+    g = _transcript_graph(spark)
+    seeds = g.vertices.filter(F.col("kind") == "tool").select("vid")
+    r = personalized_pagerank(g.edges, seeds, vertices=g.vertices, n_iter=PPR_ITERS)
+    return r.select("vid", F.round("rank", 8).alias("rank"))
+
+
+def q_transcript_sssp(spark, sf_dir):
+    """Hop-bounded weighted shortest paths (operators/bfs.py
+    weighted_distance): synchronous Bellman–Ford from the tool-actor seeds
+    with the deterministic vid-derived weight 1 + (src+dst) % 5 — the
+    weighted twin of transcript_bfs ("how *costly* is the nearest tool
+    call"). The bound is the operator contract; the DuckDB twin's recursive
+    CTE caps at the same SSSP_MAX_HOPS and recomputes the same weight
+    expression."""
+    from elektra_spark.operators.bfs import weighted_distance
+
+    g = _transcript_graph(spark)
+    seeds = g.vertices.filter(F.col("kind") == "tool").select("vid")
+    return weighted_distance(g.edges, seeds, vertices=g.vertices, max_hops=SSSP_MAX_HOPS)
 
 
 def q_kcore_copurchase(spark, sf_dir):
@@ -662,6 +722,17 @@ def q_text_profile_docs(spark, sf_dir):
     from elektra_spark.text.analysis import text_profile
 
     return text_profile(_t(spark, sf_dir, "documents"))
+
+
+def q_tfidf_docs(spark, sf_dir):
+    """TF-IDF keyword extraction (text/analysis.py tfidf_top_terms): the
+    TFIDF_K highest-scoring terms per document under the pinned
+    tokenization (lower, split [^a-z]+, len ≥ 3) and smoothed idf
+    ln((1+N)/(1+df))+1; per-doc rank on (round(score,6) DESC, term ASC) so
+    the cut is total-ordered and engine/oracle agree at the boundary."""
+    from elektra_spark.text.analysis import tfidf_top_terms
+
+    return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=TFIDF_K)
 
 
 def q_token_stats_docs(spark, sf_dir):
@@ -1168,6 +1239,138 @@ def _transcript_pagerank_sql() -> str:
     )
 
 
+def _ppr_chain(n_iter: int, damping: float) -> str:
+    """Unrolled personalized-PageRank CTE chain — same discipline as
+    ``_pr_chain`` but teleport/dangling mass returns to the tool-actor seed
+    vector ``sv`` (operators/ppr.py semantics, parenthesis-for-parenthesis).
+    Assumes CTEs ``verts``, ``b``, ``tool_v`` in scope."""
+    base = """,
+  deg AS MATERIALIZED (SELECT src AS vid, count(*) AS deg FROM b GROUP BY src),
+  ns AS (SELECT count(*)::DOUBLE AS k FROM tool_v),
+  sv AS MATERIALIZED (SELECT v.vid,
+         CASE WHEN t.vid IS NOT NULL THEN 1.0 / (SELECT k FROM ns) ELSE 0.0 END AS s
+       FROM verts v LEFT JOIN tool_v t ON v.vid = t.vid),
+  r0 AS MATERIALIZED (SELECT vid, s AS rank FROM sv)"""
+    iters = []
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        iters.append(
+            f""",
+  d{i} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM {p} r
+           LEFT JOIN deg ON r.vid = deg.vid WHERE deg.vid IS NULL),
+  c{i} AS MATERIALIZED (SELECT b.dst AS vid, sum(r.rank / deg.deg) AS contrib
+           FROM b JOIN {p} r ON b.src = r.vid JOIN deg ON deg.vid = b.src
+           GROUP BY b.dst),
+  r{i} AS MATERIALIZED (SELECT sv.vid,
+                  (1 - {damping}) * sv.s
+                  + {damping} * (coalesce(c.contrib, 0.0) + (SELECT dm FROM d{i}) * sv.s) AS rank
+           FROM sv LEFT JOIN c{i} c ON sv.vid = c.vid)"""
+        )
+    return base + "".join(iters)
+
+
+def _transcript_ppr_sql() -> str:
+    return (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + _ppr_chain(PPR_ITERS, PR_DAMPING)
+        + f"\n  SELECT vid, round(rank, 8) AS rank FROM r{PPR_ITERS}"
+    )
+
+
+def _transcript_sssp_sql() -> str:
+    """Hop-bounded weighted-shortest-paths twin (operators/bfs.py
+    weighted_distance): recursive CTE from the tool-actor seeds over the
+    both-directions edge relation, accumulating the deterministic
+    vid-derived weight 1 + (src+dst) % 5, recursion capped at exactly
+    ``SSSP_MAX_HOPS`` edges (the operator's contract bound). Integer
+    weights bound the closure: ≤ (5·hops+1)·(hops+1) distinct
+    (dist, hops) states per vertex, so cyclic walks terminate."""
+    return (
+        "WITH RECURSIVE "
+        + _transcript_tables_sql(300).lstrip()
+        + f""",
+  d(vid, dist, hops) AS (
+    SELECT vid, 0::BIGINT, 0 FROM tool_v
+    UNION
+    SELECT b.dst, d.dist + (1 + (b.src + b.dst) % 5), d.hops + 1
+    FROM d JOIN b ON b.src = d.vid WHERE d.hops < {SSSP_MAX_HOPS}
+  ),
+  md AS (SELECT vid, min(dist) AS dist FROM d GROUP BY vid)
+  SELECT v.vid, coalesce(md.dist, -1)::BIGINT AS dist
+  FROM verts v LEFT JOIN md USING (vid)"""
+    )
+
+
+def _clustering_coeff_sql() -> str:
+    """Twin of q_clustering_coeff_copurchase: the per-vertex triangle fan
+    (same canonical a<b<c closure as triangles_per_vertex) joined to the
+    degree aggregate; the coefficient division mirrors the engine's
+    parenthesization exactly, rounded 1e-6."""
+    return f"""
+  WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+  t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+  p AS (SELECT a AS vid FROM t UNION ALL SELECT b FROM t UNION ALL SELECT c FROM t),
+  tc AS (SELECT vid, count(*) AS n FROM p GROUP BY vid),
+  d AS (SELECT vid, count(*) AS degree FROM (
+          SELECT src AS vid FROM e UNION ALL SELECT dst FROM e) GROUP BY vid)
+  SELECT d.vid::BIGINT AS vid, d.degree::BIGINT AS degree,
+         coalesce(tc.n, 0)::BIGINT AS n_triangles,
+         round(CASE WHEN d.degree >= 2
+               THEN (2.0 * coalesce(tc.n, 0)) / (d.degree::DOUBLE * (d.degree::DOUBLE - 1.0))
+               ELSE 0.0 END, 6) AS coeff
+  FROM d LEFT JOIN tc USING (vid)
+  """
+
+
+def _link_predict_sql() -> str:
+    """Twin of q_link_predict_copurchase: identical pivot degree guard,
+    wedge self-join, NOT-EXISTS edge exclusion, and the total-ordered
+    top-k cut on (round(aa,6) DESC, a, b)."""
+    return f"""
+  WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+  b AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+  d AS (SELECT src AS vid, count(*) AS degree FROM b GROUP BY src),
+  piv AS (SELECT vid, 1.0 / ln(degree::DOUBLE) AS invw FROM d
+          WHERE degree >= 2 AND degree <= {LINKPRED_MAX_PIVOT_DEG}),
+  adj AS MATERIALIZED (SELECT b.src AS w, b.dst AS nbr, piv.invw
+                       FROM b JOIN piv ON b.src = piv.vid),
+  p AS (SELECT l.nbr AS a, r.nbr AS b2, l.invw
+        FROM adj l JOIN adj r ON l.w = r.w AND l.nbr < r.nbr),
+  s AS (SELECT a, b2 AS b, count(*)::BIGINT AS common_neighbors, sum(invw) AS aa
+        FROM p GROUP BY a, b2),
+  f AS (SELECT s.* FROM s
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = s.a AND e.dst = s.b))
+  SELECT a::BIGINT AS a, b::BIGINT AS b, common_neighbors, round(aa, 6) AS aa_score
+  FROM f ORDER BY round(aa, 6) DESC, a, b LIMIT {LINKPRED_TOP_K}
+  """
+
+
+def _tfidf_sql() -> str:
+    """Twin of q_tfidf_docs: same tokenization regex class, smoothed idf,
+    1e-6 score rounding, and the (score DESC, term ASC) per-doc rank."""
+    return f"""
+  WITH toks AS (
+    SELECT doc_id, t.term
+    FROM documents, unnest(string_split_regex(lower(coalesce(text, '')), '[^a-z]+')) AS t(term)
+    WHERE len(t.term) >= 3
+  ),
+  tf AS (SELECT doc_id, term, count(*)::BIGINT AS tf FROM toks GROUP BY doc_id, term),
+  nd AS (SELECT count(DISTINCT doc_id)::DOUBLE AS n FROM documents),
+  dfq AS (SELECT term, count(DISTINCT doc_id)::BIGINT AS df FROM tf GROUP BY term),
+  scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln((1.0 + (SELECT n FROM nd)) / (1.0 + dfq.df)) + 1.0), 6) AS score
+         FROM tf JOIN dfq USING (term)),
+  rk AS (SELECT doc_id, term, tf, score,
+         row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) AS term_rank
+         FROM scored)
+  SELECT doc_id, term, term_rank::BIGINT AS term_rank, tf, score
+  FROM rk WHERE term_rank <= {TFIDF_K}
+  """
+
+
 def _transcript_bfs_sql() -> str:
     """Bounded multi-source BFS twin: recursive CTE over the both-directions
     edge relation, seeded at the tool-actor vertices, with the recursion
@@ -1616,6 +1819,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_copurchase": q_kcore_copurchase,
         "transcript_bfs": q_transcript_bfs,
         "transcript_hits": q_transcript_hits,
+        "transcript_ppr": q_transcript_ppr,
+        "transcript_sssp": q_transcript_sssp,
+        "clustering_coeff_copurchase": q_clustering_coeff_copurchase,
+        "link_predict_copurchase": q_link_predict_copurchase,
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
         "dynamic_orders": q_dynamic_orders,
         "streaming_dynamic_orders": q_streaming_dynamic_orders,
@@ -1638,6 +1845,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_duplicates_docs": q_near_duplicates_docs,
         "text_profile_docs": q_text_profile_docs,
         "token_stats_docs": q_token_stats_docs,
+        "tfidf_docs": q_tfidf_docs,
         "lang_stats_docs": q_lang_stats_docs,
         "corpus_filter_docs": q_corpus_filter_docs,
         "ann_topk_docs": q_ann_topk_docs,
@@ -1725,6 +1933,11 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_forest": _transcript_forest_sql(),
         "transcript_bfs": _transcript_bfs_sql(),
         "transcript_hits": _transcript_hits_sql(),
+        "transcript_ppr": _transcript_ppr_sql(),
+        "transcript_sssp": _transcript_sssp_sql(),
+        "clustering_coeff_copurchase": _clustering_coeff_sql(),
+        "link_predict_copurchase": _link_predict_sql(),
+        "tfidf_docs": _tfidf_sql(),
         "kcore_copurchase": _kcore_sql(KCORE_K, KCORE_SQL_ROUNDS),
         "transcript_levels": _transcript_levels_sql(),
         "transcript_levels2": _transcript_levels2_sql(),

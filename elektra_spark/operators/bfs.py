@@ -94,3 +94,86 @@ def hop_distance(
             .select("vid", F.coalesce("dist", F.lit(-1)).cast("int").alias("dist"))
         )
     return out
+
+
+def weighted_distance(
+    edges: DataFrame,
+    sources: DataFrame | list[int],
+    vertices: DataFrame | None = None,
+    max_hops: int = 12,
+    weight: str | None = None,
+    checkpoint: CheckpointFn | None = None,
+    on_superstep: SuperstepHook | None = None,
+) -> DataFrame:
+    """Hop-bounded single/multi-source shortest paths (synchronous
+    Bellman–Ford) → (vid, dist): minimum *weighted* distance from any source
+    over paths of at most ``max_hops`` edges, ``-1`` if unreached.
+
+    ``weight`` names an integer edge-weight column; when ``None`` the weight
+    defaults to ``1 + (src + dst) % 5`` — a deterministic vid-derived weight
+    the DuckDB twin recomputes from the same expression, so engine and
+    oracle share the weight function by construction.
+
+    Same contract discipline as :func:`hop_distance`: the hop bound is part
+    of the operator semantics (min over ≤ ``max_hops``-edge paths — the
+    recursive-CTE twin caps identically), not a convergence heuristic, and
+    the loop exits early only at the relaxation fixpoint, where further
+    rounds are no-ops. Integer weights keep the oracle's recursion closure
+    finite (≤ ``max_hops × max_w`` distinct distances per vertex).
+
+    Per round: one shuffled join of the distance vector into the static
+    (hash-partitioned, persisted) adjacency + a map-side-combinable
+    ``min()`` — the PageRank-df plan shape with ``min`` for ``sum``. At
+    100 TB the round cost is |E| relaxation rows; the distance vector is
+    the only side that re-exchanges.
+    """
+    spark = edges.sparkSession
+    w_expr = F.col(weight).cast("long") if weight else (F.lit(1) + (F.col("src") + F.col("dst")) % 5).cast("long")
+    fwd = edges.select("src", "dst", w_expr.alias("w"))
+    both = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    if isinstance(sources, DataFrame):
+        seed = sources.select(F.col("vid").cast("long").alias("vid")).distinct()
+    else:
+        seed = spark.createDataFrame([(int(v),) for v in sources], "vid long").distinct()
+
+    if checkpoint is None:
+        # static adjacency + evolving distance vector live concurrently
+        checkpoint = RetainedCheckpointer()
+    with _no_aqe(spark):
+        both = checkpoint(both, -1)
+        dist = checkpoint(seed.withColumn("dist", F.lit(0).cast("long")), 0)
+        for step in range(1, max_hops + 1):
+            t0 = time.time()
+            relaxed = (
+                both.join(dist.withColumnRenamed("vid", "src").withColumnRenamed("dist", "d"), "src")
+                .select(F.col("dst").alias("vid"), (F.col("d") + F.col("w")).alias("dist"))
+            )
+            nxt = (
+                dist.unionByName(relaxed)
+                .groupBy("vid")
+                .agg(F.min("dist").alias("dist"))
+            )
+            nxt = checkpoint(nxt, step)
+            # fixpoint probe: rounds past the fixpoint are no-ops, so early
+            # exit preserves the ≤ max_hops-edge-paths contract exactly
+            changed = (
+                nxt.join(dist, "vid", "left_anti").limit(1).count()
+                + nxt.withColumnRenamed("dist", "nd")
+                .join(dist, "vid")
+                .filter(F.col("nd") != F.col("dist"))
+                .limit(1)
+                .count()
+            )
+            if on_superstep is not None:
+                on_superstep(step, changed, time.time() - t0)
+            dist = nxt
+            if changed == 0:
+                break
+    out = dist.select("vid", F.col("dist").cast("long").alias("dist"))
+    if vertices is not None:
+        out = (
+            vertices.select("vid")
+            .join(out, "vid", "left")
+            .select("vid", F.coalesce("dist", F.lit(-1)).cast("long").alias("dist"))
+        )
+    return out

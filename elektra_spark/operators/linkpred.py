@@ -1,0 +1,70 @@
+"""Link prediction over the canonical edge table — common neighbors and
+Adamic–Adar through a degree-guarded wedge join.
+
+Not in the reference as a named operator, but it is the canonical
+link-graph *prediction* query (Liben-Nowell & Kleinberg, CIKM 2003) over
+exactly the adjacency the connectivity suite maintains: score every
+non-adjacent vertex pair (a, b) by their common-neighbor structure,
+
+- ``common_neighbors`` = |Γ(a) ∩ Γ(b)|,
+- ``aa_score`` = Σ_{w ∈ Γ(a) ∩ Γ(b)} 1 / ln(deg(w)) (Adamic–Adar: rare
+  shared neighbors count more than hub co-membership).
+
+Semantics pinned for exact oracle reproducibility:
+
+- pivots (the shared neighbor ``w``) are restricted to
+  ``2 ≤ deg(w) ≤ max_pivot_degree`` — ``deg ≥ 2`` is required for a wedge
+  at all, and the upper cap is part of the operator contract (the same
+  spam-hub guard as MinHash-LSH's ``max_bucket``): a celebrity vertex
+  shared by everyone carries ~zero Adamic–Adar signal (1/ln(huge)) while
+  generating deg² wedge rows, so production runs drop it by contract and
+  the DuckDB twin applies the identical cap;
+- candidate pairs are canonical ``a < b`` and anti-joined against the
+  existing edge set (predict *new* links only);
+- the result is the deterministic top-``k`` under the total order
+  ``(round(aa_score, 6) DESC, a, b)`` — ordering on the *rounded* score so
+  last-ulp summation-order noise between engines cannot flip the cut.
+
+100 TB plan shape: one shuffle to build the degree-filtered adjacency,
+one self-join on the pivot vid (wedge volume Σ deg(w)² bounded by the cap:
+≤ cap × |E| rows, linear in edges, not quadratic in vertices), one
+map-side-combinable ``groupBy(a, b)``, one broadcast-friendly anti-join
+against the edge table, and a global top-k (rdd-free ``orderBy().limit``
+— Spark plans TakeOrderedAndProject, a per-partition heap + driver merge
+of k rows, no full sort).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .degrees import degrees
+
+
+def adamic_adar(
+    edges: DataFrame,
+    max_pivot_degree: int = 160,
+    top_k: int = 100,
+) -> DataFrame:
+    """→ (a, b, common_neighbors, aa_score) — top-``top_k`` predicted links."""
+    deg = degrees(edges)
+    piv = deg.filter((F.col("degree") >= 2) & (F.col("degree") <= max_pivot_degree)).select(
+        F.col("vid").alias("w"), (F.lit(1.0) / F.log(F.col("degree").cast("double"))).alias("invw")
+    )
+    both = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = both.select(F.col("src").alias("w"), F.col("dst").alias("nbr")).join(piv, "w")
+    left = adj.select("w", F.col("nbr").alias("a"), "invw")
+    right = adj.select("w", F.col("nbr").alias("b"))
+    pairs = left.join(right, "w").filter(F.col("a") < F.col("b"))
+    scores = pairs.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("common_neighbors"),
+        F.sum("invw").alias("aa"),
+    )
+    fresh = scores.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "left_anti"
+    )
+    out = fresh.select("a", "b", "common_neighbors", F.round("aa", 6).alias("aa_score"))
+    return out.orderBy(F.col("aa_score").desc(), "a", "b").limit(top_k)

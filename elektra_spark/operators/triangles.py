@@ -51,6 +51,31 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return tri.agg(F.count("*").cast("long").alias("n_triangles"))
 
 
+def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
+    """→ (vid, degree, n_triangles, coeff): Watts–Strogatz local clustering
+    coefficient ``2·T(v) / (d(v)·(d(v)−1))`` per vertex, 0 when ``d < 2``.
+
+    The per-vertex feature a link-graph user joins back onto vertices
+    ("how clique-like is this node's neighborhood") — composed entirely from
+    the two existing aggregates (:func:`triangle_count_per_vertex` +
+    ``degrees``), so the 100 TB plan is the triangle wedge join (O(m^1.5),
+    hub-safe) plus one broadcast-sized join on ``vid``; no new shuffle shape.
+    The division is a plain column expression the DuckDB twin mirrors
+    parenthesis-for-parenthesis, rounded to 1e-6.
+    """
+    deg = degrees(edges)
+    tpv = triangle_count_per_vertex(edges)
+    t = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    d = F.col("degree").cast("double")
+    coeff = F.when(F.col("degree") >= 2, (F.lit(2.0) * t) / (d * (d - F.lit(1.0)))).otherwise(F.lit(0.0))
+    return deg.join(tpv, "vid", "left").select(
+        "vid",
+        F.col("degree").cast("long").alias("degree"),
+        t.alias("n_triangles"),
+        F.round(coeff, 6).alias("coeff"),
+    )
+
+
 def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
     """→ (vid, n_triangles) per-vertex triangle participation counts."""
     arcs = _oriented_arcs(edges)

@@ -108,6 +108,54 @@ def fingerprint(text: Column) -> Column:
     return F.md5(F.array_join(F.filter(tokens(text), lambda t: t != ""), " "))
 
 
+def tfidf_top_terms(
+    df: DataFrame,
+    k: int = 3,
+    min_len: int = 3,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (doc_id, term, term_rank, tf, score): the ``k`` highest-TF-IDF
+    terms per document — the keyword-extraction / topic-feature primitive of
+    a corpus pipeline.
+
+    Semantics pinned for exact oracle reproducibility:
+
+    - terms: ``lower(text)`` split on ``[^a-z]+`` (identical regex class in
+      Java and RE2), keeping tokens of length ≥ ``min_len``;
+    - ``tf`` = raw in-document count; ``idf = ln((1+N)/(1+df)) + 1``
+      (smoothed, sklearn convention — never divides by zero);
+    - ``score = round(tf · idf, 6)``; per-doc rank by the total order
+      ``(score DESC, term ASC)`` — ordering on the *rounded* score so
+      last-ulp ``ln`` differences between engines cannot flip the cut.
+
+    Plan shape: explode → two map-side-combinable aggregations (per-doc TF,
+    corpus DF) → broadcast-sized DF join (vocabulary ≪ corpus) → per-doc
+    top-k window. At 100 TB the only big shuffle keys on ``(doc_id, term)``;
+    the DF relation is vocabulary-sized and broadcasts.
+    """
+    toks = F.filter(
+        F.split(F.lower(F.coalesce(F.col(text_col), F.lit(""))), "[^a-z]+"),
+        lambda t: F.length(t) >= min_len,
+    )
+    terms = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
+    tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    n_docs = df.select(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
+    dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
+    idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    scored = tf.join(F.broadcast(dfreq), "term").select(
+        "doc_id", "term", "tf", F.round(F.col("tf") * idf, 6).alias("score")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), F.col("term").asc())
+    return (
+        scored.withColumn("term_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("term_rank") <= k)
+        .select("doc_id", "term", "term_rank", "tf", "score")
+    )
+
+
 def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
     """Per-document profile used by pipeline filters."""
     t = F.col(text_col)

@@ -208,3 +208,111 @@ def test_kcore_oracle_unroll_depth_converges():
     assert rounds <= entry.KCORE_SQL_ROUNDS, (
         f"k-core oracle unroll depth {entry.KCORE_SQL_ROUNDS} < peel depth {rounds} at {sf_dir}"
     )
+
+
+# --------------------------- clustering coeff / link prediction / SSSP / PPR
+def _tri_per_vertex_oracle(pairs):
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    t = {v: 0 for v in nbr}
+    # count each triangle once per member via canonical a<b<c enumeration
+    vs = sorted(nbr)
+    for a in vs:
+        for b in (x for x in nbr[a] if x > a):
+            for c in nbr[a] & nbr[b]:
+                if c > b:
+                    t[a] += 1
+                    t[b] += 1
+                    t[c] += 1
+    return t, {v: len(ns) for v, ns in nbr.items()}
+
+
+@pytest.mark.parametrize("pairs", [HOUSE, CLIQUE5_PLUS_PATH, _random_graph(23, 60, 140)],
+                         ids=["house", "clique5path", "random"])
+def test_local_clustering_coefficient(spark, pairs):
+    from elektra_spark.operators.triangles import local_clustering_coefficient
+
+    edges = edges_from_pairs(spark, pairs)
+    tri, deg = _tri_per_vertex_oracle(pairs)
+    rows = local_clustering_coefficient(edges).collect()
+    assert {r["vid"] for r in rows} == set(deg)
+    for r in rows:
+        v = r["vid"]
+        assert r["degree"] == deg[v]
+        assert r["n_triangles"] == tri[v]
+        want = 2.0 * tri[v] / (deg[v] * (deg[v] - 1.0)) if deg[v] >= 2 else 0.0
+        assert abs(r["coeff"] - round(want, 6)) < 1e-9
+
+
+def _adamic_adar_oracle(pairs, max_pivot_degree):
+    import math
+
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    piv = {v for v, ns in nbr.items() if 2 <= len(ns) <= max_pivot_degree}
+    scores = {}
+    for w in piv:
+        invw = 1.0 / math.log(len(nbr[w]))
+        ns = sorted(nbr[w])
+        for i, a in enumerate(ns):
+            for b in ns[i + 1:]:
+                cn, aa = scores.get((a, b), (0, 0.0))
+                scores[(a, b)] = (cn + 1, aa + invw)
+    existing = {(min(a, b), max(a, b)) for a, b in pairs}
+    return {p: s for p, s in scores.items() if p not in existing}
+
+
+@pytest.mark.parametrize("pairs,cap", [(HOUSE, 10), (CLIQUE5_PLUS_PATH, 10),
+                                       (_random_graph(31, 50, 120), 6)],
+                         ids=["house", "clique5path", "random-capped"])
+def test_adamic_adar_matches_oracle(spark, pairs, cap):
+    from elektra_spark.operators.linkpred import adamic_adar
+
+    edges = edges_from_pairs(spark, pairs)
+    want = _adamic_adar_oracle(pairs, cap)
+    got = adamic_adar(edges, max_pivot_degree=cap, top_k=10_000).collect()
+    assert len(got) == len(want)
+    for r in got:
+        cn, aa = want[(r["a"], r["b"])]
+        assert r["common_neighbors"] == cn
+        assert abs(r["aa_score"] - round(aa, 6)) < 1e-9
+    # the top-k cut is the documented total order
+    key = [(-r["aa_score"], r["a"], r["b"]) for r in got]
+    assert key == sorted(key)
+
+
+def _sssp_oracle(pairs, seeds, max_hops, w):
+    """Hop-bounded Bellman–Ford over the undirected weighted graph."""
+    verts = {v for e in pairs for v in e} | set(seeds)
+    dist = {v: 0 for v in seeds}
+    for _ in range(max_hops):
+        nxt = dict(dist)
+        for a, b in pairs:
+            for u, v in ((a, b), (b, a)):
+                if u in dist and dist[u] + w(a, b) < nxt.get(v, float("inf")):
+                    nxt[v] = dist[u] + w(a, b)
+        if nxt == dist:
+            break
+        dist = nxt
+    return {v: dist.get(v, -1) for v in verts}
+
+
+@pytest.mark.parametrize(
+    "pairs,seeds,max_hops",
+    [(HOUSE, [0], 8), (CLIQUE5_PLUS_PATH + [(10, 11)], [0], 8),
+     (CLIQUE5_PLUS_PATH, [0, 7], 2), (_random_graph(41, 70, 120), [0, 1], 6)],
+    ids=["house", "disconnected", "bounded", "random"],
+)
+def test_weighted_distance_matches_oracle(spark, pairs, seeds, max_hops):
+    from elektra_spark.operators.bfs import weighted_distance
+
+    edges = edges_from_pairs(spark, pairs)
+    verts = sorted({v for e in pairs for v in e} | set(seeds))
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    got = {r["vid"]: r["dist"] for r in
+           weighted_distance(edges, seeds, vertices=vdf, max_hops=max_hops).collect()}
+    assert got == _sssp_oracle(pairs, seeds, max_hops, lambda a, b: 1 + (a + b) % 5)

@@ -324,3 +324,58 @@ def test_pagerank_bsp_cross_jvm_placement(tmp_path):
     )
     assert set(full) == set(resumed)
     assert max(abs(full[v] - resumed[v]) for v in full) < 1e-15
+
+
+def _ppr_oracle(pairs, verts, seeds, n_iter, damping=0.85):
+    """Seed-restart power iteration: dangling mass returns to the seeds."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append(b)
+        adj.setdefault(b, []).append(a)
+    s = {v: (1.0 / len(seeds) if v in seeds else 0.0) for v in verts}
+    r = dict(s)
+    for _ in range(n_iter):
+        dm = sum(r[v] for v in verts if v not in adj)
+        contrib = {v: 0.0 for v in verts}
+        for u, ns in adj.items():
+            share = r[u] / len(ns)
+            for v in ns:
+                contrib[v] += share
+        r = {v: (1 - damping) * s[v] + damping * (contrib[v] + dm * s[v]) for v in verts}
+    return r
+
+
+def test_personalized_pagerank_matches_oracle(spark):
+    import random
+
+    from elektra_spark.ingest.graph_io import edges_from_pairs
+    from elektra_spark.operators.ppr import personalized_pagerank
+
+    rng = random.Random(9)
+    pairs = sorted({(min(a, b), max(a, b))
+                    for a, b in ((rng.randrange(40), rng.randrange(40)) for _ in range(70)) if a != b})
+    verts = sorted({v for e in pairs for v in e} | {38, 39, 99})  # 99 isolated → dangling
+    seeds = [0, 5]
+    edges = edges_from_pairs(spark, pairs)
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    sdf = spark.createDataFrame([(v,) for v in seeds], "vid long")
+    rows = personalized_pagerank(edges, sdf, vertices=vdf, n_iter=8).collect()
+    want = _ppr_oracle(pairs, verts, set(seeds), 8)
+    assert len(rows) == len(verts)
+    for r in rows:
+        assert abs(r["rank"] - want[r["vid"]]) < 1e-12
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9  # mass conservation
+
+
+def test_personalized_pagerank_localizes_to_seeds(spark):
+    """Two disjoint cliques; seeding one must keep ~all mass there."""
+    from elektra_spark.ingest.graph_io import edges_from_pairs
+    from elektra_spark.operators.ppr import personalized_pagerank
+
+    k1 = [(a, b) for a in range(5) for b in range(a + 1, 5)]
+    k2 = [(a, b) for a in range(10, 15) for b in range(a + 1, 15)]
+    edges = edges_from_pairs(spark, k1 + k2)
+    sdf = spark.createDataFrame([(0,)], "vid long")
+    rows = personalized_pagerank(edges, sdf, n_iter=10).collect()
+    far = sum(r["rank"] for r in rows if r["vid"] >= 10)
+    assert far == 0.0  # no path — the restart vector pins all mass in clique 1

@@ -439,3 +439,42 @@ def test_extract_wav_features_matches_numpy(spark):
         assert r["duration_ms"] == samples.shape[0] * 1000 // rate
         assert r["peak"] == absamp.max()
         assert abs(r["mean_abs"] - absamp.sum() / samples.shape[0]) < 1e-9
+
+
+def test_tfidf_top_terms_matches_sklearn_style_oracle(spark):
+    import math
+    import re
+
+    from elektra_spark.text.analysis import tfidf_top_terms
+
+    docs = [
+        (1, "the quick brown fox jumps over the lazy dog"),
+        (2, "pack my box with five dozen liquor jugs; box box"),
+        (3, "the dog ate my quick notes. Dog dog dog!"),
+        (4, None),  # NULL text → no terms
+        (5, "zz"),  # all tokens below min length
+    ]
+    df = spark.createDataFrame(docs, "doc_id long, text string")
+    got = tfidf_top_terms(df, k=2).collect()
+
+    toks = {d: [t for t in re.split(r"[^a-z]+", (txt or "").lower()) if len(t) >= 3]
+            for d, txt in docs}
+    n = len(docs)
+    dfreq = {}
+    for d, ts in toks.items():
+        for t in set(ts):
+            dfreq[t] = dfreq.get(t, 0) + 1
+    want = {}
+    for d, ts in toks.items():
+        scores = {}
+        for t in set(ts):
+            idf = math.log((1.0 + n) / (1.0 + dfreq[t])) + 1.0
+            scores[t] = round(ts.count(t) * idf, 6)
+        top = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for i, (t, sc) in enumerate(top, 1):
+            want[(d, t)] = (i, ts.count(t), sc)
+    assert {(r["doc_id"], r["term"]) for r in got} == set(want)
+    for r in got:
+        rank, tf, sc = want[(r["doc_id"], r["term"])]
+        assert (r["term_rank"], r["tf"]) == (rank, tf)
+        assert abs(r["score"] - sc) < 1e-9
