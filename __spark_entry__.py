@@ -563,6 +563,19 @@ def q_transcript_ppr(spark, sf_dir):
     return r.select("vid", F.round("rank", 8).alias("rank"))
 
 
+def q_transcript_wpr(spark, sf_dir):
+    """Edge-weighted PageRank (operators/ppr.py weighted_pagerank): rank
+    scatters proportionally to the deterministic vid-derived edge weight
+    1 + (src+dst) % 5 (shared with transcript_sssp) — the affinity/
+    multiplicity generalization of the uniform kernel. The DuckDB twin
+    unrolls the identical pre-normalized-share chain (_wpr_chain)."""
+    from elektra_spark.operators.ppr import weighted_pagerank
+
+    g = _transcript_graph(spark)
+    r = weighted_pagerank(g.edges, vertices=g.vertices, n_iter=PPR_ITERS)
+    return r.select("vid", F.round("rank", 8).alias("rank"))
+
+
 def q_transcript_sssp(spark, sf_dir):
     """Hop-bounded weighted shortest paths (operators/bfs.py
     weighted_distance): synchronous Bellman–Ford from the tool-actor seeds
@@ -1278,6 +1291,45 @@ def _transcript_ppr_sql() -> str:
     )
 
 
+def _wpr_chain(n_iter: int, damping: float) -> str:
+    """Unrolled edge-weighted PageRank chain — twin of operators/ppr.py
+    ``weighted_pagerank``: scatter shares pre-normalized once
+    (``w / W_out``), the deterministic vid-derived weight 1 + (src+dst) % 5,
+    dangling (zero out-weight) mass uniform. Assumes ``verts``, ``b`` in
+    scope."""
+    base = """,
+  wadj AS MATERIALIZED (SELECT src, dst, (1 + (src + dst) % 5)::DOUBLE AS w FROM b),
+  wout AS MATERIALIZED (SELECT src AS vid, sum(w) AS wout FROM wadj GROUP BY src),
+  adjn AS MATERIALIZED (SELECT wadj.src, wadj.dst, wadj.w / wout.wout AS share
+        FROM wadj JOIN wout ON wadj.src = wout.vid),
+  nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+  r0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM nn) AS rank FROM verts)"""
+    iters = []
+    for i in range(1, n_iter + 1):
+        p = f"r{i - 1}"
+        iters.append(
+            f""",
+  d{i} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM {p} r
+           LEFT JOIN wout ON r.vid = wout.vid WHERE wout.vid IS NULL),
+  c{i} AS MATERIALIZED (SELECT a.dst AS vid, sum(r.rank * a.share) AS contrib
+           FROM adjn a JOIN {p} r ON a.src = r.vid GROUP BY a.dst),
+  r{i} AS MATERIALIZED (SELECT verts.vid,
+                  (1 - {damping}) / (SELECT n FROM nn)
+                  + {damping} * (coalesce(c.contrib, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
+           FROM verts LEFT JOIN c{i} c ON verts.vid = c.vid)"""
+        )
+    return base + "".join(iters)
+
+
+def _transcript_wpr_sql() -> str:
+    return (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + _wpr_chain(PPR_ITERS, PR_DAMPING)
+        + f"\n  SELECT vid, round(rank, 8) AS rank FROM r{PPR_ITERS}"
+    )
+
+
 def _transcript_sssp_sql() -> str:
     """Hop-bounded weighted-shortest-paths twin (operators/bfs.py
     weighted_distance): recursive CTE from the tool-actor seeds over the
@@ -1820,6 +1872,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_bfs": q_transcript_bfs,
         "transcript_hits": q_transcript_hits,
         "transcript_ppr": q_transcript_ppr,
+        "transcript_wpr": q_transcript_wpr,
         "transcript_sssp": q_transcript_sssp,
         "clustering_coeff_copurchase": q_clustering_coeff_copurchase,
         "link_predict_copurchase": q_link_predict_copurchase,
@@ -1934,6 +1987,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_bfs": _transcript_bfs_sql(),
         "transcript_hits": _transcript_hits_sql(),
         "transcript_ppr": _transcript_ppr_sql(),
+        "transcript_wpr": _transcript_wpr_sql(),
         "transcript_sssp": _transcript_sssp_sql(),
         "clustering_coeff_copurchase": _clustering_coeff_sql(),
         "link_predict_copurchase": _link_predict_sql(),

@@ -904,6 +904,8 @@ def main():
         ("text_profile_docs", 15),
         ("revenue_by_region_status", 15),
         ("ann_topk_docs", 15),
+        ("link_predict_copurchase", 90),
+        ("tfidf_docs", 25),
     ]:
         if not fits(margin):
             break

@@ -1,4 +1,5 @@
-"""Personalized PageRank — random walk with restart to a seed set.
+"""Personalized and weighted PageRank — seed-restart and edge-weighted
+variants of the engine's PageRank family.
 
 The seed-anchored variant of the engine's PageRank (pagerank.py): the
 teleport vector is concentrated on a seed set S instead of uniform, so
@@ -94,6 +95,89 @@ def personalized_pagerank(
                     F.lit(1.0 - damping) * F.col("s")
                     + F.lit(damping)
                     * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(float(dm)) * F.col("s"))
+                ).alias("rank"),
+            )
+            r = checkpoint(r, step)
+            if on_superstep is not None:
+                on_superstep(step, -1, time.time() - t0)
+    return r
+
+
+def weighted_pagerank(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    damping: float = 0.85,
+    n_iter: int = 10,
+    directed: bool = False,
+    weight: str | None = None,
+    checkpoint: CheckpointFn | None = None,
+    on_superstep: SuperstepHook | None = None,
+) -> DataFrame:
+    """Edge-weighted PageRank → (vid, rank): each vertex scatters rank
+    proportionally to edge weight, ``r(u)·w(u,v)/W_out(u)`` instead of
+    ``r(u)/deg(u)`` — the multigraph/affinity generalization (how *much*
+    interaction an edge carries, not just that it exists).
+
+    ``weight`` names a positive numeric edge-weight column; ``None``
+    defaults to the deterministic vid-derived ``1 + (src + dst) % 5`` shared
+    with :func:`~elektra_spark.operators.bfs.weighted_distance` and the
+    DuckDB twin (``_wpr_chain``), so engine and oracle agree on the weight
+    function by construction. Dangling mass (vertices with zero out-weight)
+    redistributes uniformly, exactly as the uniform kernel does.
+
+    Same superstep plan as the PageRank df kernel: the weighted adjacency
+    (pre-normalized ``w/W_out`` once — one extra groupBy at prep, zero
+    per-superstep cost) is checkpointed static; each iteration exchanges
+    only the rank vector and runs one map-side-combinable ``groupBy(dst)``.
+    """
+    spark = edges.sparkSession
+    w_expr = F.col(weight).cast("double") if weight else (
+        F.lit(1) + (F.col("src") + F.col("dst")) % 5
+    ).cast("double")
+    fwd = edges.select("src", "dst", w_expr.alias("w"))
+    if directed:
+        adj = fwd
+    else:
+        adj = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    wout = adj.groupBy("src").agg(F.sum("w").alias("wout"))
+    if vertices is not None:
+        universe = vertices.select("vid")
+    else:
+        universe = (
+            adj.select(F.col("src").alias("vid")).union(adj.select(F.col("dst").alias("vid"))).distinct()
+        )
+
+    if checkpoint is None:
+        checkpoint = RetainedCheckpointer()
+    with _no_aqe(spark):
+        # share = w/W_out normalized once at prep; the superstep multiplies
+        # rank by a ready scalar column instead of re-dividing by the sum
+        adj_n = checkpoint(
+            adj.join(wout, "src").select("src", "dst", (F.col("w") / F.col("wout")).alias("share")),
+            -1,
+        )
+        universe = checkpoint(universe, -1)
+        n = universe.count()
+        if n == 0:
+            return spark.createDataFrame([], "vid long, rank double")
+        dangling = checkpoint(
+            universe.join(wout.select(F.col("src").alias("vid")), "vid", "left_anti"), -1
+        )
+        r = checkpoint(universe.withColumn("rank", F.lit(1.0 / n)), 0)
+        for step in range(1, n_iter + 1):
+            t0 = time.time()
+            contrib = (
+                adj_n.join(r.withColumnRenamed("vid", "src"), "src")
+                .groupBy(F.col("dst").alias("vid"))
+                .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
+            )
+            dm = r.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0] or 0.0
+            r = universe.join(contrib, "vid", "left").select(
+                "vid",
+                (
+                    F.lit((1.0 - damping) / n)
+                    + F.lit(damping)
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(float(dm) / n))
                 ).alias("rank"),
             )
             r = checkpoint(r, step)

@@ -379,3 +379,61 @@ def test_personalized_pagerank_localizes_to_seeds(spark):
     rows = personalized_pagerank(edges, sdf, n_iter=10).collect()
     far = sum(r["rank"] for r in rows if r["vid"] >= 10)
     assert far == 0.0  # no path — the restart vector pins all mass in clique 1
+
+
+def _wpr_oracle(pairs, verts, n_iter, damping=0.85, w=lambda a, b: 1 + (a + b) % 5):
+    """Weighted power iteration: scatter ∝ w/W_out, dangling mass uniform."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, []).append((b, w(a, b)))
+        adj.setdefault(b, []).append((a, w(a, b)))
+    wout = {u: float(sum(wt for _, wt in ns)) for u, ns in adj.items()}
+    n = len(verts)
+    r = {v: 1.0 / n for v in verts}
+    for _ in range(n_iter):
+        dm = sum(r[v] for v in verts if v not in wout)
+        contrib = {v: 0.0 for v in verts}
+        for u, ns in adj.items():
+            for v, wt in ns:
+                contrib[v] += r[u] * (wt / wout[u])
+        r = {v: (1 - damping) / n + damping * (contrib[v] + dm / n) for v in verts}
+    return r
+
+
+def test_weighted_pagerank_matches_oracle(spark):
+    import random
+
+    from elektra_spark.ingest.graph_io import edges_from_pairs
+    from elektra_spark.operators.ppr import weighted_pagerank
+
+    rng = random.Random(29)
+    pairs = sorted({(min(a, b), max(a, b))
+                    for a, b in ((rng.randrange(35), rng.randrange(35)) for _ in range(60)) if a != b})
+    verts = sorted({v for e in pairs for v in e} | {77})  # 77 isolated → dangling
+    edges = edges_from_pairs(spark, pairs)
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    rows = weighted_pagerank(edges, vertices=vdf, n_iter=7).collect()
+    want = _wpr_oracle(pairs, verts, 7)
+    assert len(rows) == len(verts)
+    for r in rows:
+        assert abs(r["rank"] - want[r["vid"]]) < 1e-12
+    assert abs(sum(r["rank"] for r in rows) - 1.0) < 1e-9
+
+
+def test_weighted_pagerank_uniform_weight_equals_unweighted(spark):
+    """With a constant weight column the weighted kernel must reduce to the
+    uniform kernel's fixpoint schedule."""
+    from pyspark.sql import functions as F
+
+    from elektra_spark.ingest.graph_io import edges_from_pairs
+    from elektra_spark.operators.pagerank import pagerank
+    from elektra_spark.operators.ppr import weighted_pagerank
+
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (3, 4), (1, 4), (4, 5)]
+    edges = edges_from_pairs(spark, pairs)
+    wedges = edges.withColumn("wt", F.lit(2.0))
+    a = {r["vid"]: r["rank"] for r in pagerank(edges, n_iter=6, kernel="df").collect()}
+    b = {r["vid"]: r["rank"] for r in weighted_pagerank(wedges, weight="wt", n_iter=6).collect()}
+    assert set(a) == set(b)
+    for v in a:
+        assert abs(a[v] - b[v]) < 1e-12
