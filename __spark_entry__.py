@@ -36,6 +36,8 @@ LINKPRED_MAX_PIVOT_DEG = 160  # contract hub guard (sf0.01 copurchase degrees ru
 LINKPRED_TOP_K = 100
 SSSP_MAX_HOPS = 12  # bounded Bellman–Ford contract — the DuckDB twin caps its recursion identically
 TFIDF_K = 3
+TRUSS_K = 12  # non-trivial peel on the sf0.01 copurchase graph (5 rounds, 1127-edge truss; supports run 1–32)
+TRUSS_SQL_ROUNDS = 8  # unrolled oracle rounds; ≥ the instance's peel depth + 1 (no-ops past the fixpoint)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -500,6 +502,36 @@ def q_link_predict_copurchase(spark, sf_dir):
     )
 
 
+def q_edge_support_copurchase(spark, sf_dir):
+    """Per-edge triangle support (operators/truss.py edge_support) — the
+    edge-level sibling of per-vertex triangle counts and the k-truss
+    building block. The DuckDB twin fans each canonically-enumerated
+    triangle (a<b<c) out to its three member edges."""
+    from elektra_spark.operators.truss import edge_support
+
+    return edge_support(_copurchase_graph(spark, sf_dir))
+
+
+def q_truss_copurchase(spark, sf_dir):
+    """k-truss decomposition (operators/truss.py k_truss, k=TRUSS_K):
+    synchronous support-peel to the fixpoint, returning surviving edges with
+    their within-truss support. The DuckDB twin unrolls TRUSS_SQL_ROUNDS ≥
+    peel-depth+1 synchronous rounds (no-ops past the fixpoint); pytest pins
+    the contract instance's actual depth."""
+    from elektra_spark.operators.truss import k_truss
+
+    return k_truss(_copurchase_graph(spark, sf_dir), k=TRUSS_K)
+
+
+def q_assortativity_copurchase(spark, sf_dir):
+    """Newman degree assortativity (operators/degrees.py): Pearson
+    correlation of endpoint degrees from explicit integer power sums —
+    exact in both engines regardless of summation order."""
+    from elektra_spark.operators.degrees import degree_assortativity
+
+    return degree_assortativity(_copurchase_graph(spark, sf_dir))
+
+
 # ------------------------------------------- transcripts (fixture-backed)
 def _transcript_graph(spark, n_conversations=300):
     from elektra_spark.ingest.edges import derive_graph
@@ -561,6 +593,19 @@ def q_transcript_ppr(spark, sf_dir):
     seeds = g.vertices.filter(F.col("kind") == "tool").select("vid")
     r = personalized_pagerank(g.edges, seeds, vertices=g.vertices, n_iter=PPR_ITERS)
     return r.select("vid", F.round("rank", 8).alias("rank"))
+
+
+def q_transcript_bipartite(spark, sf_dir):
+    """Per-component bipartiteness (operators/bipartite.py): parity closure
+    from each component's min-vid representative; a component is bipartite
+    iff no vertex is reachable at both parities. Tool hubs closing odd
+    turn-chain cycles make the transcript graph a genuine mix of verdicts.
+    The DuckDB twin runs the same (vid, parity) recursive closure beside
+    the pruned CC CTE."""
+    from elektra_spark.operators.bipartite import bipartite_components
+
+    g = _transcript_graph(spark)
+    return bipartite_components(g.edges, vertices=g.vertices)
 
 
 def q_transcript_wpr(spark, sf_dir):
@@ -1354,6 +1399,92 @@ def _transcript_sssp_sql() -> str:
     )
 
 
+_SUPPORT_ROUND = """,
+  t{i} AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM e{p} e1 JOIN e{p} e2 ON e1.dst = e2.src
+        JOIN e{p} e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+  m{i} AS (SELECT a AS src, b AS dst FROM t{i}
+           UNION ALL SELECT b, c FROM t{i}
+           UNION ALL SELECT a, c FROM t{i}),
+  s{i} AS MATERIALIZED (SELECT src, dst, count(*) AS support FROM m{i} GROUP BY src, dst)"""
+
+
+def _edge_support_sql() -> str:
+    """Twin of q_edge_support_copurchase: one triangle fan-out round over
+    the full edge set, left-completed so triangle-free edges report 0."""
+    return (
+        f"""
+  WITH e0 AS MATERIALIZED ({_COPURCHASE_SQL})"""
+        + _SUPPORT_ROUND.format(i=1, p=0)
+        + """
+  SELECT e0.src, e0.dst, coalesce(s1.support, 0)::BIGINT AS support
+  FROM e0 LEFT JOIN s1 USING (src, dst)
+  """
+    )
+
+
+def _truss_sql(k: int, rounds: int) -> str:
+    """Unrolled synchronous support-peel twin of operators/truss.py k_truss:
+    round i fans triangles of round i−1's surviving edge set out to member
+    edges, counts support, drops edges below k−2. ``rounds`` must exceed
+    the instance's peel depth (no-op rounds at the fixpoint leave the final
+    support relation = within-truss support)."""
+    parts = [f"""WITH e0 AS MATERIALIZED ({_COPURCHASE_SQL})"""]
+    for i in range(1, rounds + 1):
+        parts.append(_SUPPORT_ROUND.format(i=i, p=i - 1))
+        parts.append(
+            f""",
+  e{i} AS MATERIALIZED (SELECT src, dst FROM s{i} WHERE support >= {k - 2})"""
+        )
+    parts.append(
+        f"""
+  SELECT src, dst, support::BIGINT AS support FROM s{rounds} WHERE support >= {k - 2}"""
+    )
+    return "".join(parts)
+
+
+def _assortativity_sql() -> str:
+    """Twin of q_assortativity_copurchase — identical integer power sums,
+    identical final-expression parenthesization."""
+    return f"""
+  WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+  b AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+  d AS (SELECT src AS vid, count(*) AS degree FROM b GROUP BY src),
+  xy AS (SELECT dx.degree AS x, dy.degree AS y
+         FROM b JOIN d dx ON b.src = dx.vid JOIN d dy ON b.dst = dy.vid),
+  a AS (SELECT count(*)::BIGINT AS n, sum(x)::BIGINT AS sx, sum(y)::BIGINT AS sy,
+               sum(x * y)::BIGINT AS sxy, sum(x * x)::BIGINT AS sxx, sum(y * y)::BIGINT AS syy
+        FROM xy)
+  SELECT n AS n_endpoints,
+         round((n::DOUBLE * sxy::DOUBLE - sx::DOUBLE * sy::DOUBLE)
+               / (sqrt(n::DOUBLE * sxx::DOUBLE - sx::DOUBLE * sx::DOUBLE)
+                  * sqrt(n::DOUBLE * syy::DOUBLE - sy::DOUBLE * sy::DOUBLE)), 6) AS assortativity
+  FROM a
+  """
+
+
+def _transcript_bipartite_sql() -> str:
+    """Twin of q_transcript_bipartite: the pruned min-vid CC closure gives
+    components; a second recursive closure propagates (vid, parity) from
+    each component representative (the label is a member vid); a component
+    is bipartite iff no member holds both parities."""
+    return (
+        "WITH RECURSIVE "
+        + _transcript_tables_sql(300).lstrip()
+        + _TRANSCRIPT_CC_RECURSIVE
+        + """,
+  pp(vid, par) AS (
+    SELECT component, 0 FROM (SELECT DISTINCT component FROM cc)
+    UNION
+    SELECT b.dst, 1 - pp.par FROM pp JOIN b ON b.src = pp.vid
+  ),
+  bad AS (SELECT vid FROM pp GROUP BY vid HAVING count(DISTINCT par) > 1)
+  SELECT cc.component, count(*)::BIGINT AS n_vertices,
+         (count(bad.vid) = 0) AS is_bipartite
+  FROM cc LEFT JOIN bad USING (vid) GROUP BY cc.component"""
+    )
+
+
 def _clustering_coeff_sql() -> str:
     """Twin of q_clustering_coeff_copurchase: the per-vertex triangle fan
     (same canonical a<b<c closure as triangles_per_vertex) joined to the
@@ -1876,6 +2007,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_sssp": q_transcript_sssp,
         "clustering_coeff_copurchase": q_clustering_coeff_copurchase,
         "link_predict_copurchase": q_link_predict_copurchase,
+        "edge_support_copurchase": q_edge_support_copurchase,
+        "truss_copurchase": q_truss_copurchase,
+        "assortativity_copurchase": q_assortativity_copurchase,
+        "transcript_bipartite": q_transcript_bipartite,
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
         "dynamic_orders": q_dynamic_orders,
         "streaming_dynamic_orders": q_streaming_dynamic_orders,
@@ -1991,6 +2126,10 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_sssp": _transcript_sssp_sql(),
         "clustering_coeff_copurchase": _clustering_coeff_sql(),
         "link_predict_copurchase": _link_predict_sql(),
+        "edge_support_copurchase": _edge_support_sql(),
+        "truss_copurchase": _truss_sql(TRUSS_K, TRUSS_SQL_ROUNDS),
+        "assortativity_copurchase": _assortativity_sql(),
+        "transcript_bipartite": _transcript_bipartite_sql(),
         "tfidf_docs": _tfidf_sql(),
         "kcore_copurchase": _kcore_sql(KCORE_K, KCORE_SQL_ROUNDS),
         "transcript_levels": _transcript_levels_sql(),

@@ -25,3 +25,41 @@ def degrees(edges: DataFrame) -> DataFrame:
 def degree_histogram(edges: DataFrame) -> DataFrame:
     """→ (degree, n_vertices) distribution."""
     return degrees(edges).groupBy("degree").agg(F.count("*").alias("n_vertices")).orderBy("degree")
+
+
+def degree_assortativity(edges: DataFrame) -> DataFrame:
+    """→ single row (n_endpoints, assortativity): Newman's degree
+    assortativity coefficient — the Pearson correlation of endpoint degrees
+    over the symmetric (both-directions) edge relation (Newman, PRL 2002).
+    Positive = hubs link hubs; negative = hub-leaf (the usual web shape).
+
+    Computed from explicit integer power sums (n·Σxy − Σx·Σy over
+    √(n·Σx²−(Σx)²)·√(n·Σy²−(Σy)²)) rather than a streaming ``corr()``:
+    degree sums are exact integers in both engines, so the DuckDB twin
+    reproduces the coefficient bit-for-bit (modulo the final 1e-6
+    rounding) regardless of summation order — a streaming co-moment
+    implementation would not. One degree join + one scalar aggregate;
+    map-side combinable everywhere.
+    """
+    deg = degrees(edges)
+    both = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    xy = (
+        both.join(deg.select(F.col("vid").alias("src"), F.col("degree").alias("x")), "src")
+        .join(deg.select(F.col("vid").alias("dst"), F.col("degree").alias("y")), "dst")
+        .select("x", "y")
+    )
+    agg = xy.agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    n = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
+    r = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
+    return agg.select(F.col("n").cast("long").alias("n_endpoints"), F.round(r, 6).alias("assortativity"))

@@ -316,3 +316,167 @@ def test_weighted_distance_matches_oracle(spark, pairs, seeds, max_hops):
     got = {r["vid"]: r["dist"] for r in
            weighted_distance(edges, seeds, vertices=vdf, max_hops=max_hops).collect()}
     assert got == _sssp_oracle(pairs, seeds, max_hops, lambda a, b: 1 + (a + b) % 5)
+
+
+# --------------------------- edge support / k-truss / bipartite / assortativity
+def _support_oracle(pairs):
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    return {(min(a, b), max(a, b)): len(nbr[a] & nbr[b]) for a, b in pairs}
+
+
+def _truss_oracle(pairs, k):
+    edges = {(min(a, b), max(a, b)) for a, b in pairs}
+    while True:
+        sup = _support_oracle(edges)
+        keep = {e for e in edges if sup[e] >= k - 2}
+        if keep == edges:
+            return {e: sup[e] for e in edges}
+        edges = keep
+
+
+@pytest.mark.parametrize("pairs", [HOUSE, CLIQUE5_PLUS_PATH, _random_graph(43, 40, 160)],
+                         ids=["house", "clique5path", "random"])
+def test_edge_support_matches_oracle(spark, pairs):
+    from elektra_spark.operators.truss import edge_support
+
+    edges = edges_from_pairs(spark, pairs)
+    got = {(r["src"], r["dst"]): r["support"] for r in edge_support(edges).collect()}
+    assert got == _support_oracle({(min(a, b), max(a, b)) for a, b in pairs})
+
+
+@pytest.mark.parametrize(
+    "pairs,k",
+    [
+        (HOUSE, 3),            # the triangle pair survives, the (1,4)-(3,4) ears peel
+        (CLIQUE5_PLUS_PATH, 5),  # only the K5 (support 3 everywhere) survives
+        (CLIQUE5_PLUS_PATH, 6),  # empty truss
+        (_random_graph(47, 30, 120), 4),
+    ],
+    ids=["house3", "clique5", "empty", "random4"],
+)
+def test_k_truss_matches_oracle(spark, pairs, k):
+    from elektra_spark.operators.truss import k_truss
+
+    edges = edges_from_pairs(spark, pairs)
+    got = {(r["src"], r["dst"]): r["support"] for r in k_truss(edges, k=k).collect()}
+    assert got == _truss_oracle(pairs, k)
+    assert all(s >= k - 2 for s in got.values()) or not got
+
+
+def _bipartite_oracle(pairs, verts):
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    comp, verdict, size = {}, {}, {}
+    for v in sorted(verts):
+        if v in comp:
+            continue
+        color, ok, stack, members = {v: 0}, True, [v], []
+        while stack:
+            u = stack.pop()
+            members.append(u)
+            for w in adj.get(u, ()):
+                if w not in color:
+                    color[w] = 1 - color[u]
+                    stack.append(w)
+                elif color[w] == color[u]:
+                    ok = False
+        rep = min(members)
+        for m in members:
+            comp[m] = rep
+        verdict[rep], size[rep] = ok, len(members)
+    return {r: (size[r], verdict[r]) for r in verdict}
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [
+        [(0, 1), (1, 2), (2, 3), (3, 0)],          # even cycle → bipartite
+        [(0, 1), (1, 2), (2, 0)],                  # odd cycle → not
+        HOUSE,                                     # triangles → not
+        [(0, 1), (0, 2), (0, 3), (5, 6)],          # star + edge → both bipartite
+        _random_graph(53, 40, 60),
+    ],
+    ids=["even-cycle", "odd-cycle", "house", "star", "random"],
+)
+def test_bipartite_components_matches_oracle(spark, pairs):
+    from elektra_spark.operators.bipartite import bipartite_components
+
+    edges = edges_from_pairs(spark, pairs)
+    verts = {v for e in pairs for v in e}
+    got = {r["component"]: (r["n_vertices"], r["is_bipartite"])
+           for r in bipartite_components(edges).collect()}
+    assert got == _bipartite_oracle(pairs, verts)
+
+
+def test_degree_assortativity_matches_formula(spark):
+    import math
+
+    from elektra_spark.operators.degrees import degree_assortativity
+
+    pairs = _random_graph(61, 50, 130)
+    edges = edges_from_pairs(spark, pairs)
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    xy = [(deg[a], deg[b]) for a, b in pairs] + [(deg[b], deg[a]) for a, b in pairs]
+    n = len(xy)
+    sx = sum(x for x, _ in xy); sy = sum(y for _, y in xy)
+    sxy = sum(x * y for x, y in xy)
+    sxx = sum(x * x for x, _ in xy); syy = sum(y * y for _, y in xy)
+    want = (n * sxy - sx * sy) / (math.sqrt(n * sxx - sx * sx) * math.sqrt(n * syy - sy * sy))
+    row = degree_assortativity(edges).collect()[0]
+    assert row["n_endpoints"] == n
+    assert abs(row["assortativity"] - round(want, 6)) < 1e-9
+
+
+def test_truss_oracle_unroll_depth_converges():
+    """TRUSS_SQL_ROUNDS must exceed the sf0.01 instance's peel depth (plus a
+    no-op round) so the unrolled twin's final support relation equals the
+    within-truss support — same pinning as the k-core twin."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("ELEKTRA_SF_DIR", "/root/testdata/sf0.01")
+    li = f"{sf_dir}/lineitem.parquet"
+    if not os.path.exists(li):
+        pytest.skip(f"no contract-scale data at {sf_dir}")
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{li}')")
+    con.execute(f"CREATE TABLE e AS {entry._COPURCHASE_SQL}")
+    k = entry.TRUSS_K
+    rounds = 0
+    prev = con.execute("SELECT count(*) FROM e").fetchone()[0]
+    while True:
+        rounds += 1
+        assert rounds <= entry.TRUSS_SQL_ROUNDS, (
+            f"peel depth exceeds TRUSS_SQL_ROUNDS={entry.TRUSS_SQL_ROUNDS}"
+        )
+        con.execute(
+            """CREATE OR REPLACE TABLE s AS
+               WITH t AS (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+                          FROM e e1 JOIN e e2 ON e1.dst = e2.src
+                          JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst),
+               m AS (SELECT a AS src, b AS dst FROM t
+                     UNION ALL SELECT b, c FROM t UNION ALL SELECT a, c FROM t)
+               SELECT src, dst, count(*) AS support FROM m GROUP BY src, dst"""
+        )
+        con.execute(
+            f"""CREATE OR REPLACE TABLE e AS
+                SELECT src, dst FROM s WHERE support >= {k - 2}"""
+        )
+        cur = con.execute("SELECT count(*) FROM e").fetchone()[0]
+        if cur == prev:
+            break
+        prev = cur
+    assert prev > 0, "contract TRUSS_K peels the sf0.01 graph to empty — pick a smaller k"
+    # depth must leave at least one unrolled round as the fixpoint no-op
+    assert rounds < entry.TRUSS_SQL_ROUNDS

@@ -179,6 +179,34 @@ def main():
     ]
     sections.append(("Transcript edge derivation (end-to-end)", p, checks))
 
+    # 7. Adamic–Adar top-k: the global cut must be a per-partition heap +
+    # driver merge (TakeOrderedAndProject), never a full sort of the pair
+    # relation; the degree-filtered pivot relation is small and broadcasts
+    q = entry.queries()["link_predict_copurchase"](spark, SF_DIR)
+    p = fmt(q)
+    checks = [
+        "top-k via TakeOrderedAndProject (per-partition heap, no global sort)"
+        if "TakeOrderedAndProject" in p
+        else "FAIL: top-k planned as a global Sort",
+        f"BroadcastHashJoin ×{p.count('BroadcastHashJoin')} (degree/pivot sides broadcast)"
+        if p.count("BroadcastHashJoin") >= 1
+        else "note: no broadcast joins at this sf (fine if sides grow past threshold)",
+        "map-side partial aggregation present" if "partial_" in p else "FAIL: no partial aggregation",
+    ]
+    sections.append(("Adamic–Adar link prediction (degree-guarded wedge join + top-k)", p, checks))
+
+    # 8. TF-IDF: the document-frequency relation is vocabulary-sized and must
+    # broadcast into the score join; both aggregations partial/combine
+    q = entry.queries()["tfidf_docs"](spark, SF_DIR)
+    p = fmt(q)
+    checks = [
+        "DF relation broadcasts into the score join (BroadcastHashJoin)"
+        if "BroadcastHashJoin" in p
+        else "FAIL: DF join shuffles the term relation",
+        "map-side partial aggregation present" if "partial_" in p else "FAIL: no partial aggregation",
+    ]
+    sections.append(("TF-IDF top-k keyword extraction", p, checks))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (generated by tools/audit_plans.py)\n")
         f.write("\nProperties asserted for 100 TB readiness; regenerate after planner-affecting changes.\n")
