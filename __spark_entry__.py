@@ -502,6 +502,28 @@ def q_link_predict_copurchase(spark, sf_dir):
     )
 
 
+def q_dynamic_triangles_copurchase(spark, sf_dir):
+    """Batch-dynamic triangle maintenance (triangles.py triangle_count_delta):
+    a deterministic ~10% slice of the copurchase edges arrives as an insert
+    batch; the engine counts the base graph once and computes the batch's
+    triangle delta by inclusion–exclusion (cost ∝ batch-adjacent wedges,
+    not the old graph). The DuckDB twin recounts BOTH graphs from scratch —
+    a MATCH proves the incremental identity T(old∪new) = T(old) + Δ."""
+    from elektra_spark.operators.triangles import triangle_count, triangle_count_delta
+
+    e = _copurchase_graph(spark, sf_dir)
+    is_new = (F.col("src") + F.col("dst")) % 10 == 0
+    new = e.filter(is_new)
+    old = e.filter(~is_new)
+    t_old = triangle_count(old).select(F.col("n_triangles").alias("n_triangles_old"))
+    delta = triangle_count_delta(old, new)
+    return t_old.crossJoin(delta).select(
+        "n_triangles_old",
+        "delta_triangles",
+        (F.col("n_triangles_old") + F.col("delta_triangles")).cast("long").alias("n_triangles_total"),
+    )
+
+
 def q_edge_support_copurchase(spark, sf_dir):
     """Per-edge triangle support (operators/truss.py edge_support) — the
     edge-level sibling of per-vertex triangle counts and the k-truss
@@ -1409,6 +1431,26 @@ _SUPPORT_ROUND = """,
   s{i} AS MATERIALIZED (SELECT src, dst, count(*) AS support FROM m{i} GROUP BY src, dst)"""
 
 
+def _dynamic_triangles_sql() -> str:
+    """Twin of q_dynamic_triangles_copurchase: from-scratch triangle counts
+    of the pre-insert graph and the full graph; the delta column is their
+    difference, pinning the engine's inclusion–exclusion delta."""
+    tri = (
+        "SELECT count(*) AS n FROM {t} e1 JOIN {t} e2 ON e1.dst = e2.src "
+        "JOIN {t} e3 ON e3.src = e1.src AND e3.dst = e2.dst"
+    )
+    return f"""
+  WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+  old AS MATERIALIZED (SELECT src, dst FROM e WHERE (src + dst) % 10 <> 0),
+  t_old AS ({tri.format(t="old")}),
+  t_all AS ({tri.format(t="e")})
+  SELECT t_old.n::BIGINT AS n_triangles_old,
+         (t_all.n - t_old.n)::BIGINT AS delta_triangles,
+         t_all.n::BIGINT AS n_triangles_total
+  FROM t_old, t_all
+  """
+
+
 def _edge_support_sql() -> str:
     """Twin of q_edge_support_copurchase: one triangle fan-out round over
     the full edge set, left-completed so triangle-free edges report 0."""
@@ -2008,6 +2050,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "clustering_coeff_copurchase": q_clustering_coeff_copurchase,
         "link_predict_copurchase": q_link_predict_copurchase,
         "edge_support_copurchase": q_edge_support_copurchase,
+        "dynamic_triangles_copurchase": q_dynamic_triangles_copurchase,
         "truss_copurchase": q_truss_copurchase,
         "assortativity_copurchase": q_assortativity_copurchase,
         "transcript_bipartite": q_transcript_bipartite,
@@ -2127,6 +2170,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "clustering_coeff_copurchase": _clustering_coeff_sql(),
         "link_predict_copurchase": _link_predict_sql(),
         "edge_support_copurchase": _edge_support_sql(),
+        "dynamic_triangles_copurchase": _dynamic_triangles_sql(),
         "truss_copurchase": _truss_sql(TRUSS_K, TRUSS_SQL_ROUNDS),
         "assortativity_copurchase": _assortativity_sql(),
         "transcript_bipartite": _transcript_bipartite_sql(),

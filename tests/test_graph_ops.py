@@ -480,3 +480,26 @@ def test_truss_oracle_unroll_depth_converges():
     assert prev > 0, "contract TRUSS_K peels the sf0.01 graph to empty — pick a smaller k"
     # depth must leave at least one unrolled round as the fixpoint no-op
     assert rounds < entry.TRUSS_SQL_ROUNDS
+
+
+@pytest.mark.parametrize(
+    "seed,frac",
+    [(71, 3), (73, 4), (79, 2)],
+    ids=["third", "quarter", "half"],
+)
+def test_triangle_count_delta_identity(spark, seed, frac):
+    """Incremental identity T(old ∪ new) = T(old) + Δ on random splits —
+    the engine's inclusion–exclusion delta vs from-scratch recounts."""
+    from elektra_spark.operators.triangles import triangle_count, triangle_count_delta
+
+    pairs = _random_graph(seed, 40, 220)
+    new_p = [e for e in pairs if (e[0] + e[1]) % frac == 0]
+    old_p = [e for e in pairs if (e[0] + e[1]) % frac != 0]
+    if not new_p or not old_p:
+        pytest.skip("degenerate split")
+    old = edges_from_pairs(spark, old_p)
+    new = edges_from_pairs(spark, new_p)
+    delta = triangle_count_delta(old, new).collect()[0]["delta_triangles"]
+    t_old = triangle_count(old).collect()[0]["n_triangles"]
+    assert t_old + delta == triangle_count_oracle(pairs)
+    assert t_old == triangle_count_oracle(old_p)
