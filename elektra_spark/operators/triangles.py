@@ -99,6 +99,12 @@ def triangle_count_delta(old_edges: DataFrame, new_edges: DataFrame) -> DataFram
     old graph size — the point of the incremental path at 100 TB); t2 uses
     wedges of new-edge pairs closed by an old edge; t3 is the triangle
     count of the batch alone. → single row (delta_triangles: long).
+
+    Batch *deletes* are the same identity by symmetry: for a deleted batch
+    D ⊆ G, ``T(G) = T(G∖D) + triangle_count_delta(G∖D, D)`` — the
+    maintained count after a delete is the old count minus this delta, at
+    the same batch-proportional cost (mirroring the reference's
+    ``BatchDeleteEdges``, dynamic_connectivity.h:169-377).
     """
     old = old_edges.select("src", "dst")
     new = new_edges.select("src", "dst")

@@ -503,3 +503,17 @@ def test_triangle_count_delta_identity(spark, seed, frac):
     t_old = triangle_count(old).collect()[0]["n_triangles"]
     assert t_old + delta == triangle_count_oracle(pairs)
     assert t_old == triangle_count_oracle(old_p)
+
+
+def test_triangle_count_delta_delete_symmetry(spark):
+    """Deletes reuse the insert identity: T(G) − Δ(G∖D, D) = T(G∖D)."""
+    from elektra_spark.operators.triangles import triangle_count, triangle_count_delta
+
+    pairs = _random_graph(83, 35, 200)
+    deleted = [e for e in pairs if (e[0] * 7 + e[1]) % 5 == 0]
+    remaining = [e for e in pairs if (e[0] * 7 + e[1]) % 5 != 0]
+    g_rem = edges_from_pairs(spark, remaining)
+    g_del = edges_from_pairs(spark, deleted)
+    t_full = triangle_count(edges_from_pairs(spark, pairs)).collect()[0]["n_triangles"]
+    delta = triangle_count_delta(g_rem, g_del).collect()[0]["delta_triangles"]
+    assert t_full - delta == triangle_count_oracle(remaining)
