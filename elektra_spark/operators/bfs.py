@@ -155,15 +155,12 @@ def weighted_distance(
             )
             nxt = checkpoint(nxt, step)
             # fixpoint probe: rounds past the fixpoint are no-ops, so early
-            # exit preserves the ≤ max_hops-edge-paths contract exactly
-            changed = (
-                nxt.join(dist, "vid", "left_anti").limit(1).count()
-                + nxt.withColumnRenamed("dist", "nd")
-                .join(dist, "vid")
-                .filter(F.col("nd") != F.col("dist"))
-                .limit(1)
-                .count()
-            )
+            # exit preserves the ≤ max_hops-edge-paths contract exactly.
+            # Monotonicity (vertex set only grows, per-vid min only drops)
+            # makes one two-column anti-join equivalent to "new vid OR
+            # improved dist" — a changed row's (vid, dist) pair is absent
+            # from the previous table either way
+            changed = nxt.join(dist, ["vid", "dist"], "left_anti").limit(1).count()
             if on_superstep is not None:
                 on_superstep(step, changed, time.time() - t0)
             dist = nxt

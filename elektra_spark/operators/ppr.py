@@ -66,6 +66,14 @@ def personalized_pagerank(
         n_seeds = seed_ids.count()
         if n_seeds == 0:
             raise ValueError("personalized_pagerank needs a non-empty seed set")
+        # every seed must exist in the universe, or its 1/|S| teleport share
+        # silently vanishes and mass conservation breaks
+        n_missing = seed_ids.join(universe, "vid", "left_anti").count()
+        if n_missing:
+            raise ValueError(
+                f"{n_missing} seed vid(s) absent from the vertex universe — "
+                "their teleport mass would be lost silently"
+            )
         # static base: the seed-restart vector over the full vertex universe
         base = checkpoint(
             universe.join(F.broadcast(seed_ids.withColumn("is_seed", F.lit(True))), "vid", "left")
@@ -78,6 +86,9 @@ def personalized_pagerank(
         dangling = checkpoint(
             base.select("vid").join(deg.select(F.col("src").alias("vid")), "vid", "left_anti"), -1
         )
+        # structural guard, as in the pagerank df kernel: skip the blocking
+        # per-superstep scalar when no vertex dangles
+        has_dangling = dangling.count() > 0
         r = checkpoint(base.select("vid", F.col("s").alias("rank")), 0)
         for step in range(1, n_iter + 1):
             t0 = time.time()
@@ -87,7 +98,9 @@ def personalized_pagerank(
                 .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
             )
             dm = (
-                r.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0] or 0.0
+                (r.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0] or 0.0)
+                if has_dangling
+                else 0.0
             )
             r = base.join(contrib, "vid", "left").select(
                 "vid",
@@ -163,6 +176,7 @@ def weighted_pagerank(
         dangling = checkpoint(
             universe.join(wout.select(F.col("src").alias("vid")), "vid", "left_anti"), -1
         )
+        has_dangling = dangling.count() > 0
         r = checkpoint(universe.withColumn("rank", F.lit(1.0 / n)), 0)
         for step in range(1, n_iter + 1):
             t0 = time.time()
@@ -171,7 +185,11 @@ def weighted_pagerank(
                 .groupBy(F.col("dst").alias("vid"))
                 .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
             )
-            dm = r.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0] or 0.0
+            dm = (
+                (r.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0] or 0.0)
+                if has_dangling
+                else 0.0
+            )
             r = universe.join(contrib, "vid", "left").select(
                 "vid",
                 (

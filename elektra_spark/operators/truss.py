@@ -103,8 +103,9 @@ def k_truss(
             if on_superstep is not None:
                 on_superstep(step, n_edges - n_next, time.time() - t0)
             converged = n_next == n_edges
+            # nxt is already parquet-committed; the projection has lineage
+            # depth 1 — a second checkpoint would double per-round I/O
             e = nxt.select("src", "dst")
-            e = checkpoint(e, step)
             n_edges = n_next
             if converged or n_edges == 0:
                 return nxt

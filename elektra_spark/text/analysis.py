@@ -140,10 +140,12 @@ def tfidf_top_terms(
     )
     terms = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
     tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
-    n_docs = df.select(F.countDistinct(id_col).alias("n")).collect()[0]["n"]
+    # one-row corpus size joined in lazily (no collect at build time — the
+    # only eager builder in this module would make plan-only callers scan)
+    nd = df.select(F.countDistinct(id_col).cast("double").alias("nd"))
     dfreq = tf.groupBy("term").agg(F.countDistinct("doc_id").cast("long").alias("df"))
-    idf = F.log((F.lit(1.0) + F.lit(float(n_docs))) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
-    scored = tf.join(F.broadcast(dfreq), "term").select(
+    idf = F.log((F.lit(1.0) + F.col("nd")) / (F.lit(1.0) + F.col("df"))) + F.lit(1.0)
+    scored = tf.join(F.broadcast(dfreq), "term").crossJoin(F.broadcast(nd)).select(
         "doc_id", "term", "tf", F.round(F.col("tf") * idf, 6).alias("score")
     )
     from pyspark.sql import Window

@@ -437,3 +437,17 @@ def test_weighted_pagerank_uniform_weight_equals_unweighted(spark):
     assert set(a) == set(b)
     for v in a:
         assert abs(a[v] - b[v]) < 1e-12
+
+
+def test_personalized_pagerank_rejects_unknown_seed(spark):
+    """A seed outside the vertex universe would silently lose its 1/|S|
+    teleport share — the operator must refuse instead."""
+    import pytest as _pytest
+
+    from elektra_spark.ingest.graph_io import edges_from_pairs
+    from elektra_spark.operators.ppr import personalized_pagerank
+
+    edges = edges_from_pairs(spark, [(0, 1), (1, 2)])
+    sdf = spark.createDataFrame([(0,), (999,)], "vid long")
+    with _pytest.raises(ValueError, match="absent from the vertex universe"):
+        personalized_pagerank(edges, sdf, n_iter=2)
