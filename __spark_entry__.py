@@ -31,6 +31,7 @@ BFS_MAX_HOPS = 12  # bounded k-hop contract — the DuckDB twin caps identically
 HITS_ITERS = 8
 KCORE_K = 80  # non-trivial peel on the sf0.01 copurchase graph (6 rounds, 1857-vertex core)
 KCORE_SQL_ROUNDS = 10  # unrolled oracle rounds; ≥ the instance's peel depth (rounds past the fixpoint are no-ops)
+CORENESS_SQL_ROUNDS = 24  # unrolled h-index rounds; sf0.01 copurchase converges in 19 (extras are no-ops at the fixpoint)
 PPR_ITERS = 10
 LINKPRED_MAX_PIVOT_DEG = 160  # contract hub guard (sf0.01 copurchase degrees run 42–206)
 LINKPRED_TOP_K = 100
@@ -668,6 +669,18 @@ def q_kcore_copurchase(spark, sf_dir):
     from elektra_spark.operators.kcore import k_core
 
     return k_core(_copurchase_graph(spark, sf_dir), k=KCORE_K)
+
+
+def q_coreness_copurchase(spark, sf_dir):
+    """Full coreness decomposition (operators/coreness.py) on the copurchase
+    projection: iterated neighborhood h-index (Lü et al. 2016) to the exact
+    fixpoint = per-vertex core number. The sf0.01 instance converges in 19
+    synchronous rounds (core numbers run 42–82); the DuckDB twin unrolls
+    CORENESS_SQL_ROUNDS ≥ that depth — the fixpoint is stable, so extra
+    rounds are no-ops and any sufficient unroll is exact."""
+    from elektra_spark.operators.coreness import coreness
+
+    return coreness(_copurchase_graph(spark, sf_dir))
 
 
 def q_transcript_forest(spark, sf_dir):
@@ -1679,6 +1692,32 @@ def _kcore_sql(k: int, rounds: int) -> str:
     return "".join(parts)
 
 
+def _coreness_sql(rounds: int) -> str:
+    """Unrolled iterated-h-index twin of operators/coreness.py: c0 = degree,
+    round i scores every vertex with the h-index of its neighbors' round-
+    (i-1) scores, computed on the tie-compressed (vid, score) histogram with
+    a descending cumulative count — identical arithmetic to the engine's
+    window plan. ``rounds`` must be ≥ the instance's convergence depth
+    (asserted at contract scale in tests); the fixpoint is stable, so any
+    slack rounds leave the relation unchanged."""
+    parts = [
+        f"""WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+  b AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+  c0 AS MATERIALIZED (SELECT src AS vid, count(*)::BIGINT AS c FROM b GROUP BY src)"""
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f""",
+  g{i} AS MATERIALIZED (SELECT b.src AS vid, p.c AS cn, count(*) AS k
+        FROM b JOIN c{i - 1} p ON b.dst = p.vid GROUP BY b.src, p.c),
+  c{i} AS MATERIALIZED (SELECT vid, max(least(cn, cum))::BIGINT AS c FROM (
+        SELECT vid, cn, sum(k) OVER (PARTITION BY vid ORDER BY cn DESC) AS cum FROM g{i})
+        GROUP BY vid)"""
+        )
+    parts.append(f"\n  SELECT vid, c AS coreness FROM c{rounds}")
+    return "".join(parts)
+
+
 def _transcript_roundtrip_sql() -> str:
     fx = _transcript_fixture(50)
     return f"SELECT conv_id, turn_idx, TRUE AS text_equal FROM read_parquet('{fx}')"
@@ -2042,6 +2081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_per_vertex_copurchase": q_triangles_per_vertex_copurchase,
         "degree_histogram_parts": q_degree_histogram_parts,
         "kcore_copurchase": q_kcore_copurchase,
+        "coreness_copurchase": q_coreness_copurchase,
         "transcript_bfs": q_transcript_bfs,
         "transcript_hits": q_transcript_hits,
         "transcript_ppr": q_transcript_ppr,
@@ -2176,6 +2216,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_bipartite": _transcript_bipartite_sql(),
         "tfidf_docs": _tfidf_sql(),
         "kcore_copurchase": _kcore_sql(KCORE_K, KCORE_SQL_ROUNDS),
+        "coreness_copurchase": _coreness_sql(CORENESS_SQL_ROUNDS),
         "transcript_levels": _transcript_levels_sql(),
         "transcript_levels2": _transcript_levels2_sql(),
         "dynamic_orders": _dynamic_orders_sql(),

@@ -517,3 +517,78 @@ def test_triangle_count_delta_delete_symmetry(spark):
     t_full = triangle_count(edges_from_pairs(spark, pairs)).collect()[0]["n_triangles"]
     delta = triangle_count_delta(g_rem, g_del).collect()[0]["delta_triangles"]
     assert t_full - delta == triangle_count_oracle(remaining)
+
+
+# ------------------------------------------------------------------ coreness
+def _coreness_oracle(pairs):
+    """Batagelj–Zaveršnik min-degree peel: core(v) = the running peel level
+    when v is removed — the textbook sequential coreness, independent of the
+    engine's h-index iteration."""
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    deg = {v: len(ns) for v, ns in nbr.items()}
+    core, level = {}, 0
+    while deg:
+        v = min(deg, key=lambda x: (deg[x], x))
+        level = max(level, deg[v])
+        core[v] = level
+        for u in nbr[v]:
+            if u in deg and u != v:
+                deg[u] -= 1
+                nbr[u].discard(v)
+        del deg[v]
+    return core
+
+
+@pytest.mark.parametrize(
+    "pairs",
+    [HOUSE, CLIQUE5_PLUS_PATH, _random_graph(29, 70, 180), _random_graph(31, 50, 60)],
+    ids=["house", "clique5path", "dense", "sparse"],
+)
+def test_coreness_matches_peel_oracle(spark, pairs):
+    from elektra_spark.operators.coreness import coreness
+
+    edges = edges_from_pairs(spark, pairs)
+    got = {r["vid"]: r["coreness"] for r in coreness(edges).collect()}
+    assert got == _coreness_oracle(pairs)
+
+
+def test_coreness_oracle_unroll_depth_converges():
+    """The contract twin unrolls CORENESS_SQL_ROUNDS h-index rounds; assert
+    the sf0.01 instance reaches its fixpoint within that budget (the fixpoint
+    is stable, so any depth ≥ the instance's is exact)."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("ELEKTRA_SF_DIR", "/root/testdata/sf0.01")
+    li = f"{sf_dir}/lineitem.parquet"
+    if not os.path.exists(li):
+        pytest.skip(f"no contract-scale data at {sf_dir}")
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{li}')")
+    con.execute(f"CREATE TABLE e AS {entry._COPURCHASE_SQL}")
+    con.execute("CREATE TABLE b AS SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e")
+    con.execute("CREATE TABLE c AS SELECT src AS vid, count(*)::BIGINT AS c FROM b GROUP BY src")
+    depth = None
+    for i in range(1, entry.CORENESS_SQL_ROUNDS + 1):
+        con.execute(
+            """CREATE OR REPLACE TABLE n AS
+               WITH g AS (SELECT b.src AS vid, p.c AS cn, count(*) AS k
+                          FROM b JOIN c p ON b.dst = p.vid GROUP BY b.src, p.c)
+               SELECT vid, max(least(cn, cum))::BIGINT AS c FROM (
+                 SELECT vid, cn, sum(k) OVER (PARTITION BY vid ORDER BY cn DESC) AS cum FROM g)
+               GROUP BY vid"""
+        )
+        changed = con.sql("SELECT count(*) FROM n JOIN c USING (vid) WHERE n.c <> c.c").fetchone()[0]
+        con.execute("CREATE OR REPLACE TABLE c AS SELECT * FROM n")
+        if changed == 0:
+            depth = i
+            break
+    assert depth is not None, (
+        f"coreness oracle unroll depth {entry.CORENESS_SQL_ROUNDS} below the instance's convergence depth at {sf_dir}"
+    )
