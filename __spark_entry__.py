@@ -619,12 +619,13 @@ def q_transcript_ppr(spark, sf_dir):
 
 
 def q_transcript_bipartite(spark, sf_dir):
-    """Per-component bipartiteness (operators/bipartite.py): parity closure
-    from each component's min-vid representative; a component is bipartite
-    iff no vertex is reachable at both parities. Tool hubs closing odd
-    turn-chain cycles make the transcript graph a genuine mix of verdicts.
-    The DuckDB twin runs the same (vid, parity) recursive closure beside
-    the pruned CC CTE."""
+    """Per-component bipartiteness (operators/bipartite.py): a component is
+    bipartite iff its double cover (vid × parity) splits in two — one run of
+    the O(log n) pointer-jumping CC over the 2×-sized cover graph instead of
+    a diameter-bounded parity BFS. Tool hubs closing odd turn-chain cycles
+    make the transcript graph a genuine mix of verdicts. The DuckDB twin
+    runs the equivalent (vid, parity) recursive closure beside the pruned
+    CC CTE."""
     from elektra_spark.operators.bipartite import bipartite_components
 
     g = _transcript_graph(spark)
@@ -657,6 +658,23 @@ def q_transcript_sssp(spark, sf_dir):
     g = _transcript_graph(spark)
     seeds = g.vertices.filter(F.col("kind") == "tool").select("vid")
     return weighted_distance(g.edges, seeds, vertices=g.vertices, max_hops=SSSP_MAX_HOPS)
+
+
+def q_transcript_scc(spark, sf_dir):
+    """Strongly connected components (operators/scc.py) over the *directed*
+    transcript flow graph (ingest/edges.py derive_digraph): reply v→v+1,
+    tool-call turn→hub, tool-response hub→next turn. Response edges close
+    genuine directed cycles (two calls to one tool make the intervening
+    turns + hub mutually reachable), so the decomposition is a real mix of
+    multi-vertex cores and singleton chain vertices. FW–BW coloring, both
+    passes via the witness-doubling min-reach primitive; the DuckDB twin
+    computes textbook mutual reachability from the transitive closure on
+    the same n=50 fixture digraph."""
+    from elektra_spark.ingest.edges import derive_digraph
+    from elektra_spark.operators.scc import strongly_connected_components
+
+    g = derive_digraph(_transcripts(spark, 50))
+    return strongly_connected_components(g.edges, vertices=g.vertices)
 
 
 def q_kcore_copurchase(spark, sf_dir):
@@ -1518,6 +1536,48 @@ def _assortativity_sql() -> str:
   """
 
 
+def _transcript_scc_sql() -> str:
+    """Twin of q_transcript_scc: derive the directed flow graph from the
+    n=50 fixture (reply v→v+1, call turn→hub, response hub→v+1 — mirroring
+    ingest/edges.py derive_digraph), take the full transitive closure, and
+    assign scc = min over mutually reachable vertices. The closure is
+    unpruned (mutual reachability needs arbitrary pairs, not just minima),
+    which is why this query pins the small fixture."""
+    fx = _transcript_fixture(50)
+    return f"""
+WITH RECURSIVE
+  t AS MATERIALIZED (SELECT conv_id, turn_idx, tool FROM read_parquet('{fx}')),
+  cl AS (SELECT conv_id, max(turn_idx) + 1 AS conv_len FROM t GROUP BY conv_id),
+  off AS (SELECT conv_id, conv_len,
+                 coalesce(sum(conv_len) OVER (ORDER BY conv_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS vid_offset
+          FROM cl),
+  turns AS (SELECT t.conv_id, t.turn_idx, t.tool,
+                   (off.vid_offset + t.turn_idx)::BIGINT AS vid, off.conv_len
+            FROM t JOIN off USING (conv_id)),
+  nt AS (SELECT sum(conv_len) AS n_turns FROM cl),
+  tool_v AS (SELECT ((SELECT n_turns FROM nt) + row_number() OVER (ORDER BY tool) - 1)::BIGINT AS vid, tool
+             FROM (SELECT DISTINCT tool FROM t WHERE tool IS NOT NULL)),
+  de0 AS (SELECT vid AS src, vid + 1 AS dst FROM turns WHERE turn_idx < conv_len - 1
+          UNION ALL
+          SELECT turns.vid AS src, tool_v.vid AS dst FROM turns JOIN tool_v USING (tool)
+          UNION ALL
+          SELECT tool_v.vid AS src, turns.vid + 1 AS dst FROM turns JOIN tool_v USING (tool)
+          WHERE turns.turn_idx < turns.conv_len - 1),
+  de AS MATERIALIZED (SELECT DISTINCT src, dst FROM de0 WHERE src <> dst),
+  verts AS MATERIALIZED (SELECT vid FROM turns UNION ALL SELECT vid FROM tool_v),
+  reach(src, dst) AS (
+    SELECT src, dst FROM de
+    UNION
+    SELECT r.src, de.dst FROM reach r JOIN de ON de.src = r.dst
+  ),
+  mutual AS (SELECT r1.src AS vid, r1.dst AS p
+             FROM reach r1 JOIN reach r2 ON r2.src = r1.dst AND r2.dst = r1.src)
+  SELECT v.vid, least(v.vid, coalesce(min(m.p), v.vid))::BIGINT AS scc
+  FROM verts v LEFT JOIN mutual m ON m.vid = v.vid
+  GROUP BY v.vid"""
+
+
 def _transcript_bipartite_sql() -> str:
     """Twin of q_transcript_bipartite: the pruned min-vid CC closure gives
     components; a second recursive closure propagates (vid, parity) from
@@ -2094,6 +2154,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "truss_copurchase": q_truss_copurchase,
         "assortativity_copurchase": q_assortativity_copurchase,
         "transcript_bipartite": q_transcript_bipartite,
+        "transcript_scc": q_transcript_scc,
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
         "dynamic_orders": q_dynamic_orders,
         "streaming_dynamic_orders": q_streaming_dynamic_orders,
@@ -2214,6 +2275,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "truss_copurchase": _truss_sql(TRUSS_K, TRUSS_SQL_ROUNDS),
         "assortativity_copurchase": _assortativity_sql(),
         "transcript_bipartite": _transcript_bipartite_sql(),
+        "transcript_scc": _transcript_scc_sql(),
         "tfidf_docs": _tfidf_sql(),
         "kcore_copurchase": _kcore_sql(KCORE_K, KCORE_SQL_ROUNDS),
         "coreness_copurchase": _coreness_sql(CORENESS_SQL_ROUNDS),

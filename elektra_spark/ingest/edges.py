@@ -141,6 +141,73 @@ def derive_graph(transcripts: DataFrame, include_tool_edges: bool = True) -> Lin
     return LinkGraph(vertices=vertices, edges=edges, n_turn_vertices=n_turns)
 
 
+def derive_digraph(transcripts: DataFrame) -> LinkGraph:
+    """Directed link graph from a transcripts table — the flow graph the
+    undirected :func:`derive_graph` canonicalizes away.
+
+    Same vid scheme (dense turn vids under stable conv_id order, tool-actor
+    hubs appended after the turn range), but edges keep their direction:
+
+    - **reply** ``v → v+1`` — conversation flow (acyclic on its own, since
+      turn vids increase along a conversation),
+    - **tool call** ``turn → tool_vid`` — a tool-calling turn invokes the hub,
+    - **tool response** ``tool_vid → v+1`` — the hub feeds the *next* turn of
+      the calling conversation (when one exists).
+
+    The response edges are what create genuine directed cycles: if turns
+    ``u < v`` both call tool ``T`` in one conversation, then
+    ``u+1 → … → v → T → u+1`` is a cycle, and tools shared across
+    conversations chain these cores together — the strongly-connected
+    structure :mod:`elektra_spark.operators.scc` decomposes.
+
+    ``edges`` are distinct and self-loop-free but NOT canonicalized to
+    ``src < dst`` (direction is the payload).
+    """
+    conv_len = transcripts.groupBy("conv_id").agg((F.max("turn_idx") + 1).alias("conv_len"))
+    offsets, n_turns = _conv_offsets(conv_len)
+    turns = transcripts.join(offsets, "conv_id")
+    turn_vertices = turns.select(
+        (F.col("vid_offset") + F.col("turn_idx")).cast("long").alias("vid"),
+        F.lit("turn").alias("kind"),
+        "conv_id",
+        "turn_idx",
+        "tool",
+        "conv_len",
+    )
+    reply = turn_vertices.filter(F.col("turn_idx") < F.col("conv_len") - 1).select(
+        F.col("vid").alias("src"), (F.col("vid") + 1).alias("dst")
+    )
+    tools = (
+        transcripts.filter(F.col("tool").isNotNull())
+        .select("tool")
+        .distinct()
+        .withColumn("tool_rank", F.row_number().over(Window.orderBy("tool")) - 1)
+    )
+    tool_vertices = tools.select(
+        (F.lit(n_turns) + F.col("tool_rank")).cast("long").alias("vid"),
+        F.lit("tool").alias("kind"),
+        F.lit(None).cast("string").alias("conv_id"),
+        F.lit(None).cast("int").alias("turn_idx"),
+        F.col("tool"),
+        F.lit(None).cast("int").alias("conv_len"),
+    )
+    callers = turn_vertices.filter(F.col("tool").isNotNull()).join(
+        F.broadcast(tool_vertices.select(F.col("vid").alias("tool_vid"), "tool")), "tool"
+    )
+    call = callers.select(F.col("vid").alias("src"), F.col("tool_vid").alias("dst"))
+    response = callers.filter(F.col("turn_idx") < F.col("conv_len") - 1).select(
+        F.col("tool_vid").alias("src"), (F.col("vid") + 1).alias("dst")
+    )
+    edges = (
+        reply.unionByName(call)
+        .unionByName(response)
+        .filter(F.col("src") != F.col("dst"))
+        .dropDuplicates(["src", "dst"])
+    )
+    vertices = turn_vertices.drop("conv_len").unionByName(tool_vertices.drop("conv_len"))
+    return LinkGraph(vertices=vertices, edges=edges, n_turn_vertices=n_turns)
+
+
 def reconstruct_transcript_text(vertices: DataFrame, transcripts: DataFrame) -> DataFrame:
     """Join the vertex map back to the source table (per-turn text-equality
     invariant from BASELINE.json input_hint): returns

@@ -592,3 +592,68 @@ def test_coreness_oracle_unroll_depth_converges():
     assert depth is not None, (
         f"coreness oracle unroll depth {entry.CORENESS_SQL_ROUNDS} below the instance's convergence depth at {sf_dir}"
     )
+
+
+# --------------------------------------------------- strongly connected components
+def _scc_oracle(dedges, verts):
+    """Mutual-reachability brute force: scc(u) = min mutually reachable vid."""
+    reach = {u: {u} for u in verts}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in dedges:
+            new = reach[b] - reach[a]
+            if new:
+                reach[a] |= new
+                changed = True
+    return {u: min(v for v in verts if v in reach[u] and u in reach[v]) for u in verts}
+
+
+def _random_digraph(seed, n, m):
+    rng = random.Random(seed)
+    return list({(a, b) for a, b in ((rng.randrange(n), rng.randrange(n)) for _ in range(m)) if a != b})
+
+
+@pytest.mark.parametrize(
+    "dedges",
+    [
+        [(0, 1), (1, 2), (2, 0), (2, 3), (3, 4)],                       # cycle + tail
+        [(1, 2), (2, 3), (3, 1), (3, 4), (4, 5), (5, 3), (6, 1), (7, 6), (0, 7)],  # shared-path cycles
+        [(5, 6), (6, 7), (7, 5), (5, 0), (0, 1), (1, 0), (2, 5)],       # cycle reaching a smaller-vid SCC
+        [(0, 1), (1, 2), (0, 2), (3, 2)],                               # pure DAG → all singletons
+        _random_digraph(11, 30, 70),
+        _random_digraph(29, 50, 90),
+    ],
+    ids=["cycle-tail", "shared-cycles", "nested-min", "dag", "random30", "random50"],
+)
+def test_scc_matches_mutual_reachability_oracle(spark, dedges):
+    from elektra_spark.operators.scc import strongly_connected_components
+
+    verts = sorted({v for e in dedges for v in e})
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    edf = spark.createDataFrame(dedges, "src long, dst long")
+    got = {r["vid"]: r["scc"] for r in strongly_connected_components(edf, vertices=vdf).collect()}
+    assert got == _scc_oracle(dedges, verts)
+
+
+def test_min_forward_reach_small_blocks(spark):
+    """Force multi-block bucketing so the cross-block global pull is exercised
+    (fixture-scale graphs otherwise fit one block and converge locally)."""
+    from elektra_spark.operators.scc import min_forward_reach
+
+    dedges = _random_digraph(7, 40, 80)
+    verts = sorted({v for e in dedges for v in e})
+    reach = {u: {u} for u in verts}
+    changed = True
+    while changed:
+        changed = False
+        for a, b in dedges:
+            new = reach[b] - reach[a]
+            if new:
+                reach[a] |= new
+                changed = True
+    exp = {u: min(reach[u]) for u in verts}
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    edf = spark.createDataFrame(dedges, "src long, dst long")
+    got = {r["vid"]: r["label"] for r in min_forward_reach(edf, vdf, block=8).collect()}
+    assert got == exp
