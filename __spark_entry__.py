@@ -809,6 +809,57 @@ def q_dedup_prefix_docs(spark, sf_dir):
     return exact_duplicates(docs, key=F.substring("text", 1, 24))
 
 
+def q_streaming_dedup_docs(spark, sf_dir):
+    """Streaming exact dedup (elektra_spark/streaming/dedup.py): the SAME
+    24-char-prefix key as dedup_prefix_docs, but the corpus arrives as three
+    parquet drops consumed one-per-micro-batch; each batch's per-key minima
+    MERGE into the winner state table with rep = least(existing, incoming).
+    min is commutative/associative/idempotent, so the final assignment is
+    delivery-order independent and replay-safe — it hashes against the same
+    batch window-min oracle as dedup_prefix_docs (that independence IS the
+    contract under test, mirroring streaming_dynamic_orders)."""
+    import shutil
+    import tempfile
+    import time as _time
+
+    from elektra_spark.streaming.dedup import apply_document_stream, dedup_assignments
+    from elektra_spark.tables import SnapshotCatalog
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"elektra_stream_dedup_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    drop_dir = os.path.join(base, "docs")
+    os.makedirs(drop_dir)
+    # three deterministic drops; staggered mtimes pin the file-source order
+    # (the result is order-independent — the staggering just makes the
+    # micro-batch sequence reproducible for the metrics tables)
+    now = _time.time()
+    for i in range(3):
+        part = docs.filter(F.col("doc_id") % 3 == i).coalesce(1)
+        stage = os.path.join(base, f"_stage{i}")
+        part.write.mode("overwrite").parquet(stage)
+        import glob as _glob
+
+        [pf] = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        dest = os.path.join(drop_dir, f"d{i}.parquet")
+        shutil.move(pf, dest)
+        shutil.rmtree(stage)
+        os.utime(dest, (now - 300 + i * 60, now - 300 + i * 60))
+
+    catalog = SnapshotCatalog(spark, os.path.join(base, "wh"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    key = F.substring("text", 1, 24)
+    apply_document_stream(
+        stream, catalog, os.path.join(base, "ckpt"), key=key
+    ).awaitTermination()
+    return dedup_assignments(docs, catalog, key=key)
+
+
 def q_minhash_docs(spark, sf_dir):
     from elektra_spark.dedup.minhash import minhash_signature
 
@@ -2170,6 +2221,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_text_roundtrip": q_transcript_text_roundtrip,
         # training-data pipeline
         "dedup_prefix_docs": q_dedup_prefix_docs,
+        "streaming_dedup_docs": q_streaming_dedup_docs,
         "minhash_docs": q_minhash_docs,
         "minhash_candidates_docs": q_minhash_candidates_docs,
         "simhash_docs": q_simhash_docs,
@@ -2251,6 +2303,9 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
   SELECT degree, count(*) AS n_vertices FROM d GROUP BY degree
   """,
         "dedup_prefix_docs": """
+  SELECT doc_id, min(doc_id) OVER (PARTITION BY substr(text, 1, 24)) AS rep FROM documents
+  """,
+        "streaming_dedup_docs": """
   SELECT doc_id, min(doc_id) OVER (PARTITION BY substr(text, 1, 24)) AS rep FROM documents
   """,
         "minhash_docs": _minhash_sql(4),

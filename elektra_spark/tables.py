@@ -176,3 +176,24 @@ class SnapshotCatalog:
         current = self.read(name)
         kept = current.join(batch.select(keys).dropDuplicates(keys), keys, "left_anti")
         return self._commit(name, kept.unionByName(batch.select(current.columns)), "upsert")
+
+    def merge_min(self, name: str, batch: DataFrame, keys: list[str]) -> SnapshotInfo:
+        """MERGE: WHEN MATCHED THEN UPDATE SET v = least(t.v, s.v) / NOT
+        MATCHED THEN INSERT — for every non-key column.
+
+        The combining MERGE a running min-winner state table needs (e.g.
+        streaming dedup's min-doc-id representative). ``min`` is commutative,
+        associative and idempotent, so commits are delivery-order independent
+        and replay-safe. Computed as union + grouped min — the same logical
+        plan Iceberg's copy-on-write MERGE with a ``least()`` update produces;
+        at scale the grouped min is map-side combinable and the only shuffle
+        keys on ``keys``.
+        """
+        current = self.read(name)
+        vals = [c for c in current.columns if c not in keys]
+        merged = (
+            current.unionByName(batch.select(current.columns))
+            .groupBy(keys)
+            .agg(*[F.min(c).alias(c) for c in vals])
+        )
+        return self._commit(name, merged.select(current.columns), "merge_min")

@@ -186,3 +186,59 @@ def test_streaming_sessions_match_batch(spark, tmp_path):
     key = lambda r: (r["user_id"], r["session_start"])  # noqa: E731
     assert sorted(map(tuple, streamed)) == sorted(map(tuple, batch))
     assert len(streamed) == 12
+
+
+def test_streaming_dedup_order_independent_and_replay_safe(spark, tmp_path):
+    """The winner state table must equal the batch grouped min under any
+    micro-batch split, and re-MERGEing a batch (at-least-once foreachBatch
+    delivery) must not change it (min is idempotent)."""
+    from pyspark.sql import functions as F
+
+    from elektra_spark.streaming.dedup import apply_document_stream, dedup_assignments
+    from elektra_spark.tables import SnapshotCatalog
+
+    rows = [(i, f"text-{i % 7}") for i in range(40)]  # 7 dup groups
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    expect = {
+        r["doc_id"]: r["rep"]
+        for r in docs.withColumn("rep", F.min("doc_id").over(__import__("pyspark").sql.Window.partitionBy("text")))
+        .select("doc_id", "rep")
+        .collect()
+    }
+
+    for split, tag in [(3, "a"), (5, "b")]:  # two different batch splits
+        drop = tmp_path / f"drops_{tag}"
+        drop.mkdir()
+        for i in range(split):
+            docs.filter(F.col("doc_id") % split == i).coalesce(1).write.mode("overwrite").parquet(
+                str(tmp_path / f"stage_{tag}{i}")
+            )
+            import glob
+            import shutil
+
+            [pf] = glob.glob(str(tmp_path / f"stage_{tag}{i}" / "part-*.parquet"))
+            dest = str(drop / f"d{i}.parquet")
+            shutil.move(pf, dest)
+            t = time.time() - 600 + i * 60
+            os.utime(dest, (t, t))
+        catalog = SnapshotCatalog(spark, str(tmp_path / f"wh_{tag}"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(drop))
+        )
+        apply_document_stream(
+            stream, catalog, str(tmp_path / f"ckpt_{tag}"), key=F.col("text")
+        ).awaitTermination()
+        got = {r["doc_id"]: r["rep"] for r in dedup_assignments(docs, catalog, key=F.col("text")).collect()}
+        assert got == expect, f"split {split}"
+        # replay one batch: state must be unchanged (idempotent MERGE)
+        v0 = catalog.current_version("dedup_state")
+        replay = docs.filter(F.col("doc_id") % split == 0).groupBy(F.col("text").alias("k")).agg(
+            F.min("doc_id").alias("rep")
+        )
+        catalog.merge_min("dedup_state", replay, keys=["k"])
+        assert catalog.current_version("dedup_state") == v0 + 1
+        after = {r["k"]: r["rep"] for r in catalog.read("dedup_state").collect()}
+        before = {r["k"]: r["rep"] for r in catalog.read("dedup_state", version=v0).collect()}
+        assert after == before
