@@ -39,6 +39,7 @@ SSSP_MAX_HOPS = 12  # bounded Bellman–Ford contract — the DuckDB twin caps i
 TFIDF_K = 3
 TRUSS_K = 12  # non-trivial peel on the sf0.01 copurchase graph (5 rounds, 1127-edge truss; supports run 1–32)
 TRUSS_SQL_ROUNDS = 8  # unrolled oracle rounds; ≥ the instance's peel depth + 1 (no-ops past the fixpoint)
+TRI_SAMPLE_PERMILLE = 200  # DOULION edge-sampling rate p = 0.2 (deterministic hash coin, shared with the twin)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -555,6 +556,51 @@ def q_assortativity_copurchase(spark, sf_dir):
     return degree_assortativity(_copurchase_graph(spark, sf_dir))
 
 
+def q_jaccard_copurchase(spark, sf_dir):
+    """Jaccard neighbor-overlap link prediction (linkpred.py
+    jaccard_similarity): top-100 non-adjacent pairs by |Γa∩Γb|/|Γa∪Γb|,
+    numerator pivots guarded to ≤ LINKPRED_MAX_PIVOT_DEG (same spam-hub
+    contract as Adamic–Adar), denominator over full degrees. One IEEE
+    division of exact integers → bit-identical across engines before the
+    1e-6 ordering round; the DuckDB twin applies the identical guard and
+    (score DESC, a, b) cut."""
+    from elektra_spark.operators.linkpred import jaccard_similarity
+
+    return jaccard_similarity(
+        _copurchase_graph(spark, sf_dir),
+        max_pivot_degree=LINKPRED_MAX_PIVOT_DEG,
+        top_k=LINKPRED_TOP_K,
+    )
+
+
+def q_triangles_sampled_copurchase(spark, sf_dir):
+    """DOULION sparsified triangle estimate (triangles.py
+    triangle_count_sampled, Tsourakakis KDD'09): count on a
+    deterministically hash-sampled p=0.2 edge subset, scale by 1/p³ — the
+    bounded-cost estimator for 10^12-edge tables where the exact O(m^1.5)
+    wedge volume isn't worth the shuffle. The coin is a vid-derived mod
+    expression the DuckDB twin recomputes verbatim, so the sampled
+    subgraph — and therefore the count — is identical by construction."""
+    from elektra_spark.operators.triangles import triangle_count_sampled
+
+    return triangle_count_sampled(_copurchase_graph(spark, sf_dir), p_permille=TRI_SAMPLE_PERMILLE)
+
+
+def q_modularity_lpa_customer_orders(spark, sf_dir):
+    """Newman modularity (lpa.py modularity) of the LPA_ROUNDS-round label
+    propagation partition over the customer↔orders graph — the quality
+    score that tells a user whether the community assignment means
+    anything. Both Σ terms are exact integer aggregates combined in one
+    fixed two-division expression, so engine and oracle agree bit-for-bit
+    before the 1e-6 round; the DuckDB twin re-derives the identical
+    partition from the shared unrolled LPA chain (_lpa_chain)."""
+    from elektra_spark.operators.lpa import label_propagation, modularity
+
+    edges, vertices = _customer_order_graph(spark, sf_dir)
+    labels = label_propagation(edges, vertices=vertices, rounds=LPA_ROUNDS)
+    return modularity(edges, labels)
+
+
 # ------------------------------------------- transcripts (fixture-backed)
 def _transcript_graph(spark, n_conversations=300):
     from elektra_spark.ingest.edges import derive_graph
@@ -588,6 +634,22 @@ def q_transcript_bfs(spark, sf_dir):
     g = _transcript_graph(spark)
     seeds = g.vertices.filter(F.col("kind") == "tool").select("vid")
     return hop_distance(g.edges, seeds, vertices=g.vertices, max_hops=BFS_MAX_HOPS)
+
+
+def q_transcript_harmonic(spark, sf_dir):
+    """Landmark harmonic centrality (operators/bfs.py harmonic_centrality):
+    Σ 1/d(l, v) over the tool-actor landmark set within BFS_MAX_HOPS — the
+    closeness-family centrality computed the way it is actually run at
+    scale (landmark sampling, Eppstein–Wang / Boldi–Vigna). The
+    inverse-distance sum is an exact integer Σ(L div d) with
+    L = lcm(1..hops) divided once at the end, so summation order cannot
+    move the 1e-6 rounding; the DuckDB twin caps its recursive closure at
+    the same bound and computes the same integer sum."""
+    from elektra_spark.operators.bfs import harmonic_centrality
+
+    g = _transcript_graph(spark)
+    landmarks = g.vertices.filter(F.col("kind") == "tool").select("vid")
+    return harmonic_centrality(g.edges, landmarks, vertices=g.vertices, max_hops=BFS_MAX_HOPS)
 
 
 def q_transcript_hits(spark, sf_dir):
@@ -1741,6 +1803,31 @@ def _transcript_bfs_sql() -> str:
     )
 
 
+def _transcript_harmonic_sql() -> str:
+    """Twin of q_transcript_harmonic: per-landmark capped recursive closure
+    (the recursion carries the landmark, so it is the per-pair distance,
+    not the min-over-seeds of the bfs twin), then the identical exact
+    integer sum Σ(L // d) with L = lcm(1..BFS_MAX_HOPS) and one final
+    division — summation order cannot move the 1e-6 rounding."""
+    from elektra_spark.operators.bfs import _lcm_upto
+
+    L = _lcm_upto(BFS_MAX_HOPS)
+    return (
+        "WITH RECURSIVE "
+        + _transcript_tables_sql(300).lstrip()
+        + f""",
+  d(lmk, vid, dist) AS (
+    SELECT vid, vid, 0 FROM tool_v
+    UNION
+    SELECT d.lmk, b.dst, d.dist + 1 FROM d JOIN b ON b.src = d.vid WHERE d.dist < {BFS_MAX_HOPS}
+  ),
+  md AS (SELECT lmk, vid, min(dist) AS dist FROM d GROUP BY lmk, vid),
+  h AS (SELECT vid, sum({L} // dist)::BIGINT AS s FROM md WHERE dist > 0 GROUP BY vid)
+  SELECT v.vid, coalesce(round(h.s::DOUBLE / {float(L)!r}, 6), 0.0) AS harmonic
+  FROM verts v LEFT JOIN h USING (vid)"""
+    )
+
+
 def _transcript_hits_sql() -> str:
     """Unrolled HITS chain (same shape as the PageRank oracle): per
     iteration, authority = L1-normalized in-flow of hub mass over the
@@ -2037,12 +2124,16 @@ def _bmp_features_sql(n: int = 48, seed: int = 42) -> str:
   """
 
 
-def _lpa_sql() -> str:
+def _lpa_chain() -> str:
+    """Shared unrolled-LPA CTE block (customer↔orders graph) ending at the
+    final label relation ``l{LPA_ROUNDS}(vid, label)`` — the single source
+    both the lpa oracle and the modularity oracle build on, so partition
+    and quality score are twinned against the same chain by construction."""
     base = f"""
   WITH v AS (SELECT c_custkey AS vid FROM customer
              UNION ALL SELECT {ORDER_VID_OFFSET} + o_orderkey FROM orders),
-  e AS (SELECT o_custkey AS src, {ORDER_VID_OFFSET} + o_orderkey AS dst FROM orders),
-  b AS (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+  e AS MATERIALIZED (SELECT o_custkey AS src, {ORDER_VID_OFFSET} + o_orderkey AS dst FROM orders),
+  b AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
   l0 AS (SELECT vid, vid AS label FROM v)"""
     iters = []
     for i in range(1, LPA_ROUNDS + 1):
@@ -2054,10 +2145,79 @@ def _lpa_sql() -> str:
   w{i} AS (SELECT v, label FROM (
              SELECT v, label, row_number() OVER (PARTITION BY v ORDER BY c DESC, label ASC) AS rn
              FROM vt{i}) WHERE rn = 1),
-  l{i} AS (SELECT l.vid, coalesce(w.label, l.label) AS label
+  l{i} AS MATERIALIZED (SELECT l.vid, coalesce(w.label, l.label) AS label
            FROM {p} l LEFT JOIN w{i} w ON l.vid = w.v)"""
         )
-    return base + "".join(iters) + f"\n  SELECT vid, label FROM l{LPA_ROUNDS}"
+    return base + "".join(iters)
+
+
+def _lpa_sql() -> str:
+    return _lpa_chain() + f"\n  SELECT vid, label FROM l{LPA_ROUNDS}"
+
+
+def _modularity_sql() -> str:
+    """Twin of q_modularity_lpa_customer_orders: the shared _lpa_chain
+    partition, then the same exact-integer aggregates (A = intra edges,
+    B = Σ deg_c²) combined in the identical two-division expression
+    A/m − B/(4·m²)."""
+    lf = f"l{LPA_ROUNDS}"
+    return (
+        _lpa_chain()
+        + f""",
+  mm AS (SELECT count(*)::BIGINT AS m FROM e),
+  el AS (SELECT ls.label AS ls, ld.label AS ld
+         FROM e JOIN {lf} ls ON e.src = ls.vid JOIN {lf} ld ON e.dst = ld.vid),
+  intra AS (SELECT count(*)::BIGINT AS a FROM el WHERE ls = ld),
+  degc AS (SELECT l.label, count(*)::BIGINT AS deg_c
+           FROM b JOIN {lf} l ON b.src = l.vid GROUP BY l.label),
+  sums AS (SELECT count(*)::BIGINT AS n_communities, sum(deg_c * deg_c)::BIGINT AS bsum FROM degc)
+  SELECT sums.n_communities, intra.a AS intra_edges,
+         round(intra.a::DOUBLE / mm.m::DOUBLE
+               - sums.bsum::DOUBLE / (4.0 * mm.m * mm.m), 6) AS modularity
+  FROM sums, intra, mm"""
+    )
+
+
+def _jaccard_sql() -> str:
+    """Twin of q_jaccard_copurchase: identical pivot degree guard for the
+    numerator, full-degree union denominator, NOT-EXISTS edge exclusion,
+    and the (round(score,6) DESC, a, b) top-k cut."""
+    return f"""
+  WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+  b AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+  d AS MATERIALIZED (SELECT src AS vid, count(*) AS degree FROM b GROUP BY src),
+  piv AS (SELECT vid FROM d WHERE degree >= 2 AND degree <= {LINKPRED_MAX_PIVOT_DEG}),
+  adj AS MATERIALIZED (SELECT b.src AS w, b.dst AS nbr FROM b JOIN piv ON b.src = piv.vid),
+  p AS (SELECT l.nbr AS a, r.nbr AS b2 FROM adj l JOIN adj r ON l.w = r.w AND l.nbr < r.nbr),
+  s AS (SELECT a, b2 AS b, count(*)::BIGINT AS common_neighbors FROM p GROUP BY a, b2),
+  f AS (SELECT s.* FROM s
+        WHERE NOT EXISTS (SELECT 1 FROM e WHERE e.src = s.a AND e.dst = s.b)),
+  j AS (SELECT f.a, f.b, f.common_neighbors,
+               round(f.common_neighbors::DOUBLE
+                     / (da.degree + db.degree - f.common_neighbors)::DOUBLE, 6) AS jaccard_score
+        FROM f JOIN d da ON da.vid = f.a JOIN d db ON db.vid = f.b)
+  SELECT a::BIGINT AS a, b::BIGINT AS b, common_neighbors, jaccard_score
+  FROM j ORDER BY jaccard_score DESC, a, b LIMIT {LINKPRED_TOP_K}
+  """
+
+
+def _triangles_sampled_sql() -> str:
+    """Twin of q_triangles_sampled_copurchase: the identical deterministic
+    coin expression selects the identical edge subset, counted by the same
+    canonical a<b<c join, scaled by the same exact (1000/p)³ constant."""
+    scale = (1000.0 / TRI_SAMPLE_PERMILLE) ** 3
+    return f"""
+  WITH e0 AS ({_COPURCHASE_SQL}),
+  e AS MATERIALIZED (SELECT src, dst FROM e0
+                     WHERE (src * 1000003 + dst * 997) % 1000 < {TRI_SAMPLE_PERMILLE}),
+  ne AS (SELECT count(*)::BIGINT AS n FROM e),
+  t AS (SELECT count(*)::BIGINT AS ts
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+  SELECT ne.n AS n_sampled_edges, t.ts AS n_triangles_sampled,
+         round(t.ts::DOUBLE * {scale!r}, 6) AS estimated_triangles
+  FROM ne, t
+  """
 
 
 def _text_profile_sql() -> str:
@@ -2204,6 +2364,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_triangles_copurchase": q_dynamic_triangles_copurchase,
         "truss_copurchase": q_truss_copurchase,
         "assortativity_copurchase": q_assortativity_copurchase,
+        "jaccard_copurchase": q_jaccard_copurchase,
+        "triangles_sampled_copurchase": q_triangles_sampled_copurchase,
+        "modularity_lpa_customer_orders": q_modularity_lpa_customer_orders,
+        "transcript_harmonic": q_transcript_harmonic,
         "transcript_bipartite": q_transcript_bipartite,
         "transcript_scc": q_transcript_scc,
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
@@ -2329,6 +2493,10 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "dynamic_triangles_copurchase": _dynamic_triangles_sql(),
         "truss_copurchase": _truss_sql(TRUSS_K, TRUSS_SQL_ROUNDS),
         "assortativity_copurchase": _assortativity_sql(),
+        "jaccard_copurchase": _jaccard_sql(),
+        "triangles_sampled_copurchase": _triangles_sampled_sql(),
+        "modularity_lpa_customer_orders": _modularity_sql(),
+        "transcript_harmonic": _transcript_harmonic_sql(),
         "transcript_bipartite": _transcript_bipartite_sql(),
         "transcript_scc": _transcript_scc_sql(),
         "tfidf_docs": _tfidf_sql(),

@@ -174,3 +174,97 @@ def weighted_distance(
             .select("vid", F.coalesce("dist", F.lit(-1)).cast("long").alias("dist"))
         )
     return out
+
+
+def _lcm_upto(n: int) -> int:
+    import math
+
+    out = 1
+    for k in range(2, n + 1):
+        out = out * k // math.gcd(out, k)
+    return out
+
+
+def harmonic_centrality(
+    edges: DataFrame,
+    landmarks: DataFrame | list[int],
+    vertices: DataFrame | None = None,
+    max_hops: int = 12,
+    checkpoint: CheckpointFn | None = None,
+    on_superstep: SuperstepHook | None = None,
+) -> DataFrame:
+    """Landmark harmonic centrality → (vid, harmonic):
+    ``Σ_{l ∈ landmarks, 0 < d(l,v) ≤ max_hops} 1 / d(l, v)``.
+
+    The standard scalable estimator for closeness-family centrality
+    (Eppstein–Wang sampling; Boldi–Vigna "Axioms for centrality" uses the
+    harmonic form because unreachable pairs contribute 0 instead of ∞):
+    exact all-pairs BFS is Θ(|V|·|E|), so production samples a landmark
+    set and sums inverse distances from it — the estimator this operator
+    computes *exactly* for the given landmarks. Hop bound and landmark set
+    are the operator contract, mirrored by the DuckDB twin's capped
+    recursive CTE.
+
+    Execution is :func:`hop_distance` with a composite ``(lmk, vid)`` key —
+    per-landmark distances, not the min over seeds: one static
+    both-directions adjacency (hash-partitioned, persisted), per superstep
+    one join of the frontier against it + a map-side-combinable
+    ``distinct`` + an anti-join against the visited set. At 100 TB the
+    state is |landmarks| × reached rows and the per-round shuffle is
+    wavefront × avg-degree — both scale with the landmark budget, which is
+    the knob the estimator literature tunes.
+
+    **Exact cross-engine reproducibility**: the inverse-distance sum is
+    computed in integer arithmetic first — ``Σ (L / d)`` with
+    ``L = lcm(1..max_hops)`` is an exact integer (every ``L / d`` divides
+    evenly), and one final IEEE division by ``L`` gives a double identical
+    in any summation order, so the 1e-6 rounding can never straddle an
+    engine-dependent ulp.
+    """
+    spark = edges.sparkSession
+    both = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if isinstance(landmarks, DataFrame):
+        seed = landmarks.select(F.col("vid").cast("long").alias("lmk")).distinct()
+    else:
+        seed = spark.createDataFrame([(int(v),) for v in landmarks], "lmk long").distinct()
+
+    if checkpoint is None:
+        # multiple live frames per round (static adjacency + visited + frontier)
+        checkpoint = RetainedCheckpointer()
+    with _no_aqe(spark):
+        both = checkpoint(both, -1)
+        visited = checkpoint(
+            seed.select("lmk", F.col("lmk").alias("vid"), F.lit(0).alias("dist")), 0
+        )
+        frontier = visited.select("lmk", "vid")
+        for step in range(1, max_hops + 1):
+            t0 = time.time()
+            nxt = (
+                both.join(frontier.withColumnRenamed("vid", "src"), "src")
+                .select("lmk", F.col("dst").alias("vid"))
+                .distinct()
+                .join(visited.select("lmk", "vid"), ["lmk", "vid"], "left_anti")
+                .withColumn("dist", F.lit(step))
+            )
+            nxt = checkpoint(nxt, step)
+            n_new = nxt.count()
+            if on_superstep is not None:
+                on_superstep(step, n_new, time.time() - t0)
+            if n_new == 0:
+                break
+            visited = checkpoint(visited.unionByName(nxt), step)
+            frontier = nxt.select("lmk", "vid")
+    L = _lcm_upto(max_hops)
+    scaled = visited.filter(F.col("dist") > 0).groupBy("vid").agg(
+        F.sum(F.expr(f"cast({L} div dist as long)")).alias("s")
+    )
+    out = scaled.select("vid", F.round(F.col("s").cast("double") / F.lit(float(L)), 6).alias("harmonic"))
+    if vertices is not None:
+        out = (
+            vertices.select("vid")
+            .join(out, "vid", "left")
+            .select("vid", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"))
+        )
+    return out

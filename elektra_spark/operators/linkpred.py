@@ -68,3 +68,62 @@ def adamic_adar(
     )
     out = fresh.select("a", "b", "common_neighbors", F.round("aa", 6).alias("aa_score"))
     return out.orderBy(F.col("aa_score").desc(), "a", "b").limit(top_k)
+
+
+def jaccard_similarity(
+    edges: DataFrame,
+    max_pivot_degree: int = 160,
+    top_k: int = 100,
+) -> DataFrame:
+    """Jaccard neighbor-overlap link prediction → (a, b, common_neighbors,
+    jaccard_score): top-``top_k`` non-adjacent pairs by
+    ``|Γ(a) ∩ Γ(b)| / |Γ(a) ∪ Γ(b)|``.
+
+    Shares the Adamic–Adar wedge machinery and its contract exactly:
+
+    - the **numerator** counts common neighbors through pivots guarded to
+      ``2 ≤ deg(w) ≤ max_pivot_degree`` (the spam-hub contract — a
+      celebrity pivot adds deg² wedge rows of ~zero signal, so production
+      drops it and the DuckDB twin applies the identical cap);
+    - the **denominator** uses the *full* degrees
+      ``deg(a) + deg(b) − common`` — the union size is a per-vertex
+      property, not a wedge property, so no cap applies there;
+    - candidates are canonical ``a < b``, anti-joined against existing
+      edges, cut under the total order ``(round(score, 6) DESC, a, b)``.
+
+    The score is one IEEE division of two exact integers, so engine and
+    oracle agree bit-for-bit before the rounding that orders the cut.
+
+    100 TB plan shape: identical to :func:`adamic_adar` (one wedge
+    self-join bounded by cap × |E| rows, one map-side-combinable pair
+    aggregation, a broadcast-friendly anti-join, TakeOrderedAndProject)
+    plus two more broadcast-sized degree joins keyed on the pair endpoints.
+    """
+    deg = degrees(edges)
+    piv = deg.filter(
+        (F.col("degree") >= 2) & (F.col("degree") <= max_pivot_degree)
+    ).select(F.col("vid").alias("w"))
+    both = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = both.select(F.col("src").alias("w"), F.col("dst").alias("nbr")).join(piv, "w")
+    left = adj.select("w", F.col("nbr").alias("a"))
+    right = adj.select("w", F.col("nbr").alias("b"))
+    pairs = left.join(right, "w").filter(F.col("a") < F.col("b"))
+    scores = pairs.groupBy("a", "b").agg(
+        F.count("*").cast("long").alias("common_neighbors")
+    )
+    fresh = scores.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "left_anti"
+    )
+    with_deg = fresh.join(
+        deg.select(F.col("vid").alias("a"), F.col("degree").alias("da")), "a"
+    ).join(deg.select(F.col("vid").alias("b"), F.col("degree").alias("db")), "b")
+    union_size = (F.col("da") + F.col("db") - F.col("common_neighbors")).cast("double")
+    out = with_deg.select(
+        "a",
+        "b",
+        "common_neighbors",
+        F.round(F.col("common_neighbors").cast("double") / union_size, 6).alias("jaccard_score"),
+    )
+    return out.orderBy(F.col("jaccard_score").desc(), "a", "b").limit(top_k)

@@ -166,3 +166,38 @@ def triangle_count_per_vertex(edges: DataFrame) -> DataFrame:
         F.count("*").alias("n_triangles")
     )
     return per
+
+
+def triangle_count_sampled(edges: DataFrame, p_permille: int = 200) -> DataFrame:
+    """DOULION sparsified triangle estimate → single row
+    (n_sampled_edges, n_triangles_sampled, estimated_triangles).
+
+    Tsourakakis et al. (KDD 2009): count triangles on an edge-sampled
+    subgraph and scale by ``1/p³`` — the standard way to bound the
+    O(m^1.5) wedge volume when the edge table is 10^12 rows and an exact
+    count is not worth the shuffle. The "coin" is a deterministic
+    vid-derived hash, not a RNG: edge (src, dst) survives iff
+    ``(src·1000003 + dst·997) mod 1000 < p_permille`` — reproducible
+    across runs and engines (the DuckDB twin recomputes the identical
+    expression), and consistent under re-partitioning, which a true
+    per-row RNG is not. The estimate ``T_s · (1000/p_permille)³`` is an
+    exact-integer-times-exact-double product, so both engines agree
+    bit-for-bit before the contract's 1e-6 rounding.
+
+    100 TB plan shape: the filter pushes down to the edge scan (a pure
+    column predicate), and the downstream wedge join sees p³ of the wedge
+    volume — the whole point. Skew note: hash-sampling thins hub degrees
+    by p uniformly, so the degree-ordered orientation's O(√(pm)) out-degree
+    bound still holds on the sample.
+    """
+    if not (0 < p_permille <= 1000):
+        raise ValueError("p_permille must be in (0, 1000]")
+    coin = (F.col("src") * F.lit(1000003) + F.col("dst") * F.lit(997)) % 1000
+    sampled = edges.select("src", "dst").filter(coin < p_permille)
+    scale = (1000.0 / p_permille) ** 3
+    n_edges = sampled.count()
+    return triangle_count(sampled).select(
+        F.lit(n_edges).cast("long").alias("n_sampled_edges"),
+        F.col("n_triangles").alias("n_triangles_sampled"),
+        F.round(F.col("n_triangles").cast("double") * F.lit(scale), 6).alias("estimated_triangles"),
+    )

@@ -657,3 +657,151 @@ def test_min_forward_reach_small_blocks(spark):
     edf = spark.createDataFrame(dedges, "src long, dst long")
     got = {r["vid"]: r["label"] for r in min_forward_reach(edf, vdf, block=8).collect()}
     assert got == exp
+
+
+# --------------------------- jaccard / harmonic / modularity / sampled triangles
+def _jaccard_oracle(pairs, max_pivot_degree):
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    piv = {v for v, ns in nbr.items() if 2 <= len(ns) <= max_pivot_degree}
+    cn = {}
+    for w in piv:
+        ns = sorted(nbr[w])
+        for i, a in enumerate(ns):
+            for b in ns[i + 1:]:
+                cn[(a, b)] = cn.get((a, b), 0) + 1
+    existing = {(min(a, b), max(a, b)) for a, b in pairs}
+    return {
+        p: (c, c / (len(nbr[p[0]]) + len(nbr[p[1]]) - c))
+        for p, c in cn.items()
+        if p not in existing
+    }
+
+
+@pytest.mark.parametrize("pairs,cap", [(HOUSE, 10), (CLIQUE5_PLUS_PATH, 10),
+                                       (_random_graph(31, 50, 120), 6)],
+                         ids=["house", "clique5path", "random-capped"])
+def test_jaccard_similarity_matches_oracle(spark, pairs, cap):
+    from elektra_spark.operators.linkpred import jaccard_similarity
+
+    edges = edges_from_pairs(spark, pairs)
+    want = _jaccard_oracle(pairs, cap)
+    got = jaccard_similarity(edges, max_pivot_degree=cap, top_k=10_000).collect()
+    assert len(got) == len(want)
+    for r in got:
+        cn, js = want[(r["a"], r["b"])]
+        assert r["common_neighbors"] == cn
+        assert abs(r["jaccard_score"] - round(js, 6)) < 1e-9
+    key = [(-r["jaccard_score"], r["a"], r["b"]) for r in got]
+    assert key == sorted(key)
+
+
+def _harmonic_oracle(pairs, landmarks, max_hops):
+    """Exact per-landmark BFS + exact-fraction inverse-distance sum."""
+    from fractions import Fraction
+
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    verts = set(nbr) | set(landmarks)
+    acc = {v: Fraction(0) for v in verts}
+    for l in set(landmarks):
+        dist = {l: 0}
+        frontier = [l]
+        for step in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in nbr.get(u, ()):
+                    if v not in dist:
+                        dist[v] = step
+                        nxt.append(v)
+            frontier = nxt
+        for v, d in dist.items():
+            if d > 0:
+                acc[v] += Fraction(1, d)
+    return {v: round(float(s), 6) for v, s in acc.items()}
+
+
+@pytest.mark.parametrize(
+    "pairs,landmarks,max_hops",
+    [(HOUSE, [0], 8), (CLIQUE5_PLUS_PATH + [(10, 11)], [0, 10], 8),
+     (CLIQUE5_PLUS_PATH, [0, 7], 2), (_random_graph(47, 60, 110), [0, 1, 2], 5)],
+    ids=["house", "disconnected", "bounded", "random"],
+)
+def test_harmonic_centrality_matches_oracle(spark, pairs, landmarks, max_hops):
+    from elektra_spark.operators.bfs import harmonic_centrality
+
+    edges = edges_from_pairs(spark, pairs)
+    verts = sorted({v for e in pairs for v in e} | set(landmarks))
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    got = {r["vid"]: r["harmonic"] for r in
+           harmonic_centrality(edges, landmarks, vertices=vdf, max_hops=max_hops).collect()}
+    want = _harmonic_oracle(pairs, landmarks, max_hops)
+    assert set(got) == set(want)
+    for v in want:
+        assert abs(got[v] - want[v]) < 1e-9, (v, got[v], want[v])
+
+
+def _modularity_oracle(pairs, labels):
+    edges = {(min(a, b), max(a, b)) for a, b in pairs}
+    m = len(edges)
+    deg = {}
+    for a, b in edges:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    intra = sum(1 for a, b in edges if labels[a] == labels[b])
+    deg_c = {}
+    for v, d in deg.items():
+        deg_c[labels[v]] = deg_c.get(labels[v], 0) + d
+    b_sum = sum(d * d for d in deg_c.values())
+    return len(deg_c), intra, round(intra / m - b_sum / (4.0 * m * m), 6)
+
+
+@pytest.mark.parametrize("pairs,rounds", [(HOUSE, 2), (CLIQUE5_PLUS_PATH, 3),
+                                          (_random_graph(53, 60, 130), 2)],
+                         ids=["house", "clique5path", "random"])
+def test_modularity_matches_formula(spark, pairs, rounds):
+    from elektra_spark.operators.lpa import modularity
+
+    edges = edges_from_pairs(spark, pairs)
+    lab = lpa_oracle(pairs, rounds=rounds)
+    labdf = spark.createDataFrame([(v, l) for v, l in lab.items()], "vid long, label long")
+    row = modularity(edges, labdf).collect()[0]
+    nc, intra, q = _modularity_oracle(pairs, lab)
+    assert row["n_communities"] == nc
+    assert row["intra_edges"] == intra
+    assert abs(row["modularity"] - q) < 1e-9
+
+
+def test_modularity_perfect_partition(spark):
+    # two disjoint triangles, labeled by component: Q = 1 - 1/2 = 0.5
+    pairs = [(0, 1), (1, 2), (0, 2), (10, 11), (11, 12), (10, 12)]
+    from elektra_spark.operators.lpa import modularity
+
+    edges = edges_from_pairs(spark, pairs)
+    lab = spark.createDataFrame([(v, v // 10) for v in [0, 1, 2, 10, 11, 12]], "vid long, label long")
+    row = modularity(edges, lab).collect()[0]
+    assert row["n_communities"] == 2
+    assert row["intra_edges"] == 6
+    assert abs(row["modularity"] - 0.5) < 1e-9
+
+
+@pytest.mark.parametrize("pairs,p", [(CLIQUE5_PLUS_PATH, 1000), (_random_graph(59, 80, 300), 400)],
+                         ids=["full-sample", "p0.4"])
+def test_triangle_count_sampled(spark, pairs, p):
+    from elektra_spark.operators.triangles import triangle_count_sampled
+
+    edges = edges_from_pairs(spark, pairs)
+    row = triangle_count_sampled(edges, p_permille=p).collect()[0]
+    canon = {(min(a, b), max(a, b)) for a, b in pairs}
+    kept = {(a, b) for a, b in canon if (a * 1000003 + b * 997) % 1000 < p}
+    assert row["n_sampled_edges"] == len(kept)
+    assert row["n_triangles_sampled"] == triangle_count_oracle(sorted(kept))
+    scale = (1000.0 / p) ** 3
+    assert abs(row["estimated_triangles"] - round(row["n_triangles_sampled"] * scale, 6)) < 1e-9
+    # p = 1 is the identity: the estimate IS the exact count
+    if p == 1000:
+        assert row["estimated_triangles"] == float(triangle_count_oracle(pairs))
