@@ -30,7 +30,7 @@ TRANSCRIPT_PR_ITERS = 10
 BFS_MAX_HOPS = 12  # bounded k-hop contract — the DuckDB twin caps identically
 HITS_ITERS = 8
 KCORE_K = 80  # non-trivial peel on the sf0.01 copurchase graph (6 rounds, 1857-vertex core)
-KCORE_SQL_ROUNDS = 10  # unrolled oracle rounds; ≥ the instance's peel depth (rounds past the fixpoint are no-ops)
+KCORE_SQL_ROUNDS = 10  # unrolled oracle rounds; ≥ the instance's peel depth + 1 (the trailing no-op round fixes the reported degrees; see _kcore_sql)
 CORENESS_SQL_ROUNDS = 24  # unrolled h-index rounds; sf0.01 copurchase converges in 19 (extras are no-ops at the fixpoint)
 PPR_ITERS = 10
 LINKPRED_MAX_PIVOT_DEG = 160  # contract hub guard (sf0.01 copurchase degrees run 42–206)
@@ -1868,9 +1868,12 @@ def _kcore_sql(k: int, rounds: int) -> str:
     """Unrolled synchronous degree-peel twin of operators/kcore.py: round i
     recomputes degrees over the subgraph induced by round i-1's survivors
     and drops vertices below k. ``rounds`` must be ≥ the instance's peel
-    depth (verified at the sf0.01 contract scale); extra rounds are no-ops
-    at the fixpoint, so the final relation is the k-core with within-core
-    degrees regardless of slack."""
+    depth **+ 1** (verified at the sf0.01 contract scale): the final SELECT
+    reports degrees computed over round ``rounds-1``'s survivor set, so at
+    exactly rounds == depth the deg column would still include neighbors
+    peeled in the last round — the trailing no-op round is what makes the
+    reported within-core degrees correct (same bound as the truss twin).
+    Further extra rounds are no-ops at the fixpoint."""
     parts = [
         f"""WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
   b AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),

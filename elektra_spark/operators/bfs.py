@@ -41,6 +41,49 @@ from pyspark.sql import functions as F
 from .cc import CheckpointFn, RetainedCheckpointer, SuperstepHook, _no_aqe
 
 
+def _expand_frontier(
+    spark,
+    both: DataFrame,
+    seed: DataFrame,
+    keys: list[str],
+    max_hops: int,
+    checkpoint: CheckpointFn,
+    on_superstep: SuperstepHook | None,
+) -> DataFrame:
+    """Shared BFS frontier-expansion loop → the visited set (keys + dist).
+
+    ``keys`` names the state key columns, last one always ``vid`` (the
+    vertex the frontier expands through); extra leading keys ride along
+    unchanged — ``hop_distance`` uses ``["vid"]`` (min over seeds),
+    ``harmonic_centrality`` uses ``["lmk", "vid"]`` (per-landmark
+    distances). One loop, so the checkpoint discipline / dedup / anti-join
+    / early-exit semantics cannot diverge between the two operators.
+    """
+    carry = [k for k in keys if k != "vid"]
+    with _no_aqe(spark):
+        both = checkpoint(both, -1)
+        visited = checkpoint(seed, 0)
+        frontier = visited.select(*keys)
+        for step in range(1, max_hops + 1):
+            t0 = time.time()
+            nxt = (
+                both.join(frontier.withColumnRenamed("vid", "src"), "src")
+                .select(*carry, F.col("dst").alias("vid"))
+                .distinct()
+                .join(visited.select(*keys), keys, "left_anti")
+                .withColumn("dist", F.lit(step))
+            )
+            nxt = checkpoint(nxt, step)
+            n_new = nxt.count()
+            if on_superstep is not None:
+                on_superstep(step, n_new, time.time() - t0)
+            if n_new == 0:
+                break
+            visited = checkpoint(visited.unionByName(nxt), step)
+            frontier = nxt.select(*keys)
+    return visited
+
+
 def hop_distance(
     edges: DataFrame,
     sources: DataFrame | list[int],
@@ -65,27 +108,9 @@ def hop_distance(
         # this loop retains multiple live frames per round — the single-chain
         # EphemeralCheckpointer would delete files a held frame still reads
         checkpoint = RetainedCheckpointer()
-    with _no_aqe(spark):
-        both = checkpoint(both, -1)
-        visited = checkpoint(seed.withColumn("dist", F.lit(0)), 0)
-        frontier = visited.select("vid")
-        for step in range(1, max_hops + 1):
-            t0 = time.time()
-            nxt = (
-                both.join(frontier.withColumnRenamed("vid", "src"), "src")
-                .select(F.col("dst").alias("vid"))
-                .distinct()
-                .join(visited.select("vid"), "vid", "left_anti")
-                .withColumn("dist", F.lit(step))
-            )
-            nxt = checkpoint(nxt, step)
-            n_new = nxt.count()
-            if on_superstep is not None:
-                on_superstep(step, n_new, time.time() - t0)
-            if n_new == 0:
-                break
-            visited = checkpoint(visited.unionByName(nxt), step)
-            frontier = nxt.select("vid")
+    visited = _expand_frontier(
+        spark, both, seed.withColumn("dist", F.lit(0)), ["vid"], max_hops, checkpoint, on_superstep
+    )
     out = visited.select("vid", F.col("dist").cast("int").alias("dist"))
     if vertices is not None:
         out = (
@@ -233,29 +258,15 @@ def harmonic_centrality(
     if checkpoint is None:
         # multiple live frames per round (static adjacency + visited + frontier)
         checkpoint = RetainedCheckpointer()
-    with _no_aqe(spark):
-        both = checkpoint(both, -1)
-        visited = checkpoint(
-            seed.select("lmk", F.col("lmk").alias("vid"), F.lit(0).alias("dist")), 0
-        )
-        frontier = visited.select("lmk", "vid")
-        for step in range(1, max_hops + 1):
-            t0 = time.time()
-            nxt = (
-                both.join(frontier.withColumnRenamed("vid", "src"), "src")
-                .select("lmk", F.col("dst").alias("vid"))
-                .distinct()
-                .join(visited.select("lmk", "vid"), ["lmk", "vid"], "left_anti")
-                .withColumn("dist", F.lit(step))
-            )
-            nxt = checkpoint(nxt, step)
-            n_new = nxt.count()
-            if on_superstep is not None:
-                on_superstep(step, n_new, time.time() - t0)
-            if n_new == 0:
-                break
-            visited = checkpoint(visited.unionByName(nxt), step)
-            frontier = nxt.select("lmk", "vid")
+    visited = _expand_frontier(
+        spark,
+        both,
+        seed.select("lmk", F.col("lmk").alias("vid"), F.lit(0).alias("dist")),
+        ["lmk", "vid"],
+        max_hops,
+        checkpoint,
+        on_superstep,
+    )
     L = _lcm_upto(max_hops)
     scaled = visited.filter(F.col("dist") > 0).groupBy("vid").agg(
         F.sum(F.expr(f"cast({L} div dist as long)")).alias("s")

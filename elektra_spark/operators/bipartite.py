@@ -74,11 +74,13 @@ def bipartite_components(
     # a vertex is on an odd cycle iff its even and odd cover states share a
     # cover component; isolated vertices never appear here and are trivially
     # bipartite, which the left join below preserves
+    # integer div, not `/`: float division round-trips through double and
+    # would corrupt the decode above 2^53 (the 62-bit vid contract)
     even = cover_labels.filter(F.col("vid") % 2 == 0).select(
-        (F.col("vid") / 2).cast("long").alias("vid"), F.col("component").alias("c_even")
+        F.expr("vid div 2").alias("vid"), F.col("component").alias("c_even")
     )
     odd = cover_labels.filter(F.col("vid") % 2 == 1).select(
-        ((F.col("vid") - 1) / 2).cast("long").alias("vid"),
+        F.expr("(vid - 1) div 2").alias("vid"),
         F.col("component").alias("c_odd"),
     )
     conflicted = (

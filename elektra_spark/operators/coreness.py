@@ -86,6 +86,8 @@ def coreness(
         # at it — one map-side-combinable aggregate per round replaces a
         # scores⋈next equality join (no shuffle, no second pass at 100 TB).
         prev_sum = scores.agg(F.sum("c")).collect()[0][0]
+        if prev_sum is None:  # no edges → no rows; every vertex is outside any core
+            return spark.createDataFrame([], "vid long, coreness long")
         for step in range(1, max_rounds + 1):
             t0 = time.time()
             nb = both.join(

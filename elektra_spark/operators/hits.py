@@ -74,6 +74,8 @@ def hits(
         e = checkpoint(e, -1)
         universe = checkpoint(universe, -1)
         n = universe.count()
+        if n == 0:
+            return spark.createDataFrame([], "vid long, hub double, auth double")
         hub = checkpoint(universe.withColumn("score", F.lit(1.0 / n)), 0)
         auth = None
         for step in range(1, n_iter + 1):

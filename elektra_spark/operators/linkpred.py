@@ -42,30 +42,40 @@ from pyspark.sql import functions as F
 from .degrees import degrees
 
 
+def _guarded_wedge_pairs(edges: DataFrame, deg: DataFrame, max_pivot_degree: int, with_invw: bool) -> DataFrame:
+    """Shared predictor core → non-adjacent canonical pairs (a, b,
+    common_neighbors[, aa]): degree-guarded pivots (``2 ≤ deg(w) ≤ cap``),
+    both-directions adjacency, ``a < b`` wedge self-join, map-side-combinable
+    pair aggregation, anti-join against existing edges. Both predictors
+    (Adamic–Adar, Jaccard) build on this single pipeline so the hub-guard /
+    anti-join contract cannot silently diverge between them."""
+    piv_cols = [F.col("vid").alias("w")]
+    if with_invw:
+        piv_cols.append((F.lit(1.0) / F.log(F.col("degree").cast("double"))).alias("invw"))
+    piv = deg.filter((F.col("degree") >= 2) & (F.col("degree") <= max_pivot_degree)).select(*piv_cols)
+    both = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    adj = both.select(F.col("src").alias("w"), F.col("dst").alias("nbr")).join(piv, "w")
+    left = adj.select("w", F.col("nbr").alias("a"), *(["invw"] if with_invw else []))
+    right = adj.select("w", F.col("nbr").alias("b"))
+    pairs = left.join(right, "w").filter(F.col("a") < F.col("b"))
+    aggs = [F.count("*").cast("long").alias("common_neighbors")]
+    if with_invw:
+        aggs.append(F.sum("invw").alias("aa"))
+    scores = pairs.groupBy("a", "b").agg(*aggs)
+    return scores.join(
+        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "left_anti"
+    )
+
+
 def adamic_adar(
     edges: DataFrame,
     max_pivot_degree: int = 160,
     top_k: int = 100,
 ) -> DataFrame:
     """→ (a, b, common_neighbors, aa_score) — top-``top_k`` predicted links."""
-    deg = degrees(edges)
-    piv = deg.filter((F.col("degree") >= 2) & (F.col("degree") <= max_pivot_degree)).select(
-        F.col("vid").alias("w"), (F.lit(1.0) / F.log(F.col("degree").cast("double"))).alias("invw")
-    )
-    both = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    adj = both.select(F.col("src").alias("w"), F.col("dst").alias("nbr")).join(piv, "w")
-    left = adj.select("w", F.col("nbr").alias("a"), "invw")
-    right = adj.select("w", F.col("nbr").alias("b"))
-    pairs = left.join(right, "w").filter(F.col("a") < F.col("b"))
-    scores = pairs.groupBy("a", "b").agg(
-        F.count("*").cast("long").alias("common_neighbors"),
-        F.sum("invw").alias("aa"),
-    )
-    fresh = scores.join(
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "left_anti"
-    )
+    fresh = _guarded_wedge_pairs(edges, degrees(edges), max_pivot_degree, with_invw=True)
     out = fresh.select("a", "b", "common_neighbors", F.round("aa", 6).alias("aa_score"))
     return out.orderBy(F.col("aa_score").desc(), "a", "b").limit(top_k)
 
@@ -100,22 +110,7 @@ def jaccard_similarity(
     plus two more broadcast-sized degree joins keyed on the pair endpoints.
     """
     deg = degrees(edges)
-    piv = deg.filter(
-        (F.col("degree") >= 2) & (F.col("degree") <= max_pivot_degree)
-    ).select(F.col("vid").alias("w"))
-    both = edges.select("src", "dst").union(
-        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    )
-    adj = both.select(F.col("src").alias("w"), F.col("dst").alias("nbr")).join(piv, "w")
-    left = adj.select("w", F.col("nbr").alias("a"))
-    right = adj.select("w", F.col("nbr").alias("b"))
-    pairs = left.join(right, "w").filter(F.col("a") < F.col("b"))
-    scores = pairs.groupBy("a", "b").agg(
-        F.count("*").cast("long").alias("common_neighbors")
-    )
-    fresh = scores.join(
-        edges.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "left_anti"
-    )
+    fresh = _guarded_wedge_pairs(edges, deg, max_pivot_degree, with_invw=False)
     with_deg = fresh.join(
         deg.select(F.col("vid").alias("a"), F.col("degree").alias("da")), "a"
     ).join(deg.select(F.col("vid").alias("b"), F.col("degree").alias("db")), "b")

@@ -160,8 +160,11 @@ def _bsp_assert_storage(spark, prep_dir: str | None) -> None:
     if the trust was misplaced."""
     if _bsp_executor_count(spark) <= 1:
         return
-    local = prep_dir is None or any(
-        os.path.realpath(prep_dir).startswith(root) for root in _HOST_LOCAL_ROOTS
+    real = os.path.realpath(prep_dir) if prep_dir is not None else None
+    # path-component match, not bare prefix: /tmpshared or /var/tmp2 must
+    # not be misclassified as the host-local /tmp / /var/tmp
+    local = real is None or any(
+        real == root or real.startswith(root + os.sep) for root in _HOST_LOCAL_ROOTS
     )
     if local:
         where = prep_dir if prep_dir is not None else "an ephemeral tmpfs dir"

@@ -20,11 +20,15 @@ its forward-reachable set. The decomposition loop is then
    SCC because every vertex of an SCC shares its root's forward set, hence
    its color), strip them, repeat on the remainder.
 
-Every round assigns at least the SCC of the minimum remaining vertex, so
-the loop terminates; on graphs whose vid order correlates with topological
-order (transcript reply edges are ``v → v+1``) round one assigns almost
-everything — DAG chain vertices are their own color roots and resolve as
-singleton SCCs immediately.
+Every round assigns at least the SCC of the minimum-key remaining vertex,
+so the loop terminates; on graphs whose vid order correlates with
+topological order (transcript reply edges are ``v → v+1``) round one
+assigns almost everything — DAG chain vertices are their own color roots
+and resolve as singleton SCCs immediately. Rounds ≥ 2 switch the min-reach
+key to a deterministic bijective scramble of the vid
+(:func:`_scramble`), which turns each class root into an effectively
+random pivot: expected O(log n) remaining rounds even on vid orders
+adversarial to round 1 (see :func:`strongly_connected_components`).
 
 ``min_forward_reach`` is a **hybrid kernel**, the same split as the cc.py
 csr kernel: label waves travel one hop per global superstep in a naive
@@ -100,6 +104,36 @@ def _local_min_reach(labels_pdf: pd.DataFrame, edges_pdf: pd.DataFrame) -> pd.Da
     return pd.DataFrame({"vid": svids, "label": lab})
 
 
+_REV_STEPS = (
+    (1, 0x5555555555555555),
+    (2, 0x3333333333333333),
+    (4, 0x0F0F0F0F0F0F0F0F),
+    (8, 0x00FF00FF00FF00FF),
+    (16, 0x0000FFFF0000FFFF),
+    (32, 0x00000000FFFFFFFF),
+)
+
+
+def _scramble(x):
+    """Deterministic 64-bit **bit-reversal** (Column → Column) — a bijection
+    built from six shift/mask swap steps (bit ops only: ANSI-safe, no
+    overflow; keys may go negative when the original bit 0 lands on the
+    sign bit, which is fine — min-propagation only needs a total order and
+    injectivity). Why reversal and not an xorshift: consecutive vids map to
+    a van der Corput sequence, so for the interval-shaped color classes a
+    vid-ordered chain produces, the min-key pivot is the
+    most-trailing-zeros member — a near-median split every round. A
+    multiply-free xorshift has no avalanche on small inputs (for
+    ``x < 2^9`` the shifted copies don't interact and the map stays
+    monotone), which left adversarial chains unscrambled."""
+    x = x.cast("long")
+    for k, m in _REV_STEPS:
+        x = F.shiftrightunsigned(x, k).bitwiseAND(F.lit(m)).bitwiseOR(
+            F.shiftleft(x.bitwiseAND(F.lit(m)), k)
+        )
+    return x
+
+
 def min_forward_reach(
     edges: DataFrame,
     vertices: DataFrame,
@@ -107,9 +141,16 @@ def min_forward_reach(
     on_superstep: SuperstepHook | None = None,
     max_iter: int = 100,
     block: int | None = None,
+    label_of=None,
 ) -> DataFrame:
-    """→ (vid, label): minimum vid in each vertex's forward-reachable set
-    (including the vertex itself) over the directed ``edges`` (src, dst).
+    """→ (vid, label): minimum label in each vertex's forward-reachable set
+    (including the vertex itself) over the directed ``edges`` (src, dst),
+    where a vertex's own label is ``label_of(vid)`` (default: the vid
+    itself, i.e. min-vid reach).
+
+    ``label_of`` (Column → Column, must be injective) re-keys the min
+    order — :func:`strongly_connected_components` passes :func:`_scramble`
+    after round 1 so the implied pivots are order-decorrelated.
 
     ``block`` is the vid-range width of a local-fixpoint bucket; by default
     it is sized so the vid domain splits into ~4× the session's default
@@ -121,8 +162,9 @@ def min_forward_reach(
         checkpoint = RetainedCheckpointer()
     with _no_aqe(spark):
         adj = checkpoint(edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst")), -1)
+        init_label = (label_of(F.col("vid")) if label_of is not None else F.col("vid")).cast("long")
         labels = checkpoint(
-            vertices.select(F.col("vid").cast("long").alias("vid"), F.col("vid").cast("long").alias("label")),
+            vertices.select(F.col("vid").cast("long").alias("vid"), init_label.alias("label")),
             0,
         )
         if block is None:
@@ -186,6 +228,24 @@ def strongly_connected_components(
     Vertices with no directed cycle through them are singleton SCCs
     (scc = own vid), matching the textbook definition the DuckDB
     mutual-reachability twin computes.
+
+    Round schedule: round 1 colors by **raw min-vid reach** — on graphs
+    whose vid order correlates with topological order (transcript reply
+    edges are ``v → v+1``) it resolves almost everything immediately.
+    Rounds ≥ 2 color by the :func:`_scramble` bijection of the vid, which
+    makes each color class's implied pivot (its min-key root) an
+    effectively random member of its reachable set: the classic random-
+    pivot FW–BW argument then gives expected O(log n) remaining rounds,
+    where raw-vid coloring degrades to ONE extracted SCC per round on
+    adversarial orders (e.g. a chain with vids decreasing along the edges
+    keeps ``color ≡ global min``, so only the global minimum matches the
+    backward pass — n rounds for an n-chain). Deterministic either way:
+    the scramble is a fixed function of the vid.
+
+    Per round, extracted keys are immediately re-labeled to the SCC's
+    minimum vid (one group-by over the freshly assigned rows), so the
+    output contract never depends on which round — raw or scrambled key
+    space — assigned a vertex.
     """
     spark = edges.sparkSession
     if vertices is None:
@@ -204,28 +264,47 @@ def strongly_connected_components(
     for rnd in range(1, max_rounds + 1):
         if remaining_v.limit(1).count() == 0:
             break
+        # round 1: raw vids (fast path on topologically aligned vid orders);
+        # later rounds: scrambled keys = effectively random pivots
+        key_of = None if rnd == 1 else _scramble
         color = checkpoint(
-            min_forward_reach(remaining_e, remaining_v, checkpoint=checkpoint, on_superstep=on_superstep),
+            min_forward_reach(
+                remaining_e, remaining_v, checkpoint=checkpoint, on_superstep=on_superstep, label_of=key_of
+            ),
             rnd,
         ).withColumnRenamed("label", "color")
-        # same-color edge restriction, reversed: a reversed path then stays
-        # inside one color class, and mr(u) == color(u) iff the class root
-        # reaches u — mutual reachability with the root
-        ce = (
+        # same-color edge restriction: two vertices of one SCC always share a
+        # color (their forward sets within the remaining graph are equal), so
+        # cross-color edges are never intra-SCC — they are both excluded from
+        # the backward pass AND permanently dropped below, which is the
+        # recursion step that makes each color class an independent
+        # subproblem (Orzan-style coloring; without the drop, the next
+        # round's global re-coloring can re-merge classes and a chain
+        # degenerates to O(n) rounds)
+        same_e = checkpoint(
             remaining_e.join(color.select(F.col("vid").alias("src"), F.col("color").alias("sc")), "src")
             .join(color.select(F.col("vid").alias("dst"), F.col("color").alias("dc")), "dst")
             .filter(F.col("sc") == F.col("dc"))
-            .select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-        )
-        mr = min_forward_reach(ce, remaining_v, checkpoint=checkpoint, on_superstep=on_superstep)
-        new = checkpoint(
-            color.join(mr, "vid").filter(F.col("color") == F.col("label")).select("vid", F.col("color").alias("scc")),
+            .select("src", "dst"),
             rnd,
         )
+        # reversed: mr(u) == color(u) iff the class root reaches u —
+        # mutual reachability with the root
+        ce = same_e.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+        mr = min_forward_reach(
+            ce, remaining_v, checkpoint=checkpoint, on_superstep=on_superstep, label_of=key_of
+        )
+        matched = color.join(mr, "vid").filter(F.col("color") == F.col("label")).select(
+            "vid", F.col("color").alias("ckey")
+        )
+        # re-label each extracted key to the SCC's min vid inside the round,
+        # so raw-vid and scrambled-key rounds share one output key space
+        rep = matched.groupBy("ckey").agg(F.min("vid").alias("scc"))
+        new = checkpoint(matched.join(rep, "ckey").select("vid", "scc"), rnd)
         assigned = new if assigned is None else checkpoint(assigned.unionByName(new), rnd)
         remaining_v = checkpoint(remaining_v.join(new, "vid", "left_anti"), rnd)
         remaining_e = checkpoint(
-            remaining_e.join(new.select(F.col("vid").alias("src")), "src", "left_anti").join(
+            same_e.join(new.select(F.col("vid").alias("src")), "src", "left_anti").join(
                 new.select(F.col("vid").alias("dst")), "dst", "left_anti"
             ),
             rnd,

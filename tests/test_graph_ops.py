@@ -805,3 +805,59 @@ def test_triangle_count_sampled(spark, pairs, p):
     # p = 1 is the identity: the estimate IS the exact count
     if p == 1000:
         assert row["estimated_triangles"] == float(triangle_count_oracle(pairs))
+
+
+def test_scc_antitopological_chain_terminates(spark):
+    """Regression: a chain whose vids DECREASE along the edges keeps round-1
+    raw-vid coloring at color ≡ 1 (one extracted SCC per round — 120 rounds
+    for 120 vertices, past max_rounds=50). The scrambled-key rounds must
+    finish it in expected O(log n) FW–BW rounds with every vertex its own
+    singleton SCC."""
+    from elektra_spark.operators.scc import strongly_connected_components
+
+    n = 120
+    dedges = [(i, i - 1) for i in range(n, 1, -1)]  # n→n-1→…→1
+    vdf = spark.createDataFrame([(v,) for v in range(1, n + 1)], "vid long")
+    edf = spark.createDataFrame(dedges, "src long, dst long")
+    got = {r["vid"]: r["scc"] for r in strongly_connected_components(edf, vertices=vdf).collect()}
+    assert got == {v: v for v in range(1, n + 1)}
+
+
+def test_scc_antitopological_with_cycles(spark):
+    """Decreasing-vid chain plus two embedded cycles: the scrambled rounds
+    must still extract complete SCCs (min-vid labels), not just singletons."""
+    from elektra_spark.operators.scc import strongly_connected_components
+
+    n = 60
+    dedges = [(i, i - 1) for i in range(n, 1, -1)] + [(10, 20), (35, 50)]
+    verts = sorted({v for e in dedges for v in e})
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    edf = spark.createDataFrame(dedges, "src long, dst long")
+    got = {r["vid"]: r["scc"] for r in strongly_connected_components(edf, vertices=vdf).collect()}
+    assert got == _scc_oracle(dedges, verts)
+
+
+def test_empty_graph_degenerate_guards(spark):
+    """Empty edge tables return empty results instead of raising
+    (coreness: None-sum TypeError; hits with vertices=None: 1/0)."""
+    from elektra_spark.operators.coreness import coreness
+    from elektra_spark.operators.hits import hits
+
+    empty = spark.createDataFrame([], "src long, dst long")
+    assert coreness(empty).count() == 0
+    assert hits(empty).count() == 0
+
+
+def test_bipartite_large_vids(spark):
+    """Regression: the double-cover decode must use integer division — with
+    float division, vids above 2^53 round-trip through double and the
+    even/odd cover join keys mismatch, mis-reporting an odd cycle as
+    bipartite."""
+    from elektra_spark.operators.bipartite import bipartite_components
+
+    base = (1 << 53) + 101  # odd triangle at vids where 2v+1 exceeds 2^54
+    pairs = [(base, base + 2), (base + 2, base + 4), (base, base + 4)]
+    edges = edges_from_pairs(spark, pairs)
+    rows = bipartite_components(edges).collect()
+    assert len(rows) == 1
+    assert not rows[0]["is_bipartite"]
