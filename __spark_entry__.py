@@ -40,6 +40,9 @@ TFIDF_K = 3
 TRUSS_K = 12  # non-trivial peel on the sf0.01 copurchase graph (5 rounds, 1127-edge truss; supports run 1–32)
 TRUSS_SQL_ROUNDS = 8  # unrolled oracle rounds; ≥ the instance's peel depth + 1 (no-ops past the fixpoint)
 TRI_SAMPLE_PERMILLE = 200  # DOULION edge-sampling rate p = 0.2 (deterministic hash coin, shared with the twin)
+WALK_LEN = 8  # random-walk transitions per seed (DeepWalk-style corpus length)
+WALK_SEED_MOD = 97  # walk seeds = vertices with vid % 97 == 0 (~1% of the transcript graph)
+MIS_SQL_ROUNDS = 8  # unrolled Luby rounds; ≥ the contract instance's depth (pinned by pytest; extras are no-ops once undecided is empty)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -650,6 +653,32 @@ def q_transcript_harmonic(spark, sf_dir):
     g = _transcript_graph(spark)
     landmarks = g.vertices.filter(F.col("kind") == "tool").select("vid")
     return harmonic_centrality(g.edges, landmarks, vertices=g.vertices, max_hops=BFS_MAX_HOPS)
+
+
+def q_transcript_walks(spark, sf_dir):
+    """Deterministic random-walk corpus (operators/walks.py random_walks):
+    one DeepWalk-style WALK_LEN-step walk per seed (vids ≡ 0 mod
+    WALK_SEED_MOD) over the transcript link graph — the training-data
+    generator for graph embeddings, run as per-step frontier joins instead
+    of a driver loop. Every transition is the argmin of an arithmetic hash
+    both engines evaluate identically, so the corpus — not just its
+    statistics — is twinned row-for-row."""
+    from elektra_spark.operators.walks import random_walks
+
+    g = _transcript_graph(spark)
+    seeds = g.vertices.filter(F.col("vid") % WALK_SEED_MOD == 0).select("vid")
+    return random_walks(g.edges, seeds, walk_length=WALK_LEN)
+
+
+def q_mis_copurchase(spark, sf_dir):
+    """Maximal independent set (operators/walks.py, Luby 1986) with
+    deterministic per-round re-hashed priorities — the classic parallel
+    symmetry-breaking primitive, same ParallelWhile + write-min shape as
+    the reference's batch ops. The DuckDB twin unrolls MIS_SQL_ROUNDS
+    rounds of the identical priority/winner/retire schedule."""
+    from elektra_spark.operators.walks import maximal_independent_set
+
+    return maximal_independent_set(_copurchase_graph(spark, sf_dir))
 
 
 def q_transcript_hits(spark, sf_dir):
@@ -1828,6 +1857,79 @@ def _transcript_harmonic_sql() -> str:
     )
 
 
+def _walk_hash_sql(walk: str, step: int, nbr: str) -> str:
+    """The walks/MIS arithmetic hash as SQL text, generated from the same
+    constants as the Spark expression (operators/walks.py _step_hash) so
+    the two engines share the function by construction."""
+    from elektra_spark.operators.walks import WALK_MOD, _A, _B, _C
+
+    return (
+        f"((({walk}) % {WALK_MOD}) * {_A} % {WALK_MOD} + {step * _B % WALK_MOD} "
+        f"+ (({nbr}) % {WALK_MOD}) * {_C} % {WALK_MOD}) % {WALK_MOD}"
+    )
+
+
+def _transcript_walks_sql() -> str:
+    """Twin of q_transcript_walks: per step, rank each walk's neighbor
+    candidates by the identical (hash, vid) order and keep rank 1 — the
+    same argmin the engine computes with min(struct(h, vid))."""
+    parts = [
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + f""",
+  w0 AS (SELECT vid AS walk_id, 0 AS step, vid FROM verts WHERE vid % {WALK_SEED_MOD} = 0)"""
+    ]
+    for t in range(1, WALK_LEN + 1):
+        h = _walk_hash_sql("w.walk_id", t, "b.dst")
+        parts.append(
+            f""",
+  w{t} AS MATERIALIZED (SELECT walk_id, {t} AS step, vid FROM (
+    SELECT w.walk_id, b.dst AS vid,
+           row_number() OVER (PARTITION BY w.walk_id ORDER BY {h}, b.dst) AS rn
+    FROM w{t - 1} w JOIN b ON b.src = w.vid) WHERE rn = 1)"""
+        )
+    union = " UNION ALL ".join(f"SELECT * FROM w{t}" for t in range(WALK_LEN + 1))
+    parts.append(f"\n  SELECT walk_id, step::INTEGER AS step, vid FROM ({union})")
+    return "".join(parts)
+
+
+def _mis_sql() -> str:
+    """Twin of q_mis_copurchase: MIS_SQL_ROUNDS unrolled Luby rounds —
+    per-round re-hashed priorities, winners strictly below every undecided
+    neighbor under the (h, vid) order, winners + their neighbors retired.
+    Rounds after the undecided set empties are no-ops."""
+    parts = [
+        f"""WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+  b AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+  v0 AS MATERIALIZED (SELECT DISTINCT src AS vid FROM b),
+  u0 AS (SELECT vid FROM v0)"""
+    ]
+    wins = []
+    for r in range(1, MIS_SQL_ROUNDS + 1):
+        h = _walk_hash_sql("0", r, "vid")
+        parts.append(
+            f""",
+  p{r} AS MATERIALIZED (SELECT vid, {h} AS h FROM u{r - 1}),
+  nm{r} AS (SELECT vid, hd, nvid FROM (
+    SELECT ps.vid, pd.h AS hd, b.dst AS nvid,
+           row_number() OVER (PARTITION BY ps.vid ORDER BY pd.h, b.dst) AS rn
+    FROM b JOIN p{r} ps ON b.src = ps.vid JOIN p{r} pd ON b.dst = pd.vid) WHERE rn = 1),
+  win{r} AS MATERIALIZED (SELECT p.vid FROM p{r} p LEFT JOIN nm{r} n USING (vid)
+    WHERE n.vid IS NULL OR (p.h, p.vid) < (n.hd, n.nvid)),
+  u{r} AS MATERIALIZED (SELECT u.vid FROM u{r - 1} u
+    WHERE u.vid NOT IN (SELECT vid FROM win{r})
+      AND u.vid NOT IN (SELECT b.dst FROM b JOIN win{r} w ON b.src = w.vid))"""
+        )
+        wins.append(f"SELECT vid FROM win{r}")
+    parts.append(
+        f""",
+  mis AS ({" UNION ALL ".join(wins)})
+  SELECT v.vid, (mis.vid IS NOT NULL) AS in_mis
+  FROM v0 v LEFT JOIN mis ON v.vid = mis.vid"""
+    )
+    return "".join(parts)
+
+
 def _transcript_hits_sql() -> str:
     """Unrolled HITS chain (same shape as the PageRank oracle): per
     iteration, authority = L1-normalized in-flow of hub mass over the
@@ -2371,6 +2473,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_sampled_copurchase": q_triangles_sampled_copurchase,
         "modularity_lpa_customer_orders": q_modularity_lpa_customer_orders,
         "transcript_harmonic": q_transcript_harmonic,
+        "transcript_walks": q_transcript_walks,
+        "mis_copurchase": q_mis_copurchase,
         "transcript_bipartite": q_transcript_bipartite,
         "transcript_scc": q_transcript_scc,
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
@@ -2500,6 +2604,8 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "triangles_sampled_copurchase": _triangles_sampled_sql(),
         "modularity_lpa_customer_orders": _modularity_sql(),
         "transcript_harmonic": _transcript_harmonic_sql(),
+        "transcript_walks": _transcript_walks_sql(),
+        "mis_copurchase": _mis_sql(),
         "transcript_bipartite": _transcript_bipartite_sql(),
         "transcript_scc": _transcript_scc_sql(),
         "tfidf_docs": _tfidf_sql(),

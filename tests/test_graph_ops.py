@@ -861,3 +861,127 @@ def test_bipartite_large_vids(spark):
     rows = bipartite_components(edges).collect()
     assert len(rows) == 1
     assert not rows[0]["is_bipartite"]
+
+
+# --------------------------- random walks / maximal independent set
+def _walk_hash(walk_id, step, nbr):
+    from elektra_spark.operators.walks import WALK_MOD, _A, _B, _C
+
+    return ((walk_id % WALK_MOD) * _A % WALK_MOD + step * _B % WALK_MOD
+            + (nbr % WALK_MOD) * _C % WALK_MOD) % WALK_MOD
+
+
+def _walks_oracle(pairs, seeds, walk_length):
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    rows = set()
+    for s in seeds:
+        v = s
+        rows.add((s, 0, s))
+        for t in range(1, walk_length + 1):
+            ns = nbr.get(v)
+            if not ns:
+                break
+            v = min(ns, key=lambda u: (_walk_hash(s, t, u), u))
+            rows.add((s, t, v))
+    return rows
+
+
+@pytest.mark.parametrize("pairs,seeds,length",
+                         [(HOUSE, [0, 3], 6), (CLIQUE5_PLUS_PATH + [(10, 11)], [0, 7, 10], 5),
+                          (_random_graph(61, 50, 100), [0, 1, 2, 3], 8)],
+                         ids=["house", "deadend", "random"])
+def test_random_walks_match_oracle(spark, pairs, seeds, length):
+    from elektra_spark.operators.walks import random_walks
+
+    edges = edges_from_pairs(spark, pairs)
+    sdf = spark.createDataFrame([(v,) for v in seeds], "vid long")
+    got = {(r["walk_id"], r["step"], r["vid"])
+           for r in random_walks(edges, sdf, walk_length=length).collect()}
+    assert got == _walks_oracle(pairs, seeds, length)
+
+
+def _mis_oracle(pairs, verts, max_rounds=64):
+    nbr = {v: set() for v in verts}
+    for a, b in pairs:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    undecided = set(verts)
+    mis = set()
+    for rnd in range(1, max_rounds + 1):
+        if not undecided:
+            break
+        pri = {v: (_walk_hash(0, rnd, v), v) for v in undecided}
+        winners = {v for v in undecided
+                   if all(pri[v] < pri[u] for u in nbr[v] if u in undecided)}
+        mis |= winners
+        undecided -= winners | {u for w in winners for u in nbr[w]}
+    assert not undecided
+    return mis
+
+
+@pytest.mark.parametrize("pairs", [HOUSE, CLIQUE5_PLUS_PATH,
+                                   [(i, i + 1) for i in range(40)],  # path: adversarial for fixed priorities
+                                   _random_graph(67, 60, 150)],
+                         ids=["house", "clique5path", "path40", "random"])
+def test_maximal_independent_set(spark, pairs):
+    from elektra_spark.operators.walks import maximal_independent_set
+
+    edges = edges_from_pairs(spark, pairs)
+    got = {r["vid"] for r in maximal_independent_set(edges).collect() if r["in_mis"]}
+    want = _mis_oracle(pairs, sorted({v for e in pairs for v in e}))
+    assert got == want
+    # independence + maximality (the two defining properties), re-checked
+    # directly so the test does not only trust the oracle replica
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    assert all(not (nbr[v] & got) for v in got)
+    assert all(v in got or (nbr[v] & got) for v in nbr)
+
+
+def test_mis_oracle_unroll_depth_converges():
+    """The contract twin unrolls MIS_SQL_ROUNDS Luby rounds; assert the
+    sf0.01 copurchase instance retires every vertex within that budget
+    (rounds past the empty undecided set are no-ops)."""
+    import os
+
+    import duckdb
+
+    sf_dir = os.environ.get("ELEKTRA_SF_DIR", "/root/testdata/sf0.01")
+    li = f"{sf_dir}/lineitem.parquet"
+    if not os.path.exists(li):
+        pytest.skip(f"no contract-scale data at {sf_dir}")
+    import __spark_entry__ as entry
+
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{li}')")
+    con.execute(f"CREATE TABLE e AS {entry._COPURCHASE_SQL}")
+    con.execute("CREATE TABLE b AS SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e")
+    con.execute("CREATE TABLE u AS SELECT DISTINCT src AS vid FROM b")
+    rounds = 0
+    while con.sql("SELECT count(*) FROM u").fetchone()[0] > 0:
+        rounds += 1
+        assert rounds <= entry.MIS_SQL_ROUNDS, (
+            f"MIS oracle unroll depth {entry.MIS_SQL_ROUNDS} < Luby depth at {sf_dir}"
+        )
+        h = entry._walk_hash_sql("0", rounds, "vid")
+        con.execute(f"CREATE OR REPLACE TABLE p AS SELECT vid, {h} AS h FROM u")
+        con.execute(
+            """CREATE OR REPLACE TABLE w AS
+               SELECT p.vid FROM p LEFT JOIN (
+                 SELECT vid, hd, nvid FROM (
+                   SELECT ps.vid, pd.h AS hd, b.dst AS nvid,
+                          row_number() OVER (PARTITION BY ps.vid ORDER BY pd.h, b.dst) AS rn
+                   FROM b JOIN p ps ON b.src = ps.vid JOIN p pd ON b.dst = pd.vid) WHERE rn = 1
+               ) n USING (vid)
+               WHERE n.vid IS NULL OR (p.h, p.vid) < (n.hd, n.nvid)"""
+        )
+        con.execute(
+            """CREATE OR REPLACE TABLE u AS SELECT u.vid FROM u
+               WHERE u.vid NOT IN (SELECT vid FROM w)
+                 AND u.vid NOT IN (SELECT b.dst FROM b JOIN w ON b.src = w.vid)"""
+        )
