@@ -207,6 +207,26 @@ def main():
     ]
     sections.append(("TF-IDF top-k keyword extraction", p, checks))
 
+    # 9. random-walk superstep: the per-walk argmin must be a map-side
+    # combinable min(struct(h, vid)) — hub fan-out collapses to one
+    # combiner entry per map partition — with no single-partition exchange
+    from elektra_spark.operators.walks import _step_hash
+
+    both = e.select("src", "dst").union(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    cur = both.select(F.col("src").alias("walk_id"), F.col("src").alias("vid")).distinct().limit(64)
+    cand = both.join(cur.withColumnRenamed("vid", "src"), "src").select(
+        "walk_id", F.col("dst").alias("vid"), _step_hash(F.col("walk_id"), 1, F.col("dst")).alias("h")
+    )
+    step = cand.groupBy("walk_id").agg(F.min(F.struct("h", "vid")).alias("w"))
+    p = fmt(step)
+    checks = [
+        "map-side partial min over (h, vid) structs" if "partial_min" in p else "FAIL: no partial min",
+        "walk superstep free of Exchange SinglePartition"
+        if "Exchange SinglePartition" not in p
+        else "FAIL: single-partition exchange in the walk superstep",
+    ]
+    sections.append(("Random-walk superstep (frontier join + combinable argmin)", p, checks))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (generated by tools/audit_plans.py)\n")
         f.write("\nProperties asserted for 100 TB readiness; regenerate after planner-affecting changes.\n")
