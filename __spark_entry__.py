@@ -43,6 +43,7 @@ TRI_SAMPLE_PERMILLE = 200  # DOULION edge-sampling rate p = 0.2 (deterministic h
 WALK_LEN = 8  # random-walk transitions per seed (DeepWalk-style corpus length)
 WALK_SEED_MOD = 97  # walk seeds = vertices with vid % 97 == 0 (~1% of the transcript graph)
 MIS_SQL_ROUNDS = 8  # unrolled Luby rounds; ≥ the contract instance's depth (pinned by pytest; extras are no-ops once undecided is empty)
+PSEUDO_DIAM_HOPS = 20  # double-sweep BFS bound — generous vs the copurchase graph's small-world eccentricity (~6)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -653,6 +654,21 @@ def q_transcript_harmonic(spark, sf_dir):
     g = _transcript_graph(spark)
     landmarks = g.vertices.filter(F.col("kind") == "tool").select("vid")
     return harmonic_centrality(g.edges, landmarks, vertices=g.vertices, max_hops=BFS_MAX_HOPS)
+
+
+def q_diameter_copurchase(spark, sf_dir):
+    """Double-sweep pseudo-diameter (operators/bfs.py pseudo_diameter,
+    Magnien–Latapy–Habib): two bounded BFS runs replace the Θ(|V|·|E|)
+    all-pairs sweep — the scalable diameter estimate, run on the
+    small-world copurchase graph where the sweeps resolve well inside the
+    bound (the chain-structured transcript graph's eccentricity exceeds
+    any reasonable cap, so there the estimate would just report the cap).
+    Start vertex, argmax tiebreak (max dist, min vid), and the
+    PSEUDO_DIAM_HOPS bound are the contract; the DuckDB twin chains two
+    capped recursive closures with the identical selection."""
+    from elektra_spark.operators.bfs import pseudo_diameter
+
+    return pseudo_diameter(_copurchase_graph(spark, sf_dir), max_hops=PSEUDO_DIAM_HOPS)
 
 
 def q_transcript_walks(spark, sf_dir):
@@ -1857,6 +1873,36 @@ def _transcript_harmonic_sql() -> str:
     )
 
 
+def _diameter_sql() -> str:
+    """Twin of q_diameter_copurchase: two chained capped recursive
+    closures — sweep 2 seeds from sweep 1's argmax row — with the identical
+    (dist DESC, vid) tiebreak at each cut."""
+    h = PSEUDO_DIAM_HOPS
+    return (
+        f"""WITH RECURSIVE e AS MATERIALIZED ({_COPURCHASE_SQL}),
+  b AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e)"""
+        + f""",
+  st AS (SELECT min(src) AS v FROM b),
+  d1(vid, dist) AS (
+    SELECT v, 0 FROM st
+    UNION
+    SELECT b.dst, d1.dist + 1 FROM d1 JOIN b ON b.src = d1.vid WHERE d1.dist < {h}
+  ),
+  m1 AS (SELECT vid, min(dist) AS dist FROM d1 GROUP BY vid),
+  f1 AS (SELECT vid, dist FROM m1 ORDER BY dist DESC, vid LIMIT 1),
+  d2(vid, dist) AS (
+    SELECT vid, 0 FROM f1
+    UNION
+    SELECT b.dst, d2.dist + 1 FROM d2 JOIN b ON b.src = d2.vid WHERE d2.dist < {h}
+  ),
+  m2 AS (SELECT vid, min(dist) AS dist FROM d2 GROUP BY vid),
+  f2 AS (SELECT vid, dist FROM m2 ORDER BY dist DESC, vid LIMIT 1)
+  SELECT st.v AS start, f1.vid AS far1, f1.dist::INTEGER AS ecc_start,
+         f2.vid AS far2, f2.dist::INTEGER AS pseudo_diameter
+  FROM st, f1, f2"""
+    )
+
+
 def _walk_hash_sql(walk: str, step: int, nbr: str) -> str:
     """The walks/MIS arithmetic hash as SQL text, generated from the same
     constants as the Spark expression (operators/walks.py _step_hash) so
@@ -2474,6 +2520,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "modularity_lpa_customer_orders": q_modularity_lpa_customer_orders,
         "transcript_harmonic": q_transcript_harmonic,
         "transcript_walks": q_transcript_walks,
+        "diameter_copurchase": q_diameter_copurchase,
         "mis_copurchase": q_mis_copurchase,
         "transcript_bipartite": q_transcript_bipartite,
         "transcript_scc": q_transcript_scc,
@@ -2605,6 +2652,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "modularity_lpa_customer_orders": _modularity_sql(),
         "transcript_harmonic": _transcript_harmonic_sql(),
         "transcript_walks": _transcript_walks_sql(),
+        "diameter_copurchase": _diameter_sql(),
         "mis_copurchase": _mis_sql(),
         "transcript_bipartite": _transcript_bipartite_sql(),
         "transcript_scc": _transcript_scc_sql(),

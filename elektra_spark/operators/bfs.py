@@ -279,3 +279,54 @@ def harmonic_centrality(
             .select("vid", F.coalesce("harmonic", F.lit(0.0)).alias("harmonic"))
         )
     return out
+
+
+def pseudo_diameter(
+    edges: DataFrame,
+    vertices: DataFrame | None = None,
+    max_hops: int = 40,
+    checkpoint: CheckpointFn | None = None,
+    on_superstep: SuperstepHook | None = None,
+) -> DataFrame:
+    """Double-sweep pseudo-diameter → one row
+    (start, far1, ecc_start, far2, pseudo_diameter).
+
+    The standard scalable diameter estimator (Magnien–Latapy–Habib, JEA
+    2009): BFS from a fixed start, BFS again from the farthest vertex
+    found; the second eccentricity is a lower bound on the true diameter
+    that is exact on trees and empirically tight on small-world graphs —
+    2 BFS instead of the Θ(|V|·|E|) all-pairs sweep. Deterministic
+    contract: start = the minimum vid incident to any edge; each sweep's
+    "farthest" = max distance, ties broken by minimum vid; sweeps bounded
+    at ``max_hops`` (unreached vertices are outside the estimate — the
+    bound is the contract, mirrored by the twin's capped recursions).
+
+    Cost = two :func:`hop_distance` runs (each early-exits at its
+    component's eccentricity) + two TakeOrdered-style argmax cuts.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col("src").cast("long").alias("src"), F.col("dst").cast("long").alias("dst"))
+    start_row = e.select(F.least(F.min("src"), F.min("dst")).alias("v")).collect()[0]
+    if start_row["v"] is None:
+        return spark.createDataFrame(
+            [], "start long, far1 long, ecc_start int, far2 long, pseudo_diameter int"
+        )
+    start = int(start_row["v"])
+
+    def far_of(dist_df):
+        row = (
+            dist_df.filter(F.col("dist") >= 0)
+            .orderBy(F.col("dist").desc(), F.col("vid"))
+            .limit(1)
+            .collect()[0]
+        )
+        return int(row["vid"]), int(row["dist"])
+
+    d1 = hop_distance(e, [start], max_hops=max_hops, checkpoint=checkpoint, on_superstep=on_superstep)
+    far1, ecc1 = far_of(d1)
+    d2 = hop_distance(e, [far1], max_hops=max_hops, checkpoint=checkpoint, on_superstep=on_superstep)
+    far2, ecc2 = far_of(d2)
+    return spark.createDataFrame(
+        [(start, far1, ecc1, far2, ecc2)],
+        "start long, far1 long, ecc_start int, far2 long, pseudo_diameter int",
+    )

@@ -985,3 +985,47 @@ def test_mis_oracle_unroll_depth_converges():
                WHERE u.vid NOT IN (SELECT vid FROM w)
                  AND u.vid NOT IN (SELECT b.dst FROM b JOIN w ON b.src = w.vid)"""
         )
+
+
+def _diameter_oracle(pairs, max_hops):
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+
+    def bfs(s):
+        dist = {s: 0}
+        frontier = [s]
+        for step in range(1, max_hops + 1):
+            nxt = []
+            for u in frontier:
+                for v in nbr[u]:
+                    if v not in dist:
+                        dist[v] = step
+                        nxt.append(v)
+            frontier = nxt
+        return dist
+
+    start = min(nbr)
+    d1 = bfs(start)
+    far1 = min(d1, key=lambda v: (-d1[v], v))
+    d2 = bfs(far1)
+    far2 = min(d2, key=lambda v: (-d2[v], v))
+    return (start, far1, d1[far1], far2, d2[far2])
+
+
+@pytest.mark.parametrize("pairs,hops",
+                         [(HOUSE, 10), ([(i, i + 1) for i in range(30)], 40),
+                          ([(i, i + 1) for i in range(30)], 8),  # bound below true ecc
+                          (_random_graph(71, 60, 120), 20)],
+                         ids=["house", "path", "capped", "random"])
+def test_pseudo_diameter(spark, pairs, hops):
+    from elektra_spark.operators.bfs import pseudo_diameter
+
+    edges = edges_from_pairs(spark, pairs)
+    row = pseudo_diameter(edges, max_hops=hops).collect()[0]
+    want = _diameter_oracle(pairs, hops)
+    assert (row["start"], row["far1"], row["ecc_start"], row["far2"], row["pseudo_diameter"]) == want
+    # on a path the double sweep is exact: pseudo-diameter == true diameter
+    if pairs == [(i, i + 1) for i in range(30)] and hops >= 30:
+        assert row["pseudo_diameter"] == 30
