@@ -29,6 +29,8 @@ LPA_ROUNDS = 2
 TRANSCRIPT_PR_ITERS = 10
 BFS_MAX_HOPS = 12  # bounded k-hop contract — the DuckDB twin caps identically
 HITS_ITERS = 8
+KATZ_ITERS = 6
+KATZ_ALPHA = 0.05  # attenuation; fixed-iteration truncated sum needs no spectral bound
 KCORE_K = 80  # non-trivial peel on the sf0.01 copurchase graph (6 rounds, 1857-vertex core)
 KCORE_SQL_ROUNDS = 10  # unrolled oracle rounds; ≥ the instance's peel depth + 1 (the trailing no-op round fixes the reported degrees; see _kcore_sql)
 CORENESS_SQL_ROUNDS = 24  # unrolled h-index rounds; sf0.01 copurchase converges in 19 (extras are no-ops at the fixpoint)
@@ -709,6 +711,19 @@ def q_transcript_hits(spark, sf_dir):
     return hits(g.edges, vertices=g.vertices, n_iter=HITS_ITERS).select(
         "vid", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
     )
+
+
+def q_transcript_katz(spark, sf_dir):
+    """Katz centrality (operators/katz.py) over the *directed* transcript
+    edge set: un-normalized attenuated path-count into each turn/tool
+    vertex — the centrality that keeps hub mass undivided (vs PageRank's
+    out-degree split). Fixed ``KATZ_ITERS`` synchronous iterations from the
+    beta=1 base; the DuckDB twin unrolls the identical chain."""
+    from elektra_spark.operators.katz import katz_centrality
+
+    g = _transcript_graph(spark)
+    r = katz_centrality(g.edges, vertices=g.vertices, alpha=KATZ_ALPHA, n_iter=KATZ_ITERS)
+    return r.select("vid", F.round("katz", 8).alias("katz"))
 
 
 def q_transcript_ppr(spark, sf_dir):
@@ -2012,6 +2027,34 @@ def _transcript_hits_sql() -> str:
     )
 
 
+def _transcript_katz_sql() -> str:
+    """Unrolled Katz chain (same shape as the PageRank/HITS oracles):
+    x_i(v) = beta + alpha * sum of x_{i-1} over in-neighbors along the
+    directed edge set, x_0 = beta. MATERIALIZED per step so DuckDB does not
+    inline the chain exponentially."""
+    base = (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + """,
+  x0 AS MATERIALIZED (SELECT vid, 1.0 AS score FROM verts)"""
+    )
+    chain = []
+    for i in range(1, KATZ_ITERS + 1):
+        chain.append(
+            f""",
+  in{i} AS MATERIALIZED (SELECT e.dst AS vid, sum(x{i - 1}.score) AS raw
+          FROM edges e JOIN x{i - 1} ON e.src = x{i - 1}.vid GROUP BY e.dst),
+  x{i} AS MATERIALIZED (SELECT v.vid, 1.0 + {KATZ_ALPHA} * coalesce(in{i}.raw, 0) AS score
+         FROM verts v LEFT JOIN in{i} USING (vid))"""
+        )
+    return (
+        base
+        + "".join(chain)
+        + f"""
+  SELECT vid, round(score, 8) AS katz FROM x{KATZ_ITERS}"""
+    )
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Unrolled synchronous degree-peel twin of operators/kcore.py: round i
     recomputes degrees over the subgraph induced by round i-1's survivors
@@ -2506,6 +2549,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_copurchase": q_coreness_copurchase,
         "transcript_bfs": q_transcript_bfs,
         "transcript_hits": q_transcript_hits,
+        "transcript_katz": q_transcript_katz,
         "transcript_ppr": q_transcript_ppr,
         "transcript_wpr": q_transcript_wpr,
         "transcript_sssp": q_transcript_sssp,
@@ -2638,6 +2682,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_forest": _transcript_forest_sql(),
         "transcript_bfs": _transcript_bfs_sql(),
         "transcript_hits": _transcript_hits_sql(),
+        "transcript_katz": _transcript_katz_sql(),
         "transcript_ppr": _transcript_ppr_sql(),
         "transcript_wpr": _transcript_wpr_sql(),
         "transcript_sssp": _transcript_sssp_sql(),

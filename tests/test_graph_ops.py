@@ -172,6 +172,38 @@ def test_hits_matches_oracle(spark):
     assert abs(sum(r["auth"] for r in rows) - 1.0) < 1e-9
 
 
+def _katz_oracle(pairs, verts, alpha, beta, n_iter):
+    """Directed truncated Katz iteration (pairs are src→dst)."""
+    x = {v: beta for v in verts}
+    for _ in range(n_iter):
+        raw = {}
+        for a, b in pairs:
+            raw[b] = raw.get(b, 0.0) + x[a]
+        x = {v: beta + alpha * raw.get(v, 0.0) for v in verts}
+    return x
+
+
+@pytest.mark.parametrize("pairs,n_iter", [(HOUSE, 4), (_random_graph(23, 50, 110), 6)],
+                         ids=["house", "random"])
+def test_katz_matches_oracle(spark, pairs, n_iter):
+    from elektra_spark.operators.katz import katz_centrality
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs})  # edges_from_pairs emits canonical a<b = directed a→b
+    verts = sorted({v for e in canon for v in e})
+    edges = edges_from_pairs(spark, pairs)
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    rows = katz_centrality(edges, vertices=vdf, alpha=0.05, beta=1.0, n_iter=n_iter).collect()
+    want = _katz_oracle(canon, verts, 0.05, 1.0, n_iter)
+    assert len(rows) == len(verts)
+    for r in rows:
+        assert abs(r["katz"] - want[r["vid"]]) < 1e-9
+    # vertices with no in-edges hold exactly the beta base
+    sinks = set(verts) - {b for _, b in canon}
+    for r in rows:
+        if r["vid"] in sinks:
+            assert r["katz"] == 1.0
+
+
 def test_kcore_oracle_unroll_depth_converges():
     """The contract twin unrolls KCORE_SQL_ROUNDS synchronous peel rounds;
     assert the sf0.01 instance actually reaches its fixpoint within that
