@@ -31,6 +31,8 @@ BFS_MAX_HOPS = 12  # bounded k-hop contract — the DuckDB twin caps identically
 HITS_ITERS = 8
 KATZ_ITERS = 6
 KATZ_ALPHA = 0.05  # attenuation; fixed-iteration truncated sum needs no spectral bound
+SAMPLE_RATE = 0.5  # md5-Bernoulli thinning rate for the corpus-sample contract row
+SAMPLE_QUOTA = 30  # per-language quota (binding at sf0.01: ~50 survivors per lang)
 KCORE_K = 80  # non-trivial peel on the sf0.01 copurchase graph (6 rounds, 1857-vertex core)
 KCORE_SQL_ROUNDS = 10  # unrolled oracle rounds; ≥ the instance's peel depth + 1 (the trailing no-op round fixes the reported degrees; see _kcore_sql)
 CORENESS_SQL_ROUNDS = 24  # unrolled h-index rounds; sf0.01 copurchase converges in 19 (extras are no-ops at the fixpoint)
@@ -1053,6 +1055,19 @@ def q_lang_stats_docs(spark, sf_dir):
         "total_chars",
         "total_tokens",
     )
+
+
+def q_corpus_sample_docs(spark, sf_dir):
+    """Deterministic corpus re-mix (text/sampling.py): md5-Bernoulli thinning
+    at SAMPLE_RATE (zero-shuffle map-side filter) followed by a per-language
+    quota of the SAMPLE_QUOTA md5-smallest doc_ids (one shuffle on lang).
+    The pick is a pure function of the data — the DuckDB twin replays the
+    identical hash comparisons, so the sampled id set matches exactly."""
+    from elektra_spark.text.sampling import hash_sample, stratified_quota_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
+    thinned = hash_sample(docs, "doc_id", SAMPLE_RATE)
+    return stratified_quota_sample(thinned, "lang", SAMPLE_QUOTA, "doc_id")
 
 
 def q_corpus_filter_docs(spark, sf_dir):
@@ -2482,6 +2497,22 @@ def _token_stats_sql() -> str:
   """
 
 
+def _corpus_sample_sql() -> str:
+    """Twin of q_corpus_sample_docs: same md5-prefix threshold and the same
+    total-ordered (hash, doc_id) per-language rank."""
+    from elektra_spark.text.sampling import hash_threshold
+
+    t = hash_threshold(SAMPLE_RATE)
+    return f"""
+  WITH s AS (SELECT doc_id, lang FROM documents
+             WHERE substr(md5(CAST(doc_id AS VARCHAR)), 1, 8) < '{t}'),
+  r AS (SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+        FROM s)
+  SELECT doc_id, lang FROM r WHERE rk <= {SAMPLE_QUOTA}"""
+
+
 def _corpus_filter_sql() -> str:
     """Twin of q_corpus_filter_docs, composed from the same generated twins
     (profile, near-dup pairs, BPE tokens)."""
@@ -2594,6 +2625,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_docs": q_tfidf_docs,
         "lang_stats_docs": q_lang_stats_docs,
         "corpus_filter_docs": q_corpus_filter_docs,
+        "corpus_sample_docs": q_corpus_sample_docs,
         "ann_topk_docs": q_ann_topk_docs,
         "ann_topk_brute_docs": q_ann_topk_brute_docs,
         "ann_lsh_docs": q_ann_lsh_docs,
@@ -2677,6 +2709,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "text_profile_docs": _text_profile_sql(),
         "token_stats_docs": _token_stats_sql(),
         "corpus_filter_docs": _corpus_filter_sql(),
+        "corpus_sample_docs": _corpus_sample_sql(),
         "transcript_cc": _transcript_cc_sql(),
         "transcript_pagerank": _transcript_pagerank_sql(),
         "transcript_forest": _transcript_forest_sql(),

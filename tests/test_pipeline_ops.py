@@ -478,3 +478,46 @@ def test_tfidf_top_terms_matches_sklearn_style_oracle(spark):
         rank, tf, sc = want[(r["doc_id"], r["term"])]
         assert (r["term_rank"], r["tf"]) == (rank, tf)
         assert abs(r["score"] - sc) < 1e-9
+
+
+def _md5p(v):
+    return hashlib.md5(str(v).encode()).hexdigest()[:8]
+
+
+def test_hash_sample_matches_md5_replay(spark):
+    from elektra_spark.text.sampling import hash_sample, hash_threshold
+
+    df = spark.createDataFrame([(i,) for i in range(400)], "doc_id long")
+    for rate in (0.0, 0.25, 0.5, 1.0):
+        got = sorted(r["doc_id"] for r in hash_sample(df, "doc_id", rate).collect())
+        want = sorted(i for i in range(400) if _md5p(i) < hash_threshold(rate))
+        assert got == want, rate
+    assert sorted(r["doc_id"] for r in hash_sample(df, "doc_id", 0.0).collect()) == []
+    assert len(hash_sample(df, "doc_id", 1.0).collect()) == 400
+    # rate monotonicity: the 0.25 sample is a subset of the 0.5 sample
+    s25 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.25).collect()}
+    s50 = {r["doc_id"] for r in hash_sample(df, "doc_id", 0.5).collect()}
+    assert s25 <= s50
+    # rough rate sanity on 400 uniform keys
+    assert 0.4 < len(s50) / 400 < 0.6
+
+
+def test_stratified_quota_sample_exact_pick(spark):
+    from elektra_spark.text.sampling import stratified_quota_sample
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(90)] + [(1000, "rare")]
+    df = spark.createDataFrame(rows, "doc_id long, lang string")
+    got = [(r["doc_id"], r["lang"]) for r in stratified_quota_sample(df, "lang", 7, "doc_id").collect()]
+    # per-stratum: min(quota, |stratum|) rows, the md5-smallest keys
+    by_lang = {}
+    for d, l in rows:
+        by_lang.setdefault(l, []).append(d)
+    want = set()
+    for l, ids in by_lang.items():
+        for d in sorted(ids, key=lambda d: (_md5p(d), d))[:7]:
+            want.add((d, l))
+    assert set(got) == want and len(got) == len(want)
+    assert sum(1 for _, l in got if l == "rare") == 1  # undersized stratum kept whole
+    # deterministic across runs
+    again = [(r["doc_id"], r["lang"]) for r in stratified_quota_sample(df, "lang", 7, "doc_id").collect()]
+    assert sorted(got) == sorted(again)
