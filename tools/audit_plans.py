@@ -227,6 +227,39 @@ def main():
     ]
     sections.append(("Random-walk superstep (frontier join + combinable argmin)", p, checks))
 
+    # 10. corpus sampling: the Bernoulli thinning must stay a map-side
+    # filter fused into the scan (zero exchanges), and the stratified quota
+    # must shuffle exactly once (on the stratum column, for its rank window)
+    from elektra_spark.text.sampling import hash_sample, stratified_quota_sample
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").select("doc_id", "lang")
+    p = fmt(hash_sample(docs, "doc_id", 0.5))
+    checks = [
+        "hash_sample plan has zero exchanges (pure map-side filter on the scan)"
+        if "Exchange" not in p
+        else "FAIL: hash_sample shuffles",
+        f"filter runs inside WholeStageCodegen" if re.search(r"codegen id", p) else "note: no codegen span printed",
+    ]
+    sections.append(("Corpus hash-Bernoulli sample (zero-shuffle thinning)", p, checks))
+
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    p = fmt(stratified_quota_sample(hash_sample(docs, "doc_id", 0.5), "lang", 30, "doc_id"))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    strat_ex = re.findall(r"hashpartitioning\(([a-z_]+)", p)
+    checks = [
+        f"stratified quota shuffles exactly once, on the stratum column ({strat_ex})"
+        if strat_ex == ["lang"]
+        else f"FAIL: unexpected exchanges {strat_ex}",
+        "no Exchange SinglePartition (per-stratum windows stay parallel)"
+        if "Exchange SinglePartition" not in p
+        else "FAIL: single-partition exchange in the quota window",
+        "Partial WindowGroupLimit before the exchange (map-side quota pre-prune: "
+        "only ≤ quota rows per stratum per map partition are shuffled)"
+        if re.search(r"row_number\(\), 30, Partial", p)
+        else "note: no map-side rank-limit pushdown in this plan",
+    ]
+    sections.append(("Stratified quota sample (one shuffle on the stratum)", p, checks))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (generated by tools/audit_plans.py)\n")
         f.write("\nProperties asserted for 100 TB readiness; regenerate after planner-affecting changes.\n")
