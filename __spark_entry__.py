@@ -33,6 +33,7 @@ KATZ_ITERS = 6
 KATZ_ALPHA = 0.05  # attenuation; fixed-iteration truncated sum needs no spectral bound
 SAMPLE_RATE = 0.5  # md5-Bernoulli thinning rate for the corpus-sample contract row
 SAMPLE_QUOTA = 30  # per-language quota (binding at sf0.01: ~50 survivors per lang)
+CHAR_BUDGET = 10_000  # per-language n_chars budget (binding at sf0.01: lang totals 19.5k-64k)
 KCORE_K = 80  # non-trivial peel on the sf0.01 copurchase graph (6 rounds, 1857-vertex core)
 KCORE_SQL_ROUNDS = 10  # unrolled oracle rounds; ≥ the instance's peel depth + 1 (the trailing no-op round fixes the reported degrees; see _kcore_sql)
 CORENESS_SQL_ROUNDS = 24  # unrolled h-index rounds; sf0.01 copurchase converges in 19 (extras are no-ops at the fixpoint)
@@ -1068,6 +1069,18 @@ def q_corpus_sample_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents").select("doc_id", "lang")
     thinned = hash_sample(docs, "doc_id", SAMPLE_RATE)
     return stratified_quota_sample(thinned, "lang", SAMPLE_QUOTA, "doc_id")
+
+
+def q_corpus_budget_docs(spark, sf_dir):
+    """Weight-budget corpus mix (text/sampling.py weight_budget_sample): per
+    language, keep the md5-order greedy prefix of documents whose inclusive
+    running n_chars sum stays ≤ CHAR_BUDGET — the "N tokens of each
+    language" mixing primitive. One shuffle on lang; the DuckDB twin replays
+    the identical ROWS-framed running sum."""
+    from elektra_spark.text.sampling import weight_budget_sample
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "n_chars")
+    return weight_budget_sample(docs, "lang", CHAR_BUDGET, "n_chars", "doc_id")
 
 
 def q_corpus_filter_docs(spark, sf_dir):
@@ -2513,6 +2526,18 @@ def _corpus_sample_sql() -> str:
   SELECT doc_id, lang FROM r WHERE rk <= {SAMPLE_QUOTA}"""
 
 
+def _corpus_budget_sql() -> str:
+    """Twin of q_corpus_budget_docs: identical (md5-prefix, doc_id) order and
+    an explicit ROWS frame for the inclusive running sum."""
+    return f"""
+  WITH c AS (SELECT doc_id, lang, n_chars,
+               sum(n_chars) OVER (PARTITION BY lang
+                 ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id
+                 ROWS UNBOUNDED PRECEDING) AS cum
+             FROM documents)
+  SELECT doc_id, lang, n_chars FROM c WHERE cum <= {CHAR_BUDGET}"""
+
+
 def _corpus_filter_sql() -> str:
     """Twin of q_corpus_filter_docs, composed from the same generated twins
     (profile, near-dup pairs, BPE tokens)."""
@@ -2626,6 +2651,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_stats_docs": q_lang_stats_docs,
         "corpus_filter_docs": q_corpus_filter_docs,
         "corpus_sample_docs": q_corpus_sample_docs,
+        "corpus_budget_docs": q_corpus_budget_docs,
         "ann_topk_docs": q_ann_topk_docs,
         "ann_topk_brute_docs": q_ann_topk_brute_docs,
         "ann_lsh_docs": q_ann_lsh_docs,
@@ -2710,6 +2736,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "token_stats_docs": _token_stats_sql(),
         "corpus_filter_docs": _corpus_filter_sql(),
         "corpus_sample_docs": _corpus_sample_sql(),
+        "corpus_budget_docs": _corpus_budget_sql(),
         "transcript_cc": _transcript_cc_sql(),
         "transcript_pagerank": _transcript_pagerank_sql(),
         "transcript_forest": _transcript_forest_sql(),

@@ -66,3 +66,24 @@ def stratified_quota_sample(df: DataFrame, strata_col: str, quota: int, key_col:
         raise ValueError(f"quota must be ≥ 0, got {quota}")
     w = Window.partitionBy(strata_col).orderBy(_hash_prefix(F.col(key_col)), F.col(key_col))
     return df.withColumn("_rk", F.row_number().over(w)).filter(F.col("_rk") <= quota).drop("_rk")
+
+
+def weight_budget_sample(df: DataFrame, strata_col: str, budget, weight_col: str, key_col: str) -> DataFrame:
+    """Greedy md5-order prefix per stratum under a cumulative weight budget.
+
+    The corpus-mixing primitive stated in weights rather than row counts
+    ("20k chars / 2B tokens of each language"): walk each stratum in
+    (md5(key), key) order and keep rows while the *inclusive* running sum of
+    ``weight_col`` stays ≤ ``budget``. Deterministic and engine-replayable
+    like the other samplers; an explicit ROWS frame (not the default RANGE)
+    pins the running sum so engines agree even on tied weights. Same cost
+    shape as :func:`stratified_quota_sample` — one shuffle on the stratum —
+    but without the rank-limit pre-prune (the cutoff depends on upstream
+    weights, so every stratum row rides the shuffle once).
+    """
+    w = (
+        Window.partitionBy(strata_col)
+        .orderBy(_hash_prefix(F.col(key_col)), F.col(key_col))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return df.withColumn("_cum", F.sum(weight_col).over(w)).filter(F.col("_cum") <= budget).drop("_cum")

@@ -521,3 +521,31 @@ def test_stratified_quota_sample_exact_pick(spark):
     # deterministic across runs
     again = [(r["doc_id"], r["lang"]) for r in stratified_quota_sample(df, "lang", 7, "doc_id").collect()]
     assert sorted(got) == sorted(again)
+
+
+def test_weight_budget_sample_greedy_prefix(spark):
+    from elektra_spark.text.sampling import weight_budget_sample
+
+    rows = [(i, ["en", "de"][i % 2], 10 + (i * 7) % 40) for i in range(60)]
+    df = spark.createDataFrame(rows, "doc_id long, lang string, w long")
+    budget = 200
+    got = sorted((r["doc_id"], r["lang"], r["w"]) for r in
+                 weight_budget_sample(df, "lang", budget, "w", "doc_id").collect())
+    want = []
+    by_lang = {}
+    for d, l, wt in rows:
+        by_lang.setdefault(l, []).append((d, wt))
+    for l, items in by_lang.items():
+        cum = 0
+        for d, wt in sorted(items, key=lambda t: (_md5p(t[0]), t[0])):
+            cum += wt
+            if cum <= budget:
+                want.append((d, l, wt))
+            else:
+                break  # greedy prefix: the first overflow ends the stratum
+    assert got == sorted(want)
+    # every kept stratum prefix actually fits the budget
+    sums = {}
+    for d, l, wt in got:
+        sums[l] = sums.get(l, 0) + wt
+    assert all(s <= budget for s in sums.values())
