@@ -34,6 +34,7 @@ KATZ_ALPHA = 0.05  # attenuation; fixed-iteration truncated sum needs no spectra
 SAMPLE_RATE = 0.5  # md5-Bernoulli thinning rate for the corpus-sample contract row
 SAMPLE_QUOTA = 30  # per-language quota (binding at sf0.01: ~50 survivors per lang)
 CHAR_BUDGET = 10_000  # per-language n_chars budget (binding at sf0.01: lang totals 19.5k-64k)
+BETWEENNESS_HOPS = 4  # bounded Brandes contract — the DuckDB twin unrolls identically
 KCORE_K = 80  # non-trivial peel on the sf0.01 copurchase graph (6 rounds, 1857-vertex core)
 KCORE_SQL_ROUNDS = 10  # unrolled oracle rounds; ≥ the instance's peel depth + 1 (the trailing no-op round fixes the reported degrees; see _kcore_sql)
 CORENESS_SQL_ROUNDS = 24  # unrolled h-index rounds; sf0.01 copurchase converges in 19 (extras are no-ops at the fixpoint)
@@ -727,6 +728,21 @@ def q_transcript_katz(spark, sf_dir):
     g = _transcript_graph(spark)
     r = katz_centrality(g.edges, vertices=g.vertices, alpha=KATZ_ALPHA, n_iter=KATZ_ITERS)
     return r.select("vid", F.round("katz", 8).alias("katz"))
+
+
+def q_transcript_betweenness(spark, sf_dir):
+    """Source-restricted hop-bounded Brandes betweenness
+    (operators/betweenness.py) pivoted at the 8 tool-actor vertices:
+    which turns broker the tool-call traffic. BETWEENNESS_HOPS-truncated
+    shortest-path DAGs, per the repo's bounded-BFS/SSSP contract style;
+    the DuckDB twin unrolls the identical forward-sigma / backward-delta
+    chain."""
+    from elektra_spark.operators.betweenness import betweenness
+
+    g = _transcript_graph(spark)
+    seeds = g.vertices.filter(F.col("kind") == "tool").select("vid")
+    r = betweenness(g.edges, seeds, vertices=g.vertices, max_hops=BETWEENNESS_HOPS)
+    return r.select("vid", F.round("bc", 6).alias("bc"))
 
 
 def q_transcript_ppr(spark, sf_dir):
@@ -2083,6 +2099,58 @@ def _transcript_katz_sql() -> str:
     )
 
 
+def _transcript_betweenness_sql() -> str:
+    """Unrolled Brandes twin: forward levels f0..fH accumulate per-source
+    shortest-path counts (sigma) with a per-source visited anti-join;
+    backward levels dH..d1 accumulate the dependency
+    sigma_v/sigma_w*(1+delta_w) over level-(i+1) successors. Levels past
+    the natural BFS depth are empty, which coalesces delta to 0 exactly as
+    the engine's early-exit does. MATERIALIZED per level (the chain
+    references each level several times)."""
+    H = BETWEENNESS_HOPS
+    base = (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + """,
+  f0 AS MATERIALIZED (SELECT vid AS s, vid, 1.0 AS sigma FROM tool_v),
+  vis0 AS MATERIALIZED (SELECT s, vid FROM f0)"""
+    )
+    chain = []
+    for i in range(1, H + 1):
+        chain.append(
+            f""",
+  f{i} AS MATERIALIZED (
+    SELECT f.s, b.dst AS vid, sum(f.sigma) AS sigma
+    FROM b JOIN f{i - 1} f ON b.src = f.vid
+    LEFT JOIN vis{i - 1} v ON v.s = f.s AND v.vid = b.dst
+    WHERE v.vid IS NULL
+    GROUP BY f.s, b.dst),
+  vis{i} AS MATERIALIZED (SELECT s, vid FROM vis{i - 1} UNION ALL SELECT s, vid FROM f{i})"""
+        )
+    chain.append(f""",
+  d{H} AS MATERIALIZED (SELECT s, vid, sigma, 0.0 AS delta FROM f{H})""")
+    for i in range(H - 1, 0, -1):
+        chain.append(
+            f""",
+  c{i} AS (SELECT f.s, f.vid, sum(f.sigma / g.sigma * (1.0 + g.delta)) AS delta
+           FROM f{i} f JOIN b ON b.src = f.vid
+           JOIN d{i + 1} g ON g.s = f.s AND g.vid = b.dst
+           GROUP BY f.s, f.vid),
+  d{i} AS MATERIALIZED (SELECT f.s, f.vid, f.sigma, coalesce(c.delta, 0.0) AS delta
+         FROM f{i} f LEFT JOIN c{i} c ON c.s = f.s AND c.vid = f.vid)"""
+        )
+    union = "\n    UNION ALL ".join(f"SELECT vid, delta FROM d{i}" for i in range(1, H + 1))
+    return (
+        base
+        + "".join(chain)
+        + f""",
+  alld AS ({union}),
+  bcv AS (SELECT vid, sum(delta) AS bc FROM alld GROUP BY vid)
+  SELECT v.vid, round(coalesce(bcv.bc, 0.0), 6) AS bc
+  FROM verts v LEFT JOIN bcv USING (vid)"""
+    )
+
+
 def _kcore_sql(k: int, rounds: int) -> str:
     """Unrolled synchronous degree-peel twin of operators/kcore.py: round i
     recomputes degrees over the subgraph induced by round i-1's survivors
@@ -2606,6 +2674,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_bfs": q_transcript_bfs,
         "transcript_hits": q_transcript_hits,
         "transcript_katz": q_transcript_katz,
+        "transcript_betweenness": q_transcript_betweenness,
         "transcript_ppr": q_transcript_ppr,
         "transcript_wpr": q_transcript_wpr,
         "transcript_sssp": q_transcript_sssp,
@@ -2743,6 +2812,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_bfs": _transcript_bfs_sql(),
         "transcript_hits": _transcript_hits_sql(),
         "transcript_katz": _transcript_katz_sql(),
+        "transcript_betweenness": _transcript_betweenness_sql(),
         "transcript_ppr": _transcript_ppr_sql(),
         "transcript_wpr": _transcript_wpr_sql(),
         "transcript_sssp": _transcript_sssp_sql(),

@@ -204,6 +204,63 @@ def test_katz_matches_oracle(spark, pairs, n_iter):
             assert r["katz"] == 1.0
 
 
+def _brandes_oracle(pairs, sources, max_hops):
+    """Hop-bounded source-restricted Brandes on the undirected graph."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    verts = sorted(adj)
+    bc = {v: 0.0 for v in verts}
+    for s in sources:
+        dist = {s: 0}
+        sigma = {s: 1.0}
+        levels = [[s]]
+        while len(levels) - 1 < max_hops:
+            nxt = sorted({w for v in levels[-1] for w in adj.get(v, ()) if w not in dist})
+            if not nxt:
+                break
+            d = len(levels)
+            for w in nxt:
+                dist[w] = d
+                sigma[w] = sum(sigma[u] for u in adj[w] if dist.get(u) == d - 1)
+            levels.append(nxt)
+        delta = {v: 0.0 for v in dist}
+        for i in range(len(levels) - 2, -1, -1):
+            for v in levels[i]:
+                for w in adj[v]:
+                    if dist.get(w) == i + 1:
+                        delta[v] += sigma[v] / sigma[w] * (1.0 + delta[w])
+        for v, d in delta.items():
+            if v != s:
+                bc[v] += d
+    return bc
+
+
+@pytest.mark.parametrize(
+    "pairs,sources,max_hops",
+    [
+        (HOUSE, [0, 1, 2, 3, 4], 8),  # all sources, bound slack → classic Brandes
+        (HOUSE, [0], 2),  # binding hop bound truncates the DAG
+        (CLIQUE5_PLUS_PATH, [0, 7], 8),  # path through the bridge vertex 5/6
+        (_random_graph(29, 60, 120), [0, 1, 2, 3], 4),
+    ],
+    ids=["house-all", "house-bounded", "bridge", "random"],
+)
+def test_betweenness_matches_brandes(spark, pairs, sources, max_hops):
+    from elektra_spark.operators.betweenness import betweenness
+
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    verts = sorted({v for e in canon for v in e})
+    edges = edges_from_pairs(spark, pairs)
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    rows = betweenness(edges, sources, vertices=vdf, max_hops=max_hops).collect()
+    want = _brandes_oracle(canon, sources, max_hops)
+    assert len(rows) == len(verts)
+    for r in rows:
+        assert abs(r["bc"] - want[r["vid"]]) < 1e-9, (r["vid"], r["bc"], want[r["vid"]])
+
+
 def test_kcore_oracle_unroll_depth_converges():
     """The contract twin unrolls KCORE_SQL_ROUNDS synchronous peel rounds;
     assert the sf0.01 instance actually reaches its fixpoint within that
