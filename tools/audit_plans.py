@@ -260,6 +260,29 @@ def main():
     ]
     sections.append(("Stratified quota sample (one shuffle on the stratum)", p, checks))
 
+    # 11. Brandes forward superstep: sigma accumulation must be a map-side
+    # combinable sum keyed by (source, vid) — hub fan-in collapses per map
+    # partition — with the per-source visited anti-join and no
+    # single-partition exchange
+    frontier = spark.createDataFrame([(i, i, 1.0) for i in range(64)], "s long, vid long, sigma double")
+    visited = frontier.select("s", "vid")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    nxt = (
+        both.join(frontier.withColumnRenamed("vid", "src"), "src")
+        .groupBy("s", F.col("dst").alias("vid"))
+        .agg(F.sum("sigma").alias("sigma"))
+        .join(visited, ["s", "vid"], "left_anti")
+    )
+    p = fmt(nxt)
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    checks = [
+        "map-side partial sigma sum present" if "partial_sum" in p else "FAIL: no partial aggregation",
+        "superstep free of Exchange SinglePartition"
+        if "Exchange SinglePartition" not in p
+        else "FAIL: single-partition exchange in the Brandes superstep",
+    ]
+    sections.append(("Brandes betweenness forward superstep (combinable sigma + visited anti-join)", p, checks))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (generated by tools/audit_plans.py)\n")
         f.write("\nProperties asserted for 100 TB readiness; regenerate after planner-affecting changes.\n")
