@@ -1099,6 +1099,32 @@ def q_corpus_budget_docs(spark, sf_dir):
     return weight_budget_sample(docs, "lang", CHAR_BUDGET, "n_chars", "doc_id")
 
 
+def q_corpus_sample_stream(spark, sf_dir):
+    """Streaming expression of the stratified quota sampler
+    (streaming/sampling.py): a custom stateful operator via
+    ``applyInPandasWithState`` holds each language's SAMPLE_QUOTA
+    md5-smallest doc_ids as a min-k lattice state, fed by a file-source
+    stream of the documents table split across micro-batches. The drained
+    winner snapshot must equal the batch rank — the DuckDB twin is the
+    plain per-language rank over the full table."""
+    import shutil
+    import tempfile
+
+    from elektra_spark.streaming.sampling import drain_quota_winners, streaming_quota_sample
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"elektra_stream_sample_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "docs")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "lang").repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, lang string").option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    winners = streaming_quota_sample(stream, "lang", SAMPLE_QUOTA, "doc_id")
+    rows = [(k, s) for s, k in drain_quota_winners(winners, os.path.join(base, "ckpt"))]
+    return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
 def q_corpus_filter_docs(spark, sf_dir):
     """End-to-end training-corpus curation — the pipeline the individual ops
     exist for, composed: quality gate (≥ 0.5), exact dedup (keep the min
@@ -2606,6 +2632,18 @@ def _corpus_budget_sql() -> str:
   SELECT doc_id, lang, n_chars FROM c WHERE cum <= {CHAR_BUDGET}"""
 
 
+def _corpus_sample_stream_sql() -> str:
+    """Twin of q_corpus_sample_stream: the per-language quota rank over the
+    FULL table (no Bernoulli pre-filter) — what the streaming min-k state
+    must converge to regardless of micro-batch split."""
+    return f"""
+  WITH r AS (SELECT doc_id, lang,
+               row_number() OVER (PARTITION BY lang
+                 ORDER BY substr(md5(CAST(doc_id AS VARCHAR)), 1, 8), doc_id) AS rk
+             FROM documents)
+  SELECT doc_id, lang FROM r WHERE rk <= {SAMPLE_QUOTA}"""
+
+
 def _corpus_filter_sql() -> str:
     """Twin of q_corpus_filter_docs, composed from the same generated twins
     (profile, near-dup pairs, BPE tokens)."""
@@ -2721,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_filter_docs": q_corpus_filter_docs,
         "corpus_sample_docs": q_corpus_sample_docs,
         "corpus_budget_docs": q_corpus_budget_docs,
+        "corpus_sample_stream": q_corpus_sample_stream,
         "ann_topk_docs": q_ann_topk_docs,
         "ann_topk_brute_docs": q_ann_topk_brute_docs,
         "ann_lsh_docs": q_ann_lsh_docs,
@@ -2806,6 +2845,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "corpus_filter_docs": _corpus_filter_sql(),
         "corpus_sample_docs": _corpus_sample_sql(),
         "corpus_budget_docs": _corpus_budget_sql(),
+        "corpus_sample_stream": _corpus_sample_stream_sql(),
         "transcript_cc": _transcript_cc_sql(),
         "transcript_pagerank": _transcript_pagerank_sql(),
         "transcript_forest": _transcript_forest_sql(),

@@ -242,3 +242,32 @@ def test_streaming_dedup_order_independent_and_replay_safe(spark, tmp_path):
         after = {r["k"]: r["rep"] for r in catalog.read("dedup_state").collect()}
         before = {r["k"]: r["rep"] for r in catalog.read("dedup_state", version=v0).collect()}
         assert after == before
+
+
+def test_streaming_quota_sample_matches_batch_and_split_independent(spark, tmp_path):
+    """applyInPandasWithState min-k winner state: the drained winners must
+    equal the batch stratified_quota_sample over the union of all
+    micro-batches, for EVERY batch split (min-k is a lattice merge)."""
+    from elektra_spark.streaming.sampling import drain_quota_winners, streaming_quota_sample
+    from elektra_spark.text.sampling import stratified_quota_sample
+
+    rows = [(i, ["en", "de", "fr"][i % 3]) for i in range(120)] + [(900, "rare")]
+    batch = spark.createDataFrame(rows, "doc_id long, lang string")
+    want = sorted(
+        (r["lang"], r["doc_id"]) for r in stratified_quota_sample(batch, "lang", 9, "doc_id").collect()
+    )
+
+    results = []
+    for tag, n_files in (("one", 1), ("four", 4)):
+        src = tmp_path / f"src_{tag}"
+        batch.repartition(n_files).write.parquet(str(src))
+        stream = (
+            spark.readStream.schema("doc_id long, lang string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        winners = streaming_quota_sample(stream, "lang", 9, "doc_id")
+        got = drain_quota_winners(winners, str(tmp_path / f"ckpt_{tag}"))
+        results.append(sorted((s, k) for s, k in got))
+    assert results[0] == want
+    assert results[1] == want  # split-independent final state
