@@ -35,6 +35,7 @@ SAMPLE_RATE = 0.5  # md5-Bernoulli thinning rate for the corpus-sample contract 
 SAMPLE_QUOTA = 30  # per-language quota (binding at sf0.01: ~50 survivors per lang)
 CHAR_BUDGET = 10_000  # per-language n_chars budget (binding at sf0.01: lang totals 19.5k-64k)
 BETWEENNESS_HOPS = 4  # bounded Brandes contract — the DuckDB twin unrolls identically
+EIGEN_ITERS = 8
 KCORE_K = 80  # non-trivial peel on the sf0.01 copurchase graph (6 rounds, 1857-vertex core)
 KCORE_SQL_ROUNDS = 10  # unrolled oracle rounds; ≥ the instance's peel depth + 1 (the trailing no-op round fixes the reported degrees; see _kcore_sql)
 CORENESS_SQL_ROUNDS = 24  # unrolled h-index rounds; sf0.01 copurchase converges in 19 (extras are no-ops at the fixpoint)
@@ -728,6 +729,19 @@ def q_transcript_katz(spark, sf_dir):
     g = _transcript_graph(spark)
     r = katz_centrality(g.edges, vertices=g.vertices, alpha=KATZ_ALPHA, n_iter=KATZ_ITERS)
     return r.select("vid", F.round("katz", 8).alias("katz"))
+
+
+def q_transcript_eigenvector(spark, sf_dir):
+    """Eigenvector centrality (operators/eigenvector.py): L1-normalized
+    power iteration over the symmetric transcript adjacency — the plain
+    dominant-eigenvector score next to PageRank's damped and Katz's
+    attenuated variants. Fixed EIGEN_ITERS iterations; the DuckDB twin
+    unrolls the identical chain over the both-directions relation."""
+    from elektra_spark.operators.eigenvector import eigenvector_centrality
+
+    g = _transcript_graph(spark)
+    r = eigenvector_centrality(g.edges, vertices=g.vertices, n_iter=EIGEN_ITERS)
+    return r.select("vid", F.round("score", 8).alias("score"))
 
 
 def q_transcript_betweenness(spark, sf_dir):
@@ -2125,6 +2139,34 @@ def _transcript_katz_sql() -> str:
     )
 
 
+def _transcript_eigenvector_sql() -> str:
+    """Unrolled eigenvector chain over the both-directions relation ``b``
+    (same shape as the HITS twin: per step an in-flow sum then an L1
+    normalization by the scalar sum)."""
+    base = (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + """,
+  nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+  x0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM nn) AS score FROM verts)"""
+    )
+    chain = []
+    for i in range(1, EIGEN_ITERS + 1):
+        chain.append(
+            f""",
+  xr{i} AS MATERIALIZED (SELECT b.dst AS vid, sum(x{i - 1}.score) AS raw
+          FROM b JOIN x{i - 1} ON b.src = x{i - 1}.vid GROUP BY b.dst),
+  x{i} AS MATERIALIZED (SELECT v.vid, coalesce(xr{i}.raw, 0) / (SELECT sum(raw) FROM xr{i}) AS score
+         FROM verts v LEFT JOIN xr{i} USING (vid))"""
+        )
+    return (
+        base
+        + "".join(chain)
+        + f"""
+  SELECT vid, round(score, 8) AS score FROM x{EIGEN_ITERS}"""
+    )
+
+
 def _transcript_betweenness_sql() -> str:
     """Unrolled Brandes twin: forward levels f0..fH accumulate per-source
     shortest-path counts (sigma) with a per-source visited anti-join;
@@ -2713,6 +2755,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_hits": q_transcript_hits,
         "transcript_katz": q_transcript_katz,
         "transcript_betweenness": q_transcript_betweenness,
+        "transcript_eigenvector": q_transcript_eigenvector,
         "transcript_ppr": q_transcript_ppr,
         "transcript_wpr": q_transcript_wpr,
         "transcript_sssp": q_transcript_sssp,
@@ -2853,6 +2896,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_hits": _transcript_hits_sql(),
         "transcript_katz": _transcript_katz_sql(),
         "transcript_betweenness": _transcript_betweenness_sql(),
+        "transcript_eigenvector": _transcript_eigenvector_sql(),
         "transcript_ppr": _transcript_ppr_sql(),
         "transcript_wpr": _transcript_wpr_sql(),
         "transcript_sssp": _transcript_sssp_sql(),

@@ -1118,3 +1118,33 @@ def test_pseudo_diameter(spark, pairs, hops):
     # on a path the double sweep is exact: pseudo-diameter == true diameter
     if pairs == [(i, i + 1) for i in range(30)] and hops >= 30:
         assert row["pseudo_diameter"] == 30
+
+
+def _eigen_oracle(pairs, verts, n_iter):
+    """Undirected L1-normalized power iteration."""
+    adj = {}
+    for a, b in pairs:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    x = {v: 1.0 / len(verts) for v in verts}
+    for _ in range(n_iter):
+        raw = {v: sum(x[u] for u in adj.get(v, ())) for v in verts}
+        tot = sum(raw.values()) or 1.0
+        x = {v: raw[v] / tot for v in verts}
+    return x
+
+
+def test_eigenvector_matches_oracle(spark):
+    from elektra_spark.operators.eigenvector import eigenvector_centrality
+
+    pairs = _random_graph(31, 50, 110)
+    verts = sorted({v for e in pairs for v in e} | {999})  # 999 isolated → 0
+    edges = edges_from_pairs(spark, pairs)
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    rows = eigenvector_centrality(edges, vertices=vdf, n_iter=6).collect()
+    want = _eigen_oracle(pairs, [v for v in verts if v != 999], 6)
+    want[999] = 0.0
+    assert len(rows) == len(verts)
+    for r in rows:
+        assert abs(r["score"] - want[r["vid"]]) < 1e-9
+    assert abs(sum(r["score"] for r in rows) - 1.0) < 1e-9
