@@ -1,5 +1,11 @@
 """Source-restricted, hop-bounded betweenness centrality (Brandes).
 
+Not in the reference as a named operator (like bfs.py: the reference's
+public surface is connectivity; this is the whole-graph analytics pass its
+benchmark loop stands in for, elektra/benchmark.h:1) — betweenness is the
+standard "who brokers the traffic" query every link-graph user runs next
+to PageRank, so it ships as a first-class superstep operator here.
+
 Brandes (J. Math. Sociol. 2001) computes betweenness as a sum of
 per-source *dependencies*: a forward BFS from each source counts shortest
 paths (``sigma``), then a backward pass over the BFS DAG accumulates
