@@ -2156,9 +2156,12 @@ def _transcript_eigenvector_sql() -> str:
             f""",
   xr{i} AS MATERIALIZED (SELECT b.dst AS vid, sum(x{i - 1}.score) AS raw
           FROM b JOIN x{i - 1} ON b.src = x{i - 1}.vid GROUP BY b.dst),
-  x{i} AS MATERIALIZED (SELECT v.vid, coalesce(xr{i}.raw, 0) / (SELECT sum(raw) FROM xr{i}) AS score
+  x{i} AS MATERIALIZED (SELECT v.vid,
+           coalesce(coalesce(xr{i}.raw, 0) / (SELECT sum(raw) FROM xr{i}), 0.0) AS score
          FROM verts v LEFT JOIN xr{i} USING (vid))"""
         )
+    # the outer coalesce matches hits._l1's `or 1.0` normalizer guard: an
+    # edgeless graph yields 0.0 everywhere in both engines, not NULL
     return (
         base
         + "".join(chain)

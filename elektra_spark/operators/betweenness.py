@@ -62,9 +62,11 @@ def betweenness(
     """→ (vid, bc): Brandes dependency summed over ``sources``, hop-bounded.
 
     ``bc`` for a vertex never on a bounded shortest path between a source
-    and another reached vertex is 0 (rows for never-reached vertices
-    require ``vertices``). Sources themselves accumulate dependency from
-    *other* sources' BFS trees, per the standard definition.
+    and another reached vertex is 0. Without ``vertices``, output rows
+    cover every vertex reached at depth ≥ 1 in some source's tree; a
+    source appears only via *other* sources' trees (its own level-0 delta
+    is excluded per the standard definition), and never-reached vertices
+    appear only with ``vertices``.
     """
     spark = edges.sparkSession
     both = edges.select("src", "dst").union(
@@ -105,9 +107,11 @@ def betweenness(
             visited = checkpoint(visited.unionByName(nxt.select("s", "vid")), step)
 
         # backward dependency accumulation: deepest level has no successors
-        # (delta = 0); walk the DAG back to level 1
-        deltas: list[DataFrame] = []
+        # (delta = 0); walk the DAG back to level 1. The deepest level's
+        # zero-delta rows join the output union so every reached non-source
+        # vertex gets a row even without ``vertices``.
         succ = levels[-1].withColumn("delta", F.lit(0.0))
+        deltas: list[DataFrame] = [succ] if len(levels) > 1 else []
         for i in range(len(levels) - 2, -1, -1):
             t0 = time.time()
             cur = levels[i]
@@ -124,9 +128,11 @@ def betweenness(
             cur_d = cur.join(contrib, ["s", "vid"], "left").select(
                 "s", "vid", "sigma", F.coalesce("delta", F.lit(0.0)).alias("delta")
             )
-            cur_d = checkpoint(cur_d, 100 + i)
+            # backward step ids live above the forward range (max_hops + 1 + i)
+            # so a shared checkpoint namespace never collides
+            cur_d = checkpoint(cur_d, max_hops + 1 + i)
             if on_superstep is not None:
-                on_superstep(100 + i, -1, time.time() - t0)
+                on_superstep(max_hops + 1 + i, -1, time.time() - t0)
             succ = cur_d
             if i >= 1:  # the source's own delta (level 0) is not part of bc
                 deltas.append(cur_d)

@@ -48,6 +48,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from .cc import CheckpointFn, RetainedCheckpointer, SuperstepHook, _no_aqe
+from .hits import _spread
 
 
 def katz_centrality(
@@ -77,11 +78,7 @@ def katz_centrality(
         x = checkpoint(universe.withColumn("score", F.lit(float(beta))), 0)
         for step in range(1, n_iter + 1):
             t0 = time.time()
-            inflow = (
-                e.join(x, e["src"] == x["vid"])
-                .groupBy(F.col("dst").alias("vid"))
-                .agg(F.sum("score").alias("raw"))
-            )
+            inflow = _spread(e, x, "src", "dst")
             x = universe.join(inflow, "vid", "left").select(
                 "vid",
                 (F.lit(float(beta)) + F.lit(float(alpha)) * F.coalesce("raw", F.lit(0.0))).alias("score"),

@@ -87,10 +87,17 @@ def streaming_quota_sample(stream: DataFrame, strata_col: str, quota: int, key_c
 def drain_quota_winners(winners: DataFrame, checkpoint_dir: str) -> list:
     """Drain a bounded stream with ``Trigger.AvailableNow`` and return each
     stratum's LATEST winner snapshot (max ``seen``) as (strata, key) rows."""
-    emissions: list = []
+    # keep only each stratum's max-`seen` snapshot as batches drain, so the
+    # driver holds strata × quota rows regardless of micro-batch count
+    latest: dict = {}
 
     def _absorb(batch_df: DataFrame, batch_id: int) -> None:
-        emissions.extend(batch_df.collect())
+        for r in batch_df.collect():
+            cur = latest.get(r["strata"])
+            if cur is None or r["seen"] > cur[0]:
+                latest[r["strata"]] = (r["seen"], {(r["strata"], r["key"])})
+            elif r["seen"] == cur[0]:
+                cur[1].add((r["strata"], r["key"]))
 
     q = (
         winners.writeStream.foreachBatch(_absorb)
@@ -100,14 +107,7 @@ def drain_quota_winners(winners: DataFrame, checkpoint_dir: str) -> list:
         .start()
     )
     q.awaitTermination()
-    latest: dict = {}
-    for r in emissions:
-        if r["strata"] not in latest or r["seen"] > latest[r["strata"]][0]:
-            latest[r["strata"]] = (r["seen"], [])
-    for r in emissions:
-        if r["seen"] == latest[r["strata"]][0]:
-            latest[r["strata"]][1].append((r["strata"], r["key"]))
     out = []
     for _, (_, rows) in sorted(latest.items()):
-        out.extend(sorted(set(rows)))
+        out.extend(sorted(rows))
     return out

@@ -26,6 +26,14 @@ The hex-string comparison (rather than casting the prefix to an integer)
 is deliberate: lowercase-hex lexicographic order equals numeric order, and
 every engine compares strings identically — no conv()/overflow semantics to
 reconcile across engines.
+
+Key contract: ``key_col`` must be NON-NULL (and should be unique — the key
+is the identity of the pick). Engines disagree on NULL ordering (Spark
+sorts NULLS FIRST ascending, DuckDB defaults NULLS LAST) and ``NULL < t``
+filters NULL keys out of :func:`hash_sample` silently, so a nullable key
+breaks the cross-engine replay guarantee. Weights passed to
+:func:`weight_budget_sample` must be non-negative — a negative weight can
+make the running sum dip back under budget and the kept set non-contiguous.
 """
 
 from __future__ import annotations
@@ -79,7 +87,10 @@ def weight_budget_sample(df: DataFrame, strata_col: str, budget, weight_col: str
     pins the running sum so engines agree even on tied weights. Same cost
     shape as :func:`stratified_quota_sample` — one shuffle on the stratum —
     but without the rank-limit pre-prune (the cutoff depends on upstream
-    weights, so every stratum row rides the shuffle once).
+    weights, so every stratum row rides the shuffle once). Weights must be
+    non-negative (module docstring): the operator keeps rows with inclusive
+    running sum ≤ budget, which is the greedy prefix only when the running
+    sum is monotone.
     """
     w = (
         Window.partitionBy(strata_col)

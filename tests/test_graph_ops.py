@@ -1148,3 +1148,14 @@ def test_eigenvector_matches_oracle(spark):
     for r in rows:
         assert abs(r["score"] - want[r["vid"]]) < 1e-9
     assert abs(sum(r["score"] for r in rows) - 1.0) < 1e-9
+
+
+def test_betweenness_no_vertices_covers_deepest_level(spark):
+    """Without `vertices`, every vertex reached at depth ≥ 1 gets a row —
+    including the deepest level's zero-delta vertices."""
+    from elektra_spark.operators.betweenness import betweenness
+
+    edges = edges_from_pairs(spark, [(0, 1), (1, 2)])  # path 0-1-2
+    got = {r["vid"]: r["bc"] for r in betweenness(edges, [0], max_hops=2).collect()}
+    assert set(got) == {1, 2}  # source 0 excluded, deepest vertex 2 present
+    assert got[1] == 1.0 and got[2] == 0.0
