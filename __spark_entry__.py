@@ -473,6 +473,15 @@ def q_triangles_copurchase(spark, sf_dir):
     return triangle_count(_copurchase_graph(spark, sf_dir))
 
 
+def q_four_cycles_copurchase(spark, sf_dir):
+    """Exact global 4-cycle (rectangle) count (triangles.py
+    four_cycle_count) via the closed-4-walk trace identity — pure integer
+    aggregates, so the DuckDB twin matches bit-for-bit."""
+    from elektra_spark.operators.triangles import four_cycle_count
+
+    return four_cycle_count(_copurchase_graph(spark, sf_dir))
+
+
 def q_degree_histogram_parts(spark, sf_dir):
     from elektra_spark.operators.degrees import degree_histogram
 
@@ -2750,6 +2759,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "forest_size_customer_orders": q_forest_size_customer_orders,
         "cc_doc_lang_chain": q_cc_doc_lang_chain,
         "triangles_copurchase": q_triangles_copurchase,
+        "four_cycles_copurchase": q_four_cycles_copurchase,
         "triangles_per_vertex_copurchase": q_triangles_per_vertex_copurchase,
         "degree_histogram_parts": q_degree_histogram_parts,
         "kcore_copurchase": q_kcore_copurchase,
@@ -2861,6 +2871,18 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
   WITH e AS ({_COPURCHASE_SQL})
   SELECT count(*) AS n_triangles
   FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  """,
+        "four_cycles_copurchase": f"""
+  WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+  b AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+  lam AS (SELECT b1.dst AS u, b2.dst AS w, count(*) AS lam
+          FROM b b1 JOIN b b2 ON b1.src = b2.src AND b1.dst <> b2.dst
+          GROUP BY b1.dst, b2.dst),
+  s1 AS (SELECT sum(lam * lam) AS v FROM lam),
+  s2 AS (SELECT sum(d * d) AS v FROM (SELECT count(*) AS d FROM b GROUP BY src)),
+  mm AS (SELECT count(*) AS v FROM e)
+  SELECT (((SELECT v FROM s1) - (SELECT v FROM s2) + 2 * (SELECT v FROM mm)) / 8)::BIGINT
+         AS n_four_cycles
   """,
         "triangles_per_vertex_copurchase": f"""
   WITH e AS ({_COPURCHASE_SQL}),

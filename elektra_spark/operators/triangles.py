@@ -51,6 +51,58 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     return tri.agg(F.count("*").cast("long").alias("n_triangles"))
 
 
+def four_cycle_count(edges: DataFrame) -> DataFrame:
+    """→ single-row (n_four_cycles: long) — exact rectangle count.
+
+    Uses the closed-4-walk trace identity: with λ(u,w) = common-neighbor
+    count and A the adjacency matrix,
+
+        tr(A⁴) = Σ_{u≠w} λ(u,w)² + Σ_v deg(v)²
+        C4     = (Σ_{u≠w} λ(u,w)² − Σ_v deg(v)² + 2m) / 8
+
+    (each 4-cycle contributes 8 closed 4-walks; the two correction terms
+    remove the u-v-u-v and u-v-u-w degenerate walks). Everything is an
+    integer aggregate — the DuckDB twin reproduces it exactly, and the
+    quadruple-enumeration this replaces never materializes.
+
+    Plan: the both-directions relation self-joins on the wedge center (one
+    shuffle, co-partitioned), λ is a map-side-combinable count per ordered
+    endpoint pair (second shuffle), and the three scalars fold in a
+    cross-join of 1-row frames — no driver-side collect.
+
+    Scale note (honest envelope): the wedge relation is Σ_v deg(v)² rows —
+    quadratic in hub degree, NOT the O(m^1.5) degree-ordered bound the
+    triangle counter gets, because λ needs *every* wedge, not one per
+    oriented apex. At 100 TB, cap hub centers (the linkpred
+    LINKPRED_MAX_PIVOT_DEG contract) for a bounded variant, or sample
+    edges DOULION-style (keep p, scale C4 by p⁻⁴) for an unbiased
+    estimate; the exact form here is for graphs whose max degree is
+    bounded (the co-purchase contract instance).
+    """
+    b = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    lam = (
+        b.select(F.col("src").alias("c"), F.col("dst").alias("u"))
+        .join(b.select(F.col("src").alias("c"), F.col("dst").alias("w")), "c")
+        .filter(F.col("u") != F.col("w"))
+        .groupBy("u", "w")
+        .agg(F.count("*").alias("lam"))
+        .agg(F.sum(F.col("lam") * F.col("lam")).alias("s_lam2"))
+    )
+    deg2 = b.groupBy("src").agg(F.count("*").alias("d")).agg(F.sum(F.col("d") * F.col("d")).alias("s_deg2"))
+    m = edges.agg(F.count("*").alias("m"))
+    return (
+        lam.crossJoin(deg2)
+        .crossJoin(m)
+        .select(
+            ((F.col("s_lam2") - F.col("s_deg2") + 2 * F.col("m")) / F.lit(8))
+            .cast("long")
+            .alias("n_four_cycles")
+        )
+    )
+
+
 def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
     """→ (vid, degree, n_triangles, coeff): Watts–Strogatz local clustering
     coefficient ``2·T(v) / (d(v)·(d(v)−1))`` per vertex, 0 when ``d < 2``.

@@ -1159,3 +1159,38 @@ def test_betweenness_no_vertices_covers_deepest_level(spark):
     got = {r["vid"]: r["bc"] for r in betweenness(edges, [0], max_hops=2).collect()}
     assert set(got) == {1, 2}  # source 0 excluded, deepest vertex 2 present
     assert got[1] == 1.0 and got[2] == 0.0
+
+
+def _c4_trace_oracle(pairs):
+    """Independent method: dense numpy A^4 trace identity."""
+    import numpy as np
+
+    verts = sorted({v for e in pairs for v in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    A = np.zeros((len(verts), len(verts)), dtype=np.int64)
+    for a, b in pairs:
+        A[idx[a], idx[b]] = A[idx[b], idx[a]] = 1
+    deg = A.sum(axis=1)
+    tr4 = np.trace(np.linalg.matrix_power(A, 4))
+    return int((tr4 - 2 * (deg**2).sum() + 2 * len(pairs)) // 8)
+
+
+@pytest.mark.parametrize(
+    "pairs,want",
+    [
+        ([(0, 1), (1, 2), (2, 3), (3, 0)], 1),  # C4 itself
+        ([(a, b) for a in range(4) for b in range(a + 1, 4)], 3),  # K4: 3 rectangles
+        (HOUSE, None),
+        (_random_graph(37, 40, 120), None),
+    ],
+    ids=["c4", "k4", "house", "random"],
+)
+def test_four_cycle_count(spark, pairs, want):
+    from elektra_spark.operators.triangles import four_cycle_count
+
+    edges = edges_from_pairs(spark, pairs)
+    got = four_cycle_count(edges).collect()[0]["n_four_cycles"]
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    assert got == _c4_trace_oracle(canon)
+    if want is not None:
+        assert got == want
