@@ -672,6 +672,19 @@ def q_transcript_harmonic(spark, sf_dir):
     return harmonic_centrality(g.edges, landmarks, vertices=g.vertices, max_hops=BFS_MAX_HOPS)
 
 
+def q_transcript_closeness(spark, sf_dir):
+    """Landmark closeness (operators/bfs.py closeness_centrality): Lin's
+    reached/sum-distance ratio over the tool-actor landmarks within
+    BFS_MAX_HOPS — both aggregates are exact integers with one final
+    division, so the DuckDB twin (same capped per-landmark closure as
+    harmonic's) matches at the 1e-6 rounding in any summation order."""
+    from elektra_spark.operators.bfs import closeness_centrality
+
+    g = _transcript_graph(spark)
+    landmarks = g.vertices.filter(F.col("kind") == "tool").select("vid")
+    return closeness_centrality(g.edges, landmarks, vertices=g.vertices, max_hops=BFS_MAX_HOPS)
+
+
 def q_diameter_copurchase(spark, sf_dir):
     """Double-sweep pseudo-diameter (operators/bfs.py pseudo_diameter,
     Magnien–Latapy–Habib): two bounded BFS runs replace the Θ(|V|·|E|)
@@ -1981,6 +1994,25 @@ def _transcript_harmonic_sql() -> str:
     )
 
 
+def _transcript_closeness_sql() -> str:
+    """Twin of q_transcript_closeness: the harmonic twin's per-landmark
+    capped closure, aggregated as count/sum instead of Σ(L // d)."""
+    return (
+        "WITH RECURSIVE "
+        + _transcript_tables_sql(300).lstrip()
+        + f""",
+  d(lmk, vid, dist) AS (
+    SELECT vid, vid, 0 FROM tool_v
+    UNION
+    SELECT d.lmk, b.dst, d.dist + 1 FROM d JOIN b ON b.src = d.vid WHERE d.dist < {BFS_MAX_HOPS}
+  ),
+  md AS (SELECT lmk, vid, min(dist) AS dist FROM d GROUP BY lmk, vid),
+  c AS (SELECT vid, count(*)::BIGINT AS r, sum(dist)::BIGINT AS sd FROM md WHERE dist > 0 GROUP BY vid)
+  SELECT v.vid, coalesce(round(c.r::DOUBLE / c.sd::DOUBLE, 6), 0.0) AS closeness
+  FROM verts v LEFT JOIN c USING (vid)"""
+    )
+
+
 def _diameter_sql() -> str:
     """Twin of q_diameter_copurchase: two chained capped recursive
     closures — sweep 2 seeds from sweep 1's argmax row — with the identical
@@ -2782,6 +2814,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "triangles_sampled_copurchase": q_triangles_sampled_copurchase,
         "modularity_lpa_customer_orders": q_modularity_lpa_customer_orders,
         "transcript_harmonic": q_transcript_harmonic,
+        "transcript_closeness": q_transcript_closeness,
         "transcript_walks": q_transcript_walks,
         "diameter_copurchase": q_diameter_copurchase,
         "mis_copurchase": q_mis_copurchase,
@@ -2935,6 +2968,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "triangles_sampled_copurchase": _triangles_sampled_sql(),
         "modularity_lpa_customer_orders": _modularity_sql(),
         "transcript_harmonic": _transcript_harmonic_sql(),
+        "transcript_closeness": _transcript_closeness_sql(),
         "transcript_walks": _transcript_walks_sql(),
         "diameter_copurchase": _diameter_sql(),
         "mis_copurchase": _mis_sql(),

@@ -281,6 +281,62 @@ def harmonic_centrality(
     return out
 
 
+def closeness_centrality(
+    edges: DataFrame,
+    landmarks: DataFrame | list[int],
+    vertices: DataFrame | None = None,
+    max_hops: int = 12,
+    checkpoint: CheckpointFn | None = None,
+    on_superstep: SuperstepHook | None = None,
+) -> DataFrame:
+    """Landmark closeness → (vid, closeness): ``R(v) / Σ d(l, v)`` over
+    landmarks with ``0 < d ≤ max_hops``, where ``R`` is the reached-landmark
+    count — Lin's-index form, so partial reachability scales the score down
+    instead of blowing it up, the same disconnection-robustness motivation
+    as :func:`harmonic_centrality`. Vertices reaching no landmark score 0.
+
+    Same estimator contract (landmark set + hop bound ARE the semantics)
+    and the same cross-engine exactness argument: both ``R`` and ``Σ d``
+    are integer aggregates, and the single final IEEE division is
+    summation-order-independent. Execution is the identical per-landmark
+    frontier expansion (one shared ``_expand_frontier`` loop), so the
+    100 TB envelope matches harmonic's: |landmarks| × reached state rows.
+    """
+    spark = edges.sparkSession
+    both = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if isinstance(landmarks, DataFrame):
+        seed = landmarks.select(F.col("vid").cast("long").alias("lmk")).distinct()
+    else:
+        seed = spark.createDataFrame([(int(v),) for v in landmarks], "lmk long").distinct()
+
+    if checkpoint is None:
+        checkpoint = RetainedCheckpointer()
+    visited = _expand_frontier(
+        spark,
+        both,
+        seed.select("lmk", F.col("lmk").alias("vid"), F.lit(0).alias("dist")),
+        ["lmk", "vid"],
+        max_hops,
+        checkpoint,
+        on_superstep,
+    )
+    agg = visited.filter(F.col("dist") > 0).groupBy("vid").agg(
+        F.count("*").alias("r"), F.sum("dist").alias("sd")
+    )
+    out = agg.select(
+        "vid", F.round(F.col("r").cast("double") / F.col("sd").cast("double"), 6).alias("closeness")
+    )
+    if vertices is not None:
+        out = (
+            vertices.select("vid")
+            .join(out, "vid", "left")
+            .select("vid", F.coalesce("closeness", F.lit(0.0)).alias("closeness"))
+        )
+    return out
+
+
 def pseudo_diameter(
     edges: DataFrame,
     vertices: DataFrame | None = None,

@@ -1194,3 +1194,23 @@ def test_four_cycle_count(spark, pairs, want):
     assert got == _c4_trace_oracle(canon)
     if want is not None:
         assert got == want
+
+
+def test_closeness_matches_oracle(spark):
+    from elektra_spark.operators.bfs import closeness_centrality
+
+    pairs = _random_graph(41, 40, 70) + [(100, 101)]  # extra far component
+    landmarks = [0, 1, 2]
+    canon = sorted({(min(a, b), max(a, b)) for a, b in pairs})
+    verts = sorted({v for e in canon for v in e} | set(landmarks))
+    edges = edges_from_pairs(spark, pairs)
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    got = {r["vid"]: r["closeness"] for r in
+           closeness_centrality(edges, landmarks, vertices=vdf, max_hops=6).collect()}
+    want = {}
+    for v in verts:
+        ds = [_bfs_oracle(canon, [l], 6).get(v, -1) for l in landmarks]
+        ds = [d for d in ds if d > 0]
+        want[v] = round(len(ds) / sum(ds), 6) if ds else 0.0
+    assert got == want
+    assert got[100] == 0.0  # unreached component scores 0
