@@ -36,6 +36,8 @@ SAMPLE_QUOTA = 30  # per-language quota (binding at sf0.01: ~50 survivors per la
 CHAR_BUDGET = 10_000  # per-language n_chars budget (binding at sf0.01: lang totals 19.5k-64k)
 BETWEENNESS_HOPS = 4  # bounded Brandes contract — the DuckDB twin unrolls identically
 EIGEN_ITERS = 8
+CHUNK_SIZE = 200  # chunking window (sf0.01 docs run ~100-500 chars → 1-4 chunks each)
+CHUNK_STRIDE = 150  # overlapping stride (size - 50 chars of overlap)
 KCORE_K = 80  # non-trivial peel on the sf0.01 copurchase graph (6 rounds, 1857-vertex core)
 KCORE_SQL_ROUNDS = 10  # unrolled oracle rounds; ≥ the instance's peel depth + 1 (the trailing no-op round fixes the reported degrees; see _kcore_sql)
 CORENESS_SQL_ROUNDS = 24  # unrolled h-index rounds; sf0.01 copurchase converges in 19 (extras are no-ops at the fixpoint)
@@ -1159,6 +1161,17 @@ def q_corpus_sample_stream(spark, sf_dir):
     winners = streaming_quota_sample(stream, "lang", SAMPLE_QUOTA, "doc_id")
     rows = [(k, s) for s, k in drain_quota_winners(winners, os.path.join(base, "ckpt"))]
     return spark.createDataFrame(rows, "doc_id long, lang string")
+
+
+def q_chunk_docs(spark, sf_dir):
+    """Document chunking (text/chunking.py): overlapping CHUNK_SIZE-char
+    windows every CHUNK_STRIDE chars — flat-map column algebra, zero
+    shuffles. The contract hash pins byte-for-byte chunk-text equality
+    against DuckDB's generate_series + substr twin."""
+    from elektra_spark.text.chunking import chunk_documents
+
+    docs = _t(spark, sf_dir, "documents")
+    return chunk_documents(docs, size=CHUNK_SIZE, stride=CHUNK_STRIDE)
 
 
 def q_corpus_filter_docs(spark, sf_dir):
@@ -2718,6 +2731,20 @@ def _corpus_budget_sql() -> str:
   SELECT doc_id, lang, n_chars FROM c WHERE cum <= {CHAR_BUDGET}"""
 
 
+def _chunk_docs_sql() -> str:
+    """Twin of q_chunk_docs: identical window generation via a lateral
+    generate_series — byte-identical substrings."""
+    return f"""
+  WITH mx AS (SELECT (greatest(max(length(coalesce(text, ''))), 1) - 1) // {CHUNK_STRIDE} AS m
+              FROM documents),
+  g AS (SELECT unnest(generate_series(0, (SELECT m FROM mx))) AS i)
+  SELECT doc_id, g.i::INTEGER AS chunk_idx,
+         substr(coalesce(text, ''), (g.i * {CHUNK_STRIDE} + 1)::INTEGER, {CHUNK_SIZE}) AS chunk_text,
+         length(substr(coalesce(text, ''), (g.i * {CHUNK_STRIDE} + 1)::INTEGER, {CHUNK_SIZE}))::BIGINT AS n_chars
+  FROM documents CROSS JOIN g
+  WHERE g.i <= (greatest(length(coalesce(text, '')), 1) - 1) // {CHUNK_STRIDE}"""
+
+
 def _corpus_sample_stream_sql() -> str:
     """Twin of q_corpus_sample_stream: the per-language quota rank over the
     FULL table (no Bernoulli pre-filter) — what the streaming min-k state
@@ -2849,6 +2876,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_docs": q_corpus_sample_docs,
         "corpus_budget_docs": q_corpus_budget_docs,
         "corpus_sample_stream": q_corpus_sample_stream,
+        "chunk_docs": q_chunk_docs,
         "ann_topk_docs": q_ann_topk_docs,
         "ann_topk_brute_docs": q_ann_topk_brute_docs,
         "ann_lsh_docs": q_ann_lsh_docs,
@@ -2947,6 +2975,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "corpus_sample_docs": _corpus_sample_sql(),
         "corpus_budget_docs": _corpus_budget_sql(),
         "corpus_sample_stream": _corpus_sample_stream_sql(),
+        "chunk_docs": _chunk_docs_sql(),
         "transcript_cc": _transcript_cc_sql(),
         "transcript_pagerank": _transcript_pagerank_sql(),
         "transcript_forest": _transcript_forest_sql(),

@@ -549,3 +549,28 @@ def test_weight_budget_sample_greedy_prefix(spark):
     for d, l, wt in got:
         sums[l] = sums.get(l, 0) + wt
     assert all(s <= budget for s in sums.values())
+
+
+def test_chunk_documents_windows_exact(spark):
+    from elektra_spark.text.chunking import chunk_documents
+
+    rows = [
+        (0, "abcdefghij"),          # 10 chars
+        (1, "abc"),                 # shorter than one window
+        (2, ""),                    # empty → one empty chunk
+        (3, None),                  # NULL → one empty chunk
+        (4, "x" * 13),              # tail window kept
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {(r["doc_id"], r["chunk_idx"]): (r["chunk_text"], r["n_chars"])
+           for r in chunk_documents(df, size=5, stride=4).collect()}
+    want = {}
+    for d, t in rows:
+        t = t or ""
+        last = max(len(t) - 1, 0) // 4
+        for i in range(last + 1):
+            c = t[i * 4 : i * 4 + 5]
+            want[(d, i)] = (c, len(c))
+    assert got == want
+    # overlap: consecutive chunks share size - stride chars
+    assert got[(0, 0)][0] == "abcde" and got[(0, 1)][0] == "efghi" and got[(0, 2)][0] == "ij"
