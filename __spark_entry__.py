@@ -38,6 +38,8 @@ BETWEENNESS_HOPS = 4  # bounded Brandes contract — the DuckDB twin unrolls ide
 EIGEN_ITERS = 8
 CHUNK_SIZE = 200  # chunking window (sf0.01 docs run ~100-500 chars → 1-4 chunks each)
 CHUNK_STRIDE = 150  # overlapping stride (size - 50 chars of overlap)
+PROJ_MAX_BASKET = 5  # projection group guard — binds at sf0.01 (3215 orders dropped)
+PROJ_MIN_WEIGHT = 2  # keep pairs co-occurring in ≥ 2 baskets (700 rows at sf0.01)
 KCORE_K = 80  # non-trivial peel on the sf0.01 copurchase graph (6 rounds, 1857-vertex core)
 KCORE_SQL_ROUNDS = 10  # unrolled oracle rounds; ≥ the instance's peel depth + 1 (the trailing no-op round fixes the reported degrees; see _kcore_sql)
 CORENESS_SQL_ROUNDS = 24  # unrolled h-index rounds; sf0.01 copurchase converges in 19 (extras are no-ops at the fixpoint)
@@ -482,6 +484,22 @@ def q_four_cycles_copurchase(spark, sf_dir):
     from elektra_spark.operators.triangles import four_cycle_count
 
     return four_cycle_count(_copurchase_graph(spark, sf_dir))
+
+
+def q_copurchase_weighted(spark, sf_dir):
+    """First-class weighted bipartite projection (operators/projection.py):
+    the co-purchase pattern with co-occurrence weights, a binding
+    PROJ_MAX_BASKET group guard (3215 oversized orders dropped at sf0.01)
+    and a PROJ_MIN_WEIGHT pair filter — both part of the operator contract
+    and applied identically by the DuckDB twin."""
+    from elektra_spark.operators.projection import project_bipartite
+
+    li = _t(spark, sf_dir, "lineitem").select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    )
+    return project_bipartite(
+        li, min_weight=PROJ_MIN_WEIGHT, max_group_size=PROJ_MAX_BASKET
+    )
 
 
 def q_degree_histogram_parts(spark, sf_dir):
@@ -2819,6 +2837,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_doc_lang_chain": q_cc_doc_lang_chain,
         "triangles_copurchase": q_triangles_copurchase,
         "four_cycles_copurchase": q_four_cycles_copurchase,
+        "copurchase_weighted": q_copurchase_weighted,
         "triangles_per_vertex_copurchase": q_triangles_per_vertex_copurchase,
         "degree_histogram_parts": q_degree_histogram_parts,
         "kcore_copurchase": q_kcore_copurchase,
@@ -2932,6 +2951,14 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
   WITH e AS ({_COPURCHASE_SQL})
   SELECT count(*) AS n_triangles
   FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  """,
+        "copurchase_weighted": f"""
+  WITH r AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS m FROM lineitem),
+  ok AS (SELECT g FROM r GROUP BY g HAVING count(*) <= {PROJ_MAX_BASKET}),
+  rr AS (SELECT r.g, r.m FROM r JOIN ok USING (g))
+  SELECT a.m AS src, b.m AS dst, count(*)::BIGINT AS weight
+  FROM rr a JOIN rr b ON a.g = b.g AND a.m < b.m
+  GROUP BY a.m, b.m HAVING count(*) >= {PROJ_MIN_WEIGHT}
   """,
         "four_cycles_copurchase": f"""
   WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),

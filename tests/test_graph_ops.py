@@ -1214,3 +1214,25 @@ def test_closeness_matches_oracle(spark):
         want[v] = round(len(ds) / sum(ds), 6) if ds else 0.0
     assert got == want
     assert got[100] == 0.0  # unreached component scores 0
+
+
+def test_project_bipartite_weights_and_guards(spark):
+    from elektra_spark.operators.projection import project_bipartite
+
+    rel = [
+        (1, 10), (1, 11), (1, 12),           # group 1 → 3 pairs, weight 1 each
+        (2, 10), (2, 11),                    # (10,11) again → weight 2
+        (3, 10), (3, 11), (3, 12), (3, 13),  # size 4 → dropped by cap 3
+        (4, 20), (4, 20),                    # duplicate membership collapses
+    ]
+    df = spark.createDataFrame(rel, "src long, dst long")
+    got = {(r["src"], r["dst"]): r["weight"]
+           for r in project_bipartite(df, max_group_size=3).collect()}
+    assert got == {(10, 11): 2, (10, 12): 1, (11, 12): 1}
+    # min_weight filter
+    got2 = {(r["src"], r["dst"]): r["weight"]
+            for r in project_bipartite(df, min_weight=2, max_group_size=3).collect()}
+    assert got2 == {(10, 11): 2}
+    # no cap → group 3's pairs appear
+    got3 = {(r["src"], r["dst"]): r["weight"] for r in project_bipartite(df).collect()}
+    assert got3[(10, 13)] == 1 and got3[(10, 11)] == 3
