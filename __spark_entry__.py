@@ -626,6 +626,19 @@ def q_triangles_sampled_copurchase(spark, sf_dir):
     return triangle_count_sampled(_copurchase_graph(spark, sf_dir), p_permille=TRI_SAMPLE_PERMILLE)
 
 
+def q_conductance_lpa_customer_orders(spark, sf_dir):
+    """Per-community conductance (lpa.py conductance) of the same LPA
+    partition — cut / min(vol, 2m − vol), the boundary-quality complement
+    to modularity's density score. Integer cut/volume aggregates with one
+    division per row; the DuckDB twin re-derives the identical partition
+    from the shared _lpa_chain and applies the same formula."""
+    from elektra_spark.operators.lpa import conductance, label_propagation
+
+    edges, vertices = _customer_order_graph(spark, sf_dir)
+    labels = label_propagation(edges, vertices=vertices, rounds=LPA_ROUNDS)
+    return conductance(edges, labels)
+
+
 def q_modularity_lpa_customer_orders(spark, sf_dir):
     """Newman modularity (lpa.py modularity) of the LPA_ROUNDS-round label
     propagation partition over the customer↔orders graph — the quality
@@ -2611,6 +2624,30 @@ def _modularity_sql() -> str:
     )
 
 
+def _conductance_sql() -> str:
+    """Twin of q_conductance_lpa_customer_orders: the shared _lpa_chain
+    partition, then integer cut/volume per community and the identical
+    guarded division."""
+    lf = f"l{LPA_ROUNDS}"
+    return (
+        _lpa_chain()
+        + f""",
+  mm AS (SELECT count(*)::BIGINT AS m FROM e),
+  el AS (SELECT ls.label AS ls, ld.label AS ld
+         FROM e JOIN {lf} ls ON e.src = ls.vid JOIN {lf} ld ON e.dst = ld.vid),
+  cr AS (SELECT ls AS label FROM el WHERE ls <> ld
+         UNION ALL SELECT ld FROM el WHERE ls <> ld),
+  cuts AS (SELECT label, count(*)::BIGINT AS cut_edges FROM cr GROUP BY label),
+  vol AS (SELECT l.label, count(*)::BIGINT AS volume
+          FROM b JOIN {lf} l ON b.src = l.vid GROUP BY l.label)
+  SELECT vol.label, coalesce(cuts.cut_edges, 0)::BIGINT AS cut_edges, vol.volume,
+         CASE WHEN least(vol.volume, 2 * mm.m - vol.volume) <= 0 THEN 0.0
+              ELSE round(coalesce(cuts.cut_edges, 0)::DOUBLE
+                         / least(vol.volume, 2 * mm.m - vol.volume)::DOUBLE, 6) END AS conductance
+  FROM vol LEFT JOIN cuts USING (label) CROSS JOIN mm"""
+    )
+
+
 def _jaccard_sql() -> str:
     """Twin of q_jaccard_copurchase: identical pivot degree guard for the
     numerator, full-degree union denominator, NOT-EXISTS edge exclusion,
@@ -2859,6 +2896,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "jaccard_copurchase": q_jaccard_copurchase,
         "triangles_sampled_copurchase": q_triangles_sampled_copurchase,
         "modularity_lpa_customer_orders": q_modularity_lpa_customer_orders,
+        "conductance_lpa_customer_orders": q_conductance_lpa_customer_orders,
         "transcript_harmonic": q_transcript_harmonic,
         "transcript_closeness": q_transcript_closeness,
         "transcript_walks": q_transcript_walks,
@@ -3023,6 +3061,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "jaccard_copurchase": _jaccard_sql(),
         "triangles_sampled_copurchase": _triangles_sampled_sql(),
         "modularity_lpa_customer_orders": _modularity_sql(),
+        "conductance_lpa_customer_orders": _conductance_sql(),
         "transcript_harmonic": _transcript_harmonic_sql(),
         "transcript_closeness": _transcript_closeness_sql(),
         "transcript_walks": _transcript_walks_sql(),

@@ -1236,3 +1236,21 @@ def test_project_bipartite_weights_and_guards(spark):
     # no cap → group 3's pairs appear
     got3 = {(r["src"], r["dst"]): r["weight"] for r in project_bipartite(df).collect()}
     assert got3[(10, 13)] == 1 and got3[(10, 11)] == 3
+
+
+def test_conductance_matches_hand_computation(spark):
+    from elektra_spark.operators.lpa import conductance
+
+    # two triangles joined by one bridge edge; m = 7
+    pairs = [(0, 1), (1, 2), (0, 2), (3, 4), (4, 5), (3, 5), (2, 3)]
+    labels = [(0, 0), (1, 0), (2, 0), (3, 1), (4, 1), (5, 1)]
+    edges = edges_from_pairs(spark, pairs)
+    lab = spark.createDataFrame(labels, "vid long, label long")
+    got = {r["label"]: (r["cut_edges"], r["volume"], r["conductance"])
+           for r in conductance(edges, lab).collect()}
+    # each community: cut 1 (the bridge), volume 7, min(7, 14-7)=7 → 1/7
+    assert got == {0: (1, 7, round(1 / 7, 6)), 1: (1, 7, round(1 / 7, 6))}
+    # whole graph one community → cut 0, denom 0 → 0.0
+    one = spark.createDataFrame([(v, 9) for v in range(6)], "vid long, label long")
+    got1 = conductance(edges, one).collect()
+    assert len(got1) == 1 and got1[0]["conductance"] == 0.0 and got1[0]["cut_edges"] == 0
