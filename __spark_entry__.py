@@ -1011,6 +1011,38 @@ def q_near_duplicates_docs(spark, sf_dir):
     )
 
 
+def q_dup_clusters_docs(spark, sf_dir):
+    """Duplicate-cluster resolution (dedup/clusters.py): the verified
+    near-duplicate pairs of ``near_duplicates_docs`` become an undirected
+    similarity graph, connected components pick the min-doc_id canonical
+    keeper per cluster (similarity is not transitive — pairwise keep/drop
+    over chains A~B~C is wrong), and every doc gets (cluster, keep). The
+    DuckDB twin recomputes the identical pair set and closes it with the
+    pruned recursive CC CTE."""
+    from elektra_spark.dedup.clusters import duplicate_clusters
+
+    docs = _t(spark, sf_dir, "documents")
+    return duplicate_clusters(docs, threshold=0.2, n_hashes=8, bands=4, shingle_n=2)
+
+
+def _dup_clusters_sql() -> str:
+    """Twin of q_dup_clusters_docs: the near_duplicates pair query nested as
+    a CTE, closed by the same pruned recursive min-label CC the transcript
+    CC oracles use (label l crosses an edge only while l < dst)."""
+    return f"""WITH RECURSIVE pairs AS (
+    SELECT a, b FROM ({_near_duplicates_sql()}) t
+  ),
+  verts AS (SELECT doc_id AS vid FROM documents),
+  b AS (SELECT a AS src, b AS dst FROM pairs UNION ALL SELECT b AS src, a AS dst FROM pairs),
+  r(vid, label) AS (
+    SELECT vid, vid FROM verts
+    UNION
+    SELECT b.dst, r.label FROM r JOIN b ON b.src = r.vid WHERE r.label < b.dst
+  ),
+  cc AS (SELECT vid, min(label) AS component FROM r GROUP BY vid)
+  SELECT vid AS doc_id, component AS cluster, (vid = component) AS keep FROM cc"""
+
+
 # ----------------------------------------------------------- dedup/text/ann
 def q_dedup_prefix_docs(spark, sf_dir):
     from elektra_spark.dedup.exact import exact_duplicates
@@ -2925,6 +2957,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "simhash_near_pairs_docs": q_simhash_near_pairs_docs,
         "near_duplicates_docs": q_near_duplicates_docs,
+        "dup_clusters_docs": q_dup_clusters_docs,
         "text_profile_docs": q_text_profile_docs,
         "token_stats_docs": q_token_stats_docs,
         "tfidf_docs": q_tfidf_docs,
@@ -3090,6 +3123,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
   """,
         "transcript_text_roundtrip": _transcript_roundtrip_sql(),
         "near_duplicates_docs": _near_duplicates_sql(),
+        "dup_clusters_docs": _dup_clusters_sql(),
         "ann_lsh_docs": _ann_lsh_sql(),
         "ann_lsh_multiprobe_docs": _ann_lsh_sql(multi_probe=2),
         "ann_topk_brute_docs": _ann_topk_brute_sql(),

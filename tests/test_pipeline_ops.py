@@ -574,3 +574,26 @@ def test_chunk_documents_windows_exact(spark):
     assert got == want
     # overlap: consecutive chunks share size - stride chars
     assert got[(0, 0)][0] == "abcde" and got[(0, 1)][0] == "efghi" and got[(0, 2)][0] == "ij"
+
+
+def test_duplicate_clusters_transitive_chain(spark):
+    """A~B and B~C but A!~C pairwise: cluster resolution must still put all
+    three in one cluster and keep exactly the min id — the case pairwise
+    keep/drop gets wrong."""
+    from elektra_spark.dedup.clusters import duplicate_clusters
+
+    a = " ".join(f"w{i}" for i in range(12))
+    b = " ".join(f"w{i}" for i in range(3, 15))   # shares 9/15 shingle-ish overlap with a
+    c = " ".join(f"w{i}" for i in range(6, 18))   # overlaps b, not a (Jaccard(a,c) low)
+    rows = [(10, a), (11, b), (12, c), (13, "unrelated text entirely different words here")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["cluster"], r["keep"])
+           for r in duplicate_clusters(df, threshold=0.4, n_hashes=8, bands=8, shingle_n=1).collect()}
+    # sanity: the pairwise jaccards really are chain-shaped at this threshold
+    from elektra_spark.dedup.ngram import pair_jaccard
+    pairs = spark.createDataFrame([(10, 11), (11, 12), (10, 12)], "a long, b long")
+    j = {(r["a"], r["b"]): r["jaccard"] for r in pair_jaccard(pairs, df, shingle_n=1).collect()}
+    assert j[(10, 11)] >= 0.4 and j[(11, 12)] >= 0.4 and j[(10, 12)] < 0.4
+    assert got[10] == (10, True)
+    assert got[11] == (10, False) and got[12] == (10, False)  # transitive closure
+    assert got[13] == (13, True)  # singleton keeps itself
