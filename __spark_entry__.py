@@ -1043,6 +1043,63 @@ def _dup_clusters_sql() -> str:
   SELECT vid AS doc_id, component AS cluster, (vid = component) AS keep FROM cc"""
 
 
+_NGRAM3_SQL = """toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents
+  ), sh3 AS (
+    SELECT doc_id,
+           CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
+                ELSE list_transform(generate_series(0, greatest(len(tk) - 3, 0)),
+                                    i -> array_to_string(tk[i + 1 : i + 3], ' '))
+           END AS gs
+    FROM toks
+  ), ex3 AS (SELECT doc_id, unnest(gs) AS ngram FROM sh3)"""
+
+
+def q_repeated_ngrams_docs(spark, sf_dir):
+    """Cross-document repeated 3-grams (dedup/ngram.py repeated_ngrams) —
+    the Lee-et-al. substring-dedup signal: boilerplate n-grams appearing in
+    ≥ 2 distinct docs, with doc- and occurrence-counts. One combinable
+    shuffle on the n-gram key; the DuckDB twin unnests the same shingle
+    windows (identical clamped tail semantics for short docs)."""
+    from elektra_spark.dedup.ngram import repeated_ngrams
+
+    docs = _t(spark, sf_dir, "documents")
+    return repeated_ngrams(docs, n=3, min_docs=2)
+
+
+def q_decontaminate_docs(spark, sf_dir):
+    """Benchmark decontamination (dedup/ngram.py decontaminate): eval set =
+    every 25th doc; every remaining training doc is scored by the distinct
+    3-grams it shares with ANY eval doc (broadcast semi-join against the
+    eval n-gram set) and flagged. Zero-overlap docs still appear (left
+    join), so the output is a complete keep/drop assignment."""
+    from elektra_spark.dedup.ngram import decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    return decontaminate(docs, ev, n=3)
+
+
+def _repeated_ngrams_sql() -> str:
+    return f"""WITH {_NGRAM3_SQL}
+  SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
+  FROM ex3 GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2"""
+
+
+def _decontaminate_sql() -> str:
+    return f"""WITH {_NGRAM3_SQL},
+  dex AS (SELECT DISTINCT doc_id, ngram FROM ex3),
+  ev AS (SELECT DISTINCT ngram FROM dex WHERE doc_id % 25 = 0),
+  tr AS (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0),
+  hits AS (
+    SELECT dex.doc_id, count(*) AS n_shared
+    FROM dex JOIN ev USING (ngram) WHERE dex.doc_id % 25 <> 0 GROUP BY dex.doc_id
+  )
+  SELECT tr.doc_id, coalesce(hits.n_shared, 0) AS n_shared,
+         coalesce(hits.n_shared, 0) > 0 AS contaminated
+  FROM tr LEFT JOIN hits USING (doc_id)"""
+
+
 # ----------------------------------------------------------- dedup/text/ann
 def q_dedup_prefix_docs(spark, sf_dir):
     from elektra_spark.dedup.exact import exact_duplicates
@@ -2958,6 +3015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs_docs": q_simhash_near_pairs_docs,
         "near_duplicates_docs": q_near_duplicates_docs,
         "dup_clusters_docs": q_dup_clusters_docs,
+        "repeated_ngrams_docs": q_repeated_ngrams_docs,
+        "decontaminate_docs": q_decontaminate_docs,
         "text_profile_docs": q_text_profile_docs,
         "token_stats_docs": q_token_stats_docs,
         "tfidf_docs": q_tfidf_docs,
@@ -3124,6 +3183,8 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_text_roundtrip": _transcript_roundtrip_sql(),
         "near_duplicates_docs": _near_duplicates_sql(),
         "dup_clusters_docs": _dup_clusters_sql(),
+        "repeated_ngrams_docs": _repeated_ngrams_sql(),
+        "decontaminate_docs": _decontaminate_sql(),
         "ann_lsh_docs": _ann_lsh_sql(),
         "ann_lsh_multiprobe_docs": _ann_lsh_sql(multi_probe=2),
         "ann_topk_brute_docs": _ann_topk_brute_sql(),

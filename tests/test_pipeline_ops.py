@@ -597,3 +597,44 @@ def test_duplicate_clusters_transitive_chain(spark):
     assert got[10] == (10, True)
     assert got[11] == (10, False) and got[12] == (10, False)  # transitive closure
     assert got[13] == (13, True)  # singleton keeps itself
+
+
+def test_repeated_ngrams_counts(spark):
+    from elektra_spark.dedup.ngram import repeated_ngrams
+
+    rows = [
+        (0, "a b c a b c"),     # "a b c" twice in one doc
+        (1, "a b c d"),
+        (2, "x y"),             # short doc → one clamped 2-token shingle
+        (3, "x y"),
+        (4, ""),                # empty → no shingles
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["ngram"]: (r["n_docs"], r["n_occurrences"])
+           for r in repeated_ngrams(df, n=3, min_docs=2).collect()}
+    # "a b c": docs 0 (twice? windows: "a b c","b c a","c a b","a b c") and 1
+    assert got["a b c"] == (2, 3)
+    assert got["x y"] == (2, 2)  # clamped tail shingle from both short docs
+    assert "b c a" not in got    # single-doc n-grams filtered by min_docs
+    assert all(nd >= 2 for nd, _ in got.values())
+
+
+def test_decontaminate_flags_overlap(spark):
+    from elektra_spark.dedup.ngram import decontaminate
+
+    docs = spark.createDataFrame(
+        [
+            (0, "the eval benchmark question text"),   # eval doc
+            (1, "training doc with the eval benchmark question inside"),
+            (2, "completely clean training document body"),
+            (3, "the eval benchmark question text"),   # exact eval copy
+        ],
+        "doc_id long, text string",
+    )
+    ev = docs.filter(F.col("doc_id") == 0)
+    got = {r["doc_id"]: (r["n_shared"], r["contaminated"])
+           for r in decontaminate(docs, ev, n=3).collect()}
+    assert 0 not in got                      # eval doc never reported
+    assert got[1][1] and got[1][0] >= 2      # shares "the eval benchmark", ...
+    assert got[2] == (0, False)              # clean doc present with zero
+    assert got[3] == (3, True)               # exact copy shares all 3 windows
