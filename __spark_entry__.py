@@ -1043,16 +1043,20 @@ def _dup_clusters_sql() -> str:
   SELECT vid AS doc_id, component AS cluster, (vid = component) AS keep FROM cc"""
 
 
-_NGRAM3_SQL = """toks AS (
+def _ngram_cte(n: int) -> str:
+    """toks/sh/ex CTE chain: documents → exploded word n-grams, with the
+    shingle helper's exact semantics (dedup/minhash.py shingles — empty
+    text → no grams, docs shorter than n → one clamped window)."""
+    return f"""toks AS (
     SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents
-  ), sh3 AS (
+  ), sh AS (
     SELECT doc_id,
            CASE WHEN len(tk) = 0 THEN []::VARCHAR[]
-                ELSE list_transform(generate_series(0, greatest(len(tk) - 3, 0)),
-                                    i -> array_to_string(tk[i + 1 : i + 3], ' '))
+                ELSE list_transform(generate_series(0, greatest(len(tk) - {n}, 0)),
+                                    i -> array_to_string(tk[i + 1 : i + {n}], ' '))
            END AS gs
     FROM toks
-  ), ex3 AS (SELECT doc_id, unnest(gs) AS ngram FROM sh3)"""
+  ), ex AS (SELECT doc_id, unnest(gs) AS ngram FROM sh)"""
 
 
 def q_repeated_ngrams_docs(spark, sf_dir):
@@ -1080,15 +1084,41 @@ def q_decontaminate_docs(spark, sf_dir):
     return decontaminate(docs, ev, n=3)
 
 
+def q_repetition_docs(spark, sf_dir):
+    """Gopher-style intra-doc repetition signals (text/analysis.py
+    repetition_profile): duplicate-token fraction + top-bigram occupancy per
+    document — the quality rules that catch looping/templated text before
+    training. Two combinable explode→groupBy chains, no corpus joins."""
+    from elektra_spark.text.analysis import repetition_profile
+
+    docs = _t(spark, sf_dir, "documents")
+    return repetition_profile(docs)
+
+
+def _repetition_sql() -> str:
+    return f"""WITH {_ngram_cte(2)},
+  ex1 AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+  tc AS (SELECT doc_id, t, count(*) AS c FROM ex1 GROUP BY doc_id, t),
+  d AS (SELECT doc_id, sum(CASE WHEN c > 1 THEN c ELSE 0 END)::BIGINT AS dup_toks,
+               sum(c)::BIGINT AS n FROM tc GROUP BY doc_id),
+  bgc AS (SELECT doc_id, ngram, count(*) AS c FROM ex GROUP BY doc_id, ngram),
+  tb AS (SELECT doc_id, max(c)::BIGINT AS top_bg, sum(c)::BIGINT AS nb FROM bgc GROUP BY doc_id)
+  SELECT documents.doc_id,
+         coalesce(d.n, 0) AS n_tokens,
+         round(coalesce(d.dup_toks / d.n, 0), 6) AS dup_token_frac,
+         round(coalesce(tb.top_bg / tb.nb, 0), 6) AS top_bigram_frac
+  FROM documents LEFT JOIN d USING (doc_id) LEFT JOIN tb USING (doc_id)"""
+
+
 def _repeated_ngrams_sql() -> str:
-    return f"""WITH {_NGRAM3_SQL}
+    return f"""WITH {_ngram_cte(3)}
   SELECT ngram, count(DISTINCT doc_id) AS n_docs, count(*) AS n_occurrences
-  FROM ex3 GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2"""
+  FROM ex GROUP BY ngram HAVING count(DISTINCT doc_id) >= 2"""
 
 
 def _decontaminate_sql() -> str:
-    return f"""WITH {_NGRAM3_SQL},
-  dex AS (SELECT DISTINCT doc_id, ngram FROM ex3),
+    return f"""WITH {_ngram_cte(3)},
+  dex AS (SELECT DISTINCT doc_id, ngram FROM ex),
   ev AS (SELECT DISTINCT ngram FROM dex WHERE doc_id % 25 = 0),
   tr AS (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0),
   hits AS (
@@ -3017,6 +3047,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_docs": q_dup_clusters_docs,
         "repeated_ngrams_docs": q_repeated_ngrams_docs,
         "decontaminate_docs": q_decontaminate_docs,
+        "repetition_docs": q_repetition_docs,
         "text_profile_docs": q_text_profile_docs,
         "token_stats_docs": q_token_stats_docs,
         "tfidf_docs": q_tfidf_docs,
@@ -3185,6 +3216,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "dup_clusters_docs": _dup_clusters_sql(),
         "repeated_ngrams_docs": _repeated_ngrams_sql(),
         "decontaminate_docs": _decontaminate_sql(),
+        "repetition_docs": _repetition_sql(),
         "ann_lsh_docs": _ann_lsh_sql(),
         "ann_lsh_multiprobe_docs": _ann_lsh_sql(multi_probe=2),
         "ann_topk_brute_docs": _ann_topk_brute_sql(),

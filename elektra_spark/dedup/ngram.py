@@ -75,8 +75,10 @@ def repeated_ngrams(
     ``min_docs`` filter applies post-agg, so the reduced relation — not
     the exploded one — is what survives.
     """
+    # NULL text = empty (size(NULL) dodges the shingle helper's empty guard)
     sh = docs.select(
-        F.col(id_col).alias("id"), F.explode(shingles(F.col(text_col), n)).alias("ngram")
+        F.col(id_col).alias("id"),
+        F.explode(shingles(F.coalesce(F.col(text_col), F.lit("")), n)).alias("ngram"),
     )
     return (
         sh.groupBy("ngram")
@@ -111,14 +113,10 @@ def decontaminate(
     """
     from pyspark.sql.functions import broadcast
 
-    ev = (
-        eval_docs.select(F.explode(shingles(F.col(text_col), n)).alias("ngram"))
-        .distinct()
-    )
+    txt = F.coalesce(F.col(text_col), F.lit(""))  # NULL text = empty
+    ev = eval_docs.select(F.explode(shingles(txt, n)).alias("ngram")).distinct()
     train = docs.join(eval_docs.select(id_col), id_col, "left_anti")
-    tr = train.select(
-        F.col(id_col), F.explode(shingles(F.col(text_col), n)).alias("ngram")
-    ).distinct()
+    tr = train.select(F.col(id_col), F.explode(shingles(txt, n)).alias("ngram")).distinct()
     hits = (
         tr.join(broadcast(ev), "ngram", "left_semi")
         .groupBy(id_col)

@@ -171,3 +171,59 @@ def text_profile(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") 
         lang_id(t).alias("lang_pred"),
         fingerprint(t).alias("fp"),
     )
+
+
+def repetition_profile(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Gopher-style intra-document repetition signals →
+    (doc_id, n_tokens, dup_token_frac, top_bigram_frac).
+
+    - ``dup_token_frac``: fraction of tokens whose token *type* occurs more
+      than once in the document (the token analogue of Gopher's
+      duplicate-line-character fraction — these docs have no newlines).
+    - ``top_bigram_frac``: occurrences of the most frequent word bigram over
+      all bigram occurrences (Gopher's top-2-gram rule). Single-token docs
+      use the shingle helper's clamped one-token window (dedup/minhash.py
+      shingles); empty docs report 0 for both.
+
+    Looping text ("a b a b a b ...") scores near 1.0 on both; natural text
+    sits low. Pipelines drop documents above a threshold before training.
+
+    Scale story: two explode → groupBy chains, each a single combinable
+    shuffle keyed on (doc, token) then doc — no joins against the corpus
+    body, and the final assembly joins three doc-keyed aggregates.
+    """
+    from elektra_spark.dedup.minhash import shingles
+
+    # NULL text counts as empty (the shingle helper's empty-array guard keys
+    # on size()==0, which NULL dodges — same coalesce the BPE counter uses);
+    # tokenization otherwise matches the shingle path (split ' ', drop '')
+    # so the DuckDB twin's toks CTE is bit-identical
+    t = F.coalesce(F.col(text_col), F.lit(""))
+    tok = docs.select(
+        F.col(id_col), F.explode(F.filter(F.split(t, " "), lambda x: x != "")).alias("tk")
+    )
+    tc = tok.groupBy(id_col, "tk").count()
+    dup = tc.groupBy(id_col).agg(
+        F.sum(F.when(F.col("count") > 1, F.col("count")).otherwise(0)).alias("dup_toks"),
+        F.sum("count").alias("n_tokens"),
+    )
+    bg = docs.select(F.col(id_col), F.explode(shingles(t, 2)).alias("g"))
+    bgc = bg.groupBy(id_col, "g").count()
+    tb = bgc.groupBy(id_col).agg(
+        F.max("count").alias("top_bg"), F.sum("count").alias("n_bigrams")
+    )
+    return (
+        docs.select(id_col)
+        .join(dup, id_col, "left")
+        .join(tb, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_toks") / F.col("n_tokens"), F.lit(0.0)), 6
+            ).alias("dup_token_frac"),
+            F.round(
+                F.coalesce(F.col("top_bg") / F.col("n_bigrams"), F.lit(0.0)), 6
+            ).alias("top_bigram_frac"),
+        )
+    )

@@ -638,3 +638,24 @@ def test_decontaminate_flags_overlap(spark):
     assert got[1][1] and got[1][0] >= 2      # shares "the eval benchmark", ...
     assert got[2] == (0, False)              # clean doc present with zero
     assert got[3] == (3, True)               # exact copy shares all 3 windows
+
+
+def test_repetition_profile_extremes(spark):
+    from elektra_spark.text.analysis import repetition_profile
+
+    rows = [
+        (0, "a b a b a b a b"),                 # loop: all dup, top bigram dominates
+        (1, "one two three four five"),          # all unique
+        (2, ""),                                 # empty
+        (3, None),                               # NULL
+        (4, "solo"),                             # single token
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: (r["n_tokens"], r["dup_token_frac"], r["top_bigram_frac"])
+           for r in repetition_profile(df).collect()}
+    assert got[0][0] == 8 and got[0][1] == 1.0
+    # bigrams of doc 0: "a b"×4, "b a"×3 → top frac 4/7
+    assert abs(got[0][2] - 4 / 7) < 1e-6
+    assert got[1] == (5, 0.0, 0.25)  # 4 distinct bigrams, each once → 1/4
+    assert got[2] == (0, 0.0, 0.0) and got[3] == (0, 0.0, 0.0)
+    assert got[4] == (1, 0.0, 1.0)   # clamped single-token window
