@@ -27,6 +27,7 @@ PR_ITERS = 4
 PR_DAMPING = 0.85
 LPA_ROUNDS = 2
 TRANSCRIPT_PR_ITERS = 10
+DYN_PR_ITERS = 6  # warm-start supersteps after the transcript edge update
 BFS_MAX_HOPS = 12  # bounded k-hop contract — the DuckDB twin caps identically
 HITS_ITERS = 8
 KATZ_ITERS = 6
@@ -673,6 +674,44 @@ def q_transcript_pagerank(spark, sf_dir):
 
     g = _transcript_graph(spark)
     return pagerank(g.edges, vertices=g.vertices, n_iter=10).select("vid", F.round("rank", 6).alias("rank"))
+
+
+def q_dynamic_pagerank_transcript(spark, sf_dir):
+    """Warm-start PageRank after a batch edge update — the rank analogue of
+    the reference's batch-dynamic connectivity story (BatchAddEdges /
+    BatchDeleteEdges, elektra dynamic_connectivity.h:44-110): instead of
+    re-ranking the updated graph from uniform, the engine resumes from the
+    pre-update ranks (``init_ranks``/``start_step``, the same machinery the
+    mid-run checkpoint resume uses) and runs DYN_PR_ITERS more supersteps.
+    Update batch: delete every (src+dst)%13==0 edge, insert the two-hop
+    shortcuts composed from consecutive-vid edge pairs — both derivable from
+    the edge set alone, so the DuckDB twin regenerates them exactly and
+    chains a second unrolled power iteration (different edge/degree CTEs,
+    same rule) from the first chain's full-precision r10."""
+    from elektra_spark.operators.pagerank import pagerank
+
+    g = _transcript_graph(spark)
+    e = g.edges.select("src", "dst")
+    keep = e.filter((F.col("src") + F.col("dst")) % 13 != 0)
+    left = e.filter(F.col("dst") == F.col("src") + 1).select(
+        F.col("src").alias("a_src"), F.col("dst").alias("mid")
+    )
+    right = e.filter(F.col("dst") == F.col("src") + 1).select(
+        F.col("src").alias("mid"), F.col("dst").alias("b_dst")
+    )
+    adds = left.join(right, "mid").select(
+        F.col("a_src").alias("src"), F.col("b_dst").alias("dst")
+    )
+    new_edges = keep.unionByName(adds).distinct()
+    ranks_old = pagerank(e, vertices=g.vertices, n_iter=TRANSCRIPT_PR_ITERS)
+    final = pagerank(
+        new_edges,
+        vertices=g.vertices,
+        n_iter=DYN_PR_ITERS,
+        start_step=TRANSCRIPT_PR_ITERS,
+        init_ranks=ranks_old,
+    )
+    return final.select("vid", F.round("rank", 6).alias("rank"))
 
 
 def q_transcript_bfs(spark, sf_dir):
@@ -1495,23 +1534,28 @@ def q_revenue_by_region_status(spark, sf_dir):
 
 
 # ---------------------------------------------------------------- SQL twins
-def _pr_chain(n_iter: int, damping: float, v: str = "v") -> str:
+def _pr_chain(
+    n_iter: int, damping: float, v: str = "v", b: str = "b", deg: str = "deg", start: int = 0
+) -> str:
     """Unrolled power-iteration CTE chain generated with the engine's
-    schedule. Assumes CTEs ``{v}`` (vid), ``b`` (directed src,dst both ways),
-    ``deg`` (vid,deg), ``nn`` (n), ``r0`` (vid,rank) are in scope."""
+    schedule. Assumes CTEs ``{v}`` (vid), ``{b}`` (directed src,dst both
+    ways), ``{deg}`` (vid,deg), ``nn`` (n), ``r{start}`` (vid,rank) are in
+    scope. ``b``/``deg``/``start`` let a second chain continue from an
+    earlier chain's output on a DIFFERENT edge set (warm-start-after-update
+    twins)."""
     # MATERIALIZED: every r{i} is referenced by d{i+1}, c{i+1} — inlining
     # would re-expand the chain ~3^n_iter times (and re-open base scans per
     # reference); materializing keeps the oracle O(n_iter × |graph|)
     iters = []
-    for i in range(1, n_iter + 1):
+    for i in range(start + 1, start + n_iter + 1):
         p = f"r{i - 1}"
         iters.append(
             f""",
   d{i} AS MATERIALIZED (SELECT coalesce(sum(r.rank), 0.0) AS dm FROM {p} r
-           LEFT JOIN deg ON r.vid = deg.vid WHERE deg.vid IS NULL),
-  c{i} AS MATERIALIZED (SELECT b.dst AS vid, sum(r.rank / deg.deg) AS contrib
-           FROM b JOIN {p} r ON b.src = r.vid JOIN deg ON deg.vid = b.src
-           GROUP BY b.dst),
+           LEFT JOIN {deg} ON r.vid = {deg}.vid WHERE {deg}.vid IS NULL),
+  c{i} AS MATERIALIZED (SELECT {b}.dst AS vid, sum(r.rank / {deg}.deg) AS contrib
+           FROM {b} JOIN {p} r ON {b}.src = r.vid JOIN {deg} ON {deg}.vid = {b}.src
+           GROUP BY {b}.dst),
   r{i} AS MATERIALIZED (SELECT {v}.vid,
                   (1 - {damping}) / (SELECT n FROM nn)
                   + {damping} * (coalesce(c.contrib, 0.0) + (SELECT dm FROM d{i}) / (SELECT n FROM nn)) AS rank
@@ -1789,6 +1833,36 @@ def _transcript_pagerank_sql() -> str:
         base
         + _pr_chain(TRANSCRIPT_PR_ITERS, PR_DAMPING, v="verts")
         + f"\n  SELECT vid, round(rank, 6) AS rank FROM r{TRANSCRIPT_PR_ITERS}"
+    )
+
+
+def _dynamic_pagerank_sql() -> str:
+    """Twin of q_dynamic_pagerank_transcript: unrolled chain r1..r10 on the
+    original transcript graph, then the updated edge set (same delete rule +
+    consecutive-vid shortcut composition) drives r11..r16 from the
+    full-precision r10 — warm start, parenthesis for parenthesis."""
+    base = (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + """,
+  deg AS (SELECT src AS vid, count(*) AS deg FROM b GROUP BY src),
+  nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+  r0 AS (SELECT vid, 1.0 / (SELECT n FROM nn) AS rank FROM verts),
+  adds AS (SELECT a.src AS src, eb.dst AS dst FROM edges a JOIN edges eb
+           ON eb.src = a.dst AND a.dst = a.src + 1 AND eb.dst = eb.src + 1),
+  edges2 AS MATERIALIZED (SELECT DISTINCT src, dst FROM (
+        SELECT src, dst FROM edges WHERE (src + dst) % 13 <> 0
+        UNION ALL SELECT src, dst FROM adds)),
+  b2 AS MATERIALIZED (SELECT src, dst FROM edges2 UNION ALL SELECT dst, src FROM edges2),
+  deg2 AS (SELECT src AS vid, count(*) AS deg FROM b2 GROUP BY src)"""
+    )
+    return (
+        base
+        + _pr_chain(TRANSCRIPT_PR_ITERS, PR_DAMPING, v="verts")
+        + _pr_chain(
+            DYN_PR_ITERS, PR_DAMPING, v="verts", b="b2", deg="deg2", start=TRANSCRIPT_PR_ITERS
+        )
+        + f"\n  SELECT vid, round(rank, 6) AS rank FROM r{TRANSCRIPT_PR_ITERS + DYN_PR_ITERS}"
     )
 
 
@@ -3034,6 +3108,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # transcripts engine surface (fixture-backed, DuckDB-twinned)
         "transcript_cc": q_transcript_cc,
         "transcript_pagerank": q_transcript_pagerank,
+        "dynamic_pagerank_transcript": q_dynamic_pagerank_transcript,
         "transcript_forest": q_transcript_forest,
         "transcript_text_roundtrip": q_transcript_text_roundtrip,
         # training-data pipeline
@@ -3166,6 +3241,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "chunk_docs": _chunk_docs_sql(),
         "transcript_cc": _transcript_cc_sql(),
         "transcript_pagerank": _transcript_pagerank_sql(),
+        "dynamic_pagerank_transcript": _dynamic_pagerank_sql(),
         "transcript_forest": _transcript_forest_sql(),
         "transcript_bfs": _transcript_bfs_sql(),
         "transcript_hits": _transcript_hits_sql(),

@@ -451,3 +451,33 @@ def test_personalized_pagerank_rejects_unknown_seed(spark):
     sdf = spark.createDataFrame([(0,), (999,)], "vid long")
     with _pytest.raises(ValueError, match="absent from the vertex universe"):
         personalized_pagerank(edges, sdf, n_iter=2)
+
+
+def test_warm_start_after_update_beats_cold(spark):
+    """Warm-start PageRank after a batch edge update (init_ranks = old
+    fixpoint) must land closer to the new graph's fixpoint than the same
+    superstep budget from uniform — the incremental-recompute claim behind
+    dynamic_pagerank_transcript. Both paths use the identical engine
+    schedule; the fixpoint is the NumPy oracle run to convergence."""
+    # hub graph: fixpoint far from uniform, so a cold uniform start is far
+    # off while the old fixpoint stays close under a small edge update (a
+    # near-uniform-fixpoint graph like a plain chain would not separate them)
+    old_pairs = [(0, i) for i in range(1, 41)] + [(1, 2), (3, 4), (5, 6)]
+    # delete (1,2) — both endpoints stay hub-attached, so the vid universe
+    # derived from the edge set is unchanged
+    new_pairs = [p for p in old_pairs if p != (1, 2)] + [(7, 8), (2, 3)]
+
+    k = 4  # post-update superstep budget
+    old_edges = edges_from_pairs(spark, old_pairs)
+    new_edges = edges_from_pairs(spark, new_pairs)
+    ranks_old = pagerank(old_edges, n_iter=40)  # ≈ old fixpoint
+    warm = _ranks_dict(
+        pagerank(new_edges, n_iter=k, start_step=40, init_ranks=ranks_old)
+    )
+    cold = _ranks_dict(pagerank(new_edges, n_iter=k))
+    want = pagerank_oracle(new_pairs, range(41), iters=300)
+
+    err_warm = max(abs(warm[v] - want[v]) for v in want)
+    err_cold = max(abs(cold[v] - want[v]) for v in want)
+    assert err_warm < err_cold / 2, (err_warm, err_cold)
+    assert err_warm < 1e-3
