@@ -283,6 +283,39 @@ def main():
     ]
     sections.append(("Brandes betweenness forward superstep (combinable sigma + visited anti-join)", p, checks))
 
+    # 12. repeated n-grams: the count-distinct rewrite must stay a two-phase
+    # partial aggregation keyed on the n-gram (map-side combine collapses
+    # per-partition repeats before the exchange), with no single-partition
+    # funnel anywhere
+    from elektra_spark.dedup.ngram import repeated_ngrams
+
+    docs_df = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = fmt(repeated_ngrams(docs_df, n=3, min_docs=2))
+    checks = [
+        "map-side partial aggregation present" if "partial_count" in p or "partial_sum" in p
+        else "FAIL: no partial aggregation on the n-gram key",
+        "no single-partition exchange" if "Exchange SinglePartition" not in p
+        else "FAIL: single-partition exchange in the n-gram aggregation",
+        "generate (explode) runs pre-shuffle, inside the scan stage"
+        if "Generate" in p else "FAIL: no Generate node (explode missing?)",
+    ]
+    sections.append(("Repeated n-grams (explode + combinable distinct-count)", p, checks))
+
+    # 13. decontamination: the eval n-gram set must reach the corpus side as
+    # a BROADCAST semi-join — the corpus relation never shuffles to meet it
+    from elektra_spark.dedup.ngram import decontaminate
+
+    ev_df = docs_df.filter(F.col("doc_id") % 25 == 0)
+    p = fmt(decontaminate(docs_df, ev_df, n=3))
+    checks = [
+        "eval n-gram set broadcast (BroadcastHashJoin LeftSemi)"
+        if re.search(r"BroadcastHashJoin.*LeftSemi", p) or ("BroadcastHashJoin" in p and "LeftSemi" in p)
+        else "FAIL: eval-set membership probe not broadcast",
+        "no single-partition exchange" if "Exchange SinglePartition" not in p
+        else "FAIL: single-partition exchange in decontamination",
+    ]
+    sections.append(("Benchmark decontamination (broadcast eval-set semi-join)", p, checks))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (generated by tools/audit_plans.py)\n")
         f.write("\nProperties asserted for 100 TB readiness; regenerate after planner-affecting changes.\n")
