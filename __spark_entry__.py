@@ -30,6 +30,7 @@ TRANSCRIPT_PR_ITERS = 10
 DYN_PR_ITERS = 6  # warm-start supersteps after the transcript edge update
 BFS_MAX_HOPS = 12  # bounded k-hop contract — the DuckDB twin caps identically
 HITS_ITERS = 8
+SALSA_ITERS = 8
 KATZ_ITERS = 6
 KATZ_ALPHA = 0.05  # attenuation; fixed-iteration truncated sum needs no spectral bound
 SAMPLE_RATE = 0.5  # md5-Bernoulli thinning rate for the corpus-sample contract row
@@ -796,6 +797,21 @@ def q_mis_copurchase(spark, sf_dir):
     from elektra_spark.operators.walks import maximal_independent_set
 
     return maximal_independent_set(_copurchase_graph(spark, sf_dir))
+
+
+def q_transcript_salsa(spark, sf_dir):
+    """SALSA hubs & authorities (operators/salsa.py) — degree-normalized
+    HITS over the same directed transcript edge set: each spread divides by
+    the sending endpoint's degree, so a hub's influence no longer grows
+    with its fanout (Lempel–Moran's fix to HITS' tyranny-of-the-majority).
+    Fixed ``SALSA_ITERS`` synchronous L1-normalized iterations; the DuckDB
+    twin unrolls the identical chain with the degree joins."""
+    from elektra_spark.operators.salsa import salsa
+
+    g = _transcript_graph(spark)
+    return salsa(g.edges, vertices=g.vertices, n_iter=SALSA_ITERS).select(
+        "vid", F.round("hub", 8).alias("hub"), F.round("auth", 8).alias("auth")
+    )
 
 
 def q_transcript_hits(spark, sf_dir):
@@ -2389,6 +2405,44 @@ def _transcript_hits_sql() -> str:
     )
 
 
+def _transcript_salsa_sql() -> str:
+    """Unrolled SALSA chain — the HITS twin with each spread divided by the
+    sending endpoint's degree (fwd: outdeg of src, bwd: indeg of dst),
+    parenthesis for parenthesis with operators/salsa.py."""
+    base = (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + """,
+  od AS MATERIALIZED (SELECT src AS vid, count(*) AS d FROM edges GROUP BY src),
+  idg AS MATERIALIZED (SELECT dst AS vid, count(*) AS d FROM edges GROUP BY dst),
+  nn AS (SELECT count(*)::DOUBLE AS n FROM verts),
+  h0 AS MATERIALIZED (SELECT vid, 1.0 / (SELECT n FROM nn) AS score FROM verts)"""
+    )
+    chain = []
+    for i in range(1, SALSA_ITERS + 1):
+        chain.append(
+            f""",
+  ar{i} AS MATERIALIZED (SELECT e.dst AS vid, sum(h{i - 1}.score / od.d) AS raw
+          FROM edges e JOIN h{i - 1} ON e.src = h{i - 1}.vid JOIN od ON od.vid = e.src
+          GROUP BY e.dst),
+  a{i} AS MATERIALIZED (SELECT v.vid, coalesce(ar{i}.raw, 0) / (SELECT sum(raw) FROM ar{i}) AS score
+         FROM verts v LEFT JOIN ar{i} USING (vid)),
+  hr{i} AS MATERIALIZED (SELECT e.src AS vid, sum(a{i}.score / idg.d) AS raw
+          FROM edges e JOIN a{i} ON e.dst = a{i}.vid JOIN idg ON idg.vid = e.dst
+          GROUP BY e.src),
+  h{i} AS MATERIALIZED (SELECT v.vid, coalesce(hr{i}.raw, 0) / (SELECT sum(raw) FROM hr{i}) AS score
+         FROM verts v LEFT JOIN hr{i} USING (vid))"""
+        )
+    return (
+        base
+        + "".join(chain)
+        + f"""
+  SELECT h{SALSA_ITERS}.vid, round(h{SALSA_ITERS}.score, 8) AS hub,
+         round(a{SALSA_ITERS}.score, 8) AS auth
+  FROM h{SALSA_ITERS} JOIN a{SALSA_ITERS} USING (vid)"""
+    )
+
+
 def _transcript_katz_sql() -> str:
     """Unrolled Katz chain (same shape as the PageRank/HITS oracles):
     x_i(v) = beta + alpha * sum of x_{i-1} over in-neighbors along the
@@ -3074,6 +3128,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "coreness_copurchase": q_coreness_copurchase,
         "transcript_bfs": q_transcript_bfs,
         "transcript_hits": q_transcript_hits,
+        "transcript_salsa": q_transcript_salsa,
         "transcript_katz": q_transcript_katz,
         "transcript_betweenness": q_transcript_betweenness,
         "transcript_eigenvector": q_transcript_eigenvector,
@@ -3245,6 +3300,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_forest": _transcript_forest_sql(),
         "transcript_bfs": _transcript_bfs_sql(),
         "transcript_hits": _transcript_hits_sql(),
+        "transcript_salsa": _transcript_salsa_sql(),
         "transcript_katz": _transcript_katz_sql(),
         "transcript_betweenness": _transcript_betweenness_sql(),
         "transcript_eigenvector": _transcript_eigenvector_sql(),

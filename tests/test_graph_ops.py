@@ -1254,3 +1254,57 @@ def test_conductance_matches_hand_computation(spark):
     one = spark.createDataFrame([(v, 9) for v in range(6)], "vid long, label long")
     got1 = conductance(edges, one).collect()
     assert len(got1) == 1 and got1[0]["conductance"] == 0.0 and got1[0]["cut_edges"] == 0
+
+
+def _salsa_oracle(pairs, verts, n_iter):
+    """Directed L1-normalized SALSA iteration (pairs are src→dst): each
+    spread divides by the sending endpoint's out-(in-)degree."""
+    od, idg = {}, {}
+    for a, b in pairs:
+        od[a] = od.get(a, 0) + 1
+        idg[b] = idg.get(b, 0) + 1
+    hub = {v: 1.0 / len(verts) for v in verts}
+    auth = {v: 0.0 for v in verts}
+    for _ in range(n_iter):
+        raw = {}
+        for a, b in pairs:
+            raw[b] = raw.get(b, 0.0) + hub[a] / od[a]
+        tot = sum(raw.values()) or 1.0
+        auth = {v: raw.get(v, 0.0) / tot for v in verts}
+        raw = {}
+        for a, b in pairs:
+            raw[a] = raw.get(a, 0.0) + auth[b] / idg[b]
+        tot = sum(raw.values()) or 1.0
+        hub = {v: raw.get(v, 0.0) / tot for v in verts}
+    return hub, auth
+
+
+def test_salsa_matches_oracle(spark):
+    from elektra_spark.operators.salsa import salsa
+
+    pairs = _random_graph(29, 50, 110)
+    verts = sorted({v for e in pairs for v in e})
+    edges = edges_from_pairs(spark, pairs)
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    rows = salsa(edges, vertices=vdf, n_iter=6).collect()
+    hub_o, auth_o = _salsa_oracle(pairs, verts, 6)
+    for r in rows:
+        assert abs(r["hub"] - hub_o[r["vid"]]) < 1e-9
+        assert abs(r["auth"] - auth_o[r["vid"]]) < 1e-9
+    assert abs(sum(r["hub"] for r in rows) - 1.0) < 1e-9
+
+
+def test_salsa_degree_normalization_vs_hits(spark):
+    """The defining SALSA property: two hubs pointing at disjoint authority
+    sets get EQUAL hub scores regardless of fanout (each spreads one unit of
+    walk mass), where HITS would weight the bigger-fanout hub higher."""
+    from elektra_spark.operators.hits import hits
+    from elektra_spark.operators.salsa import salsa
+
+    # hub 0 → 5 authorities, hub 1 → 2 authorities, disjoint
+    pairs = [(0, i) for i in range(10, 15)] + [(1, i) for i in range(20, 22)]
+    edges = edges_from_pairs(spark, pairs)
+    s = {r["vid"]: r["hub"] for r in salsa(edges, n_iter=8).collect()}
+    h = {r["vid"]: r["hub"] for r in hits(edges, n_iter=8).collect()}
+    assert abs(s[0] - s[1]) < 1e-9      # SALSA: fanout-independent
+    assert h[0] > h[1] + 1e-6           # HITS: fanout-weighted
