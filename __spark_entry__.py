@@ -799,6 +799,53 @@ def q_mis_copurchase(spark, sf_dir):
     return maximal_independent_set(_copurchase_graph(spark, sf_dir))
 
 
+def q_transcript_turn_gaps(spark, sf_dir):
+    """Per-conversation latency profile (operators/convstats.py
+    turn_gap_profile): inter-turn gap stats from the raw transcript ts
+    column under stable (conv_id, turn_idx) ordering — the payload-side
+    query next to the link-graph suite. One shuffle on conv_id shared by
+    the lag window and the aggregation; the DuckDB twin lags epoch seconds
+    identically."""
+    from elektra_spark.operators.convstats import turn_gap_profile
+
+    return turn_gap_profile(_transcripts(spark, 300))
+
+
+def q_tool_sequences(spark, sf_dir):
+    """Tool-call pattern mining (operators/convstats.py tool_sequences):
+    the frequency table of per-conversation tool sequences in turn order —
+    agent-behavior n-grams. The in-group order is pinned by sorting
+    (turn_idx, tool) structs, so the fingerprint is deterministic across
+    task placement; the DuckDB twin is an ORDER BY string_agg."""
+    from elektra_spark.operators.convstats import tool_sequences
+
+    return tool_sequences(_transcripts(spark, 300))
+
+
+def _transcript_turn_gaps_sql() -> str:
+    fx = _transcript_fixture(300)
+    return f"""
+  WITH g AS (
+    SELECT conv_id, tool,
+           date_diff('second', lag(ts) OVER (PARTITION BY conv_id ORDER BY turn_idx), ts) AS gap_s
+    FROM read_parquet('{fx}')
+  )
+  SELECT conv_id, count(*)::BIGINT AS n_turns, count(tool)::BIGINT AS n_tool_turns,
+         round(coalesce(avg(gap_s), 0), 6) AS mean_gap_s,
+         coalesce(max(gap_s), 0)::BIGINT AS max_gap_s
+  FROM g GROUP BY conv_id"""
+
+
+def _tool_sequences_sql() -> str:
+    fx = _transcript_fixture(300)
+    return f"""
+  WITH s AS (
+    SELECT conv_id, string_agg(tool, '>' ORDER BY turn_idx) AS seq
+    FROM read_parquet('{fx}') WHERE tool IS NOT NULL GROUP BY conv_id
+  )
+  SELECT seq, count(*)::BIGINT AS n_convs FROM s GROUP BY seq"""
+
+
 def q_transcript_salsa(spark, sf_dir):
     """SALSA hubs & authorities (operators/salsa.py) — degree-normalized
     HITS over the same directed transcript edge set: each spread divides by
@@ -3129,6 +3176,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_bfs": q_transcript_bfs,
         "transcript_hits": q_transcript_hits,
         "transcript_salsa": q_transcript_salsa,
+        "transcript_turn_gaps": q_transcript_turn_gaps,
+        "tool_sequences": q_tool_sequences,
         "transcript_katz": q_transcript_katz,
         "transcript_betweenness": q_transcript_betweenness,
         "transcript_eigenvector": q_transcript_eigenvector,
@@ -3301,6 +3350,8 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_bfs": _transcript_bfs_sql(),
         "transcript_hits": _transcript_hits_sql(),
         "transcript_salsa": _transcript_salsa_sql(),
+        "transcript_turn_gaps": _transcript_turn_gaps_sql(),
+        "tool_sequences": _tool_sequences_sql(),
         "transcript_katz": _transcript_katz_sql(),
         "transcript_betweenness": _transcript_betweenness_sql(),
         "transcript_eigenvector": _transcript_eigenvector_sql(),

@@ -77,3 +77,28 @@ def test_per_turn_text_equality_roundtrip(spark):
     # vid order agrees with (conv_id, turn_idx) order (stable ordering)
     by_vid = [(r["conv_id"], r["turn_idx"]) for r in recon.orderBy("vid").collect()]
     assert by_vid == sorted(by_vid)
+
+
+def test_turn_gap_profile_and_tool_sequences(spark):
+    """convstats vs hand-computed values on an explicit 2-conversation table."""
+    import datetime as dt
+
+    from elektra_spark.operators.convstats import tool_sequences, turn_gap_profile
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", 0, "user", "x", None, t0),
+        ("a", 1, "assistant", "y", "search", t0 + dt.timedelta(seconds=10)),
+        ("a", 2, "tool", "z", "browse", t0 + dt.timedelta(seconds=40)),
+        ("b", 0, "user", "solo", None, t0),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    gaps = {r["conv_id"]: r for r in turn_gap_profile(df).collect()}
+    assert gaps["a"]["n_turns"] == 3 and gaps["a"]["n_tool_turns"] == 2
+    assert gaps["a"]["mean_gap_s"] == 20.0 and gaps["a"]["max_gap_s"] == 30
+    assert gaps["b"]["n_turns"] == 1 and gaps["b"]["mean_gap_s"] == 0.0 and gaps["b"]["max_gap_s"] == 0
+
+    seqs = {r["seq"]: r["n_convs"] for r in tool_sequences(df).collect()}
+    assert seqs == {"search>browse": 1}  # conv b (no tools) excluded
