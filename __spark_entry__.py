@@ -57,6 +57,8 @@ WALK_LEN = 8  # random-walk transitions per seed (DeepWalk-style corpus length)
 WALK_SEED_MOD = 97  # walk seeds = vertices with vid % 97 == 0 (~1% of the transcript graph)
 MIS_SQL_ROUNDS = 8  # unrolled Luby rounds; ≥ the contract instance's depth (pinned by pytest; extras are no-ops once undecided is empty)
 PSEUDO_DIAM_HOPS = 20  # double-sweep BFS bound — generous vs the copurchase graph's small-world eccentricity (~6)
+ANF_HOPS = 4  # HyperBall contract depth; the sf0.01 copurchase registers reach fixpoint at hop 4 (diameter 3 + 1 no-op hop, pinned by pytest)
+ANF_REGISTERS = 64  # HLL registers per vertex (m=64 → ~13% standard error; pytest bounds the observed error vs exact balls)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -797,6 +799,18 @@ def q_mis_copurchase(spark, sf_dir):
     from elektra_spark.operators.walks import maximal_independent_set
 
     return maximal_independent_set(_copurchase_graph(spark, sf_dir))
+
+
+def q_hyperball_copurchase(spark, sf_dir):
+    """Approximate neighborhood function via HyperBall (operators/anf.py,
+    Boldi-Vigna WWW 2011): per-vertex HLL ball-size estimates for hops
+    0..ANF_HOPS. Registers derive from portable md5 bit slices, so the
+    DuckDB twin computes bit-identical registers and estimates — the
+    contract checks the APPROXIMATE algorithm exactly; accuracy vs exact
+    balls is bounded separately in pytest."""
+    from elektra_spark.operators.anf import hyperball
+
+    return hyperball(_copurchase_graph(spark, sf_dir), hops=ANF_HOPS, m=ANF_REGISTERS)
 
 
 def q_transcript_turn_gaps(spark, sf_dir):
@@ -2416,6 +2430,51 @@ def _mis_sql() -> str:
     return "".join(parts)
 
 
+def _hyperball_sql() -> str:
+    """Twin of q_hyperball_copurchase: ANF_HOPS unrolled HyperBall hops.
+    Registers are (vid, reg, rho) rows from the identical md5 bit slices
+    (operators/anf.py layout); each hop maxes own ∪ neighbor registers;
+    each estimate applies the identical HLL formula — the shared alpha·m²
+    literal is generated from the same function, the 2^-rho sums are exact
+    doubles, so round(…, 6) agrees bit-for-bit."""
+    from elektra_spark.operators.anf import RHO_CAP, _alpha_mm
+
+    m = ANF_REGISTERS
+    parts = [
+        f"""WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+  b AS MATERIALIZED (SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e),
+  v0 AS (SELECT DISTINCT src AS vid FROM b),
+  rx AS (SELECT vid, ('0x' || substr(md5(vid::VARCHAR), 1, 2))::INTEGER % {m} AS reg,
+                ('0x' || substr(md5(vid::VARCHAR), 3, 13))::BIGINT AS x
+         FROM v0),
+  r0 AS MATERIALIZED (SELECT vid, reg,
+    CASE WHEN x = 0 THEN {RHO_CAP}
+         ELSE CAST(round(log2(x & (-x))) AS INTEGER) + 1 END AS rho FROM rx)"""
+    ]
+
+    def est(t: int) -> str:
+        return f""",
+  est{t} AS (SELECT vid, {t} AS hop,
+    round(CASE WHEN raw <= {2.5 * m} AND zr > 0
+               THEN {float(m)!r} * ln({float(m)!r} / zr) ELSE raw END, 6) AS ball_est
+    FROM (SELECT vid, {_alpha_mm(m)!r} / (({m} - count(*))::DOUBLE + sum(pow(2.0, -rho))) AS raw,
+                 ({m} - count(*))::DOUBLE AS zr
+          FROM r{t} GROUP BY vid))"""
+
+    parts.append(est(0))
+    for t in range(1, ANF_HOPS + 1):
+        parts.append(
+            f""",
+  r{t} AS MATERIALIZED (SELECT vid, reg, max(rho) AS rho FROM (
+    SELECT b.src AS vid, r.reg, r.rho FROM b JOIN r{t - 1} r ON b.dst = r.vid
+    UNION ALL SELECT vid, reg, rho FROM r{t - 1}) GROUP BY vid, reg)"""
+        )
+        parts.append(est(t))
+    union = " UNION ALL ".join(f"SELECT * FROM est{t}" for t in range(ANF_HOPS + 1))
+    parts.append(f"\n  SELECT vid, hop::INTEGER AS hop, ball_est FROM ({union})")
+    return "".join(parts)
+
+
 def _transcript_hits_sql() -> str:
     """Unrolled HITS chain (same shape as the PageRank oracle): per
     iteration, authority = L1-normalized in-flow of hub mass over the
@@ -3199,6 +3258,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_walks": q_transcript_walks,
         "diameter_copurchase": q_diameter_copurchase,
         "mis_copurchase": q_mis_copurchase,
+        "hyperball_copurchase": q_hyperball_copurchase,
         "transcript_bipartite": q_transcript_bipartite,
         "transcript_scc": q_transcript_scc,
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
@@ -3373,6 +3433,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_walks": _transcript_walks_sql(),
         "diameter_copurchase": _diameter_sql(),
         "mis_copurchase": _mis_sql(),
+        "hyperball_copurchase": _hyperball_sql(),
         "transcript_bipartite": _transcript_bipartite_sql(),
         "transcript_scc": _transcript_scc_sql(),
         "tfidf_docs": _tfidf_sql(),

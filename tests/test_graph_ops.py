@@ -1308,3 +1308,90 @@ def test_salsa_degree_normalization_vs_hits(spark):
     h = {r["vid"]: r["hub"] for r in hits(edges, n_iter=8).collect()}
     assert abs(s[0] - s[1]) < 1e-9      # SALSA: fanout-independent
     assert h[0] > h[1] + 1e-6           # HITS: fanout-weighted
+
+
+# ------------------------------------------------------------------ hyperball
+def _exact_balls(pairs, verts, hops):
+    """Exact |B(v, h)| per vertex per hop by BFS — the accuracy yardstick."""
+    adj = {v: set() for v in verts}
+    for a, b in pairs:
+        adj[a].add(b)
+        adj[b].add(a)
+    out = {}
+    for v in verts:
+        seen, frontier = {v}, {v}
+        out[(v, 0)] = 1
+        for h in range(1, hops + 1):
+            frontier = {u for f in frontier for u in adj[f]} - seen
+            seen |= frontier
+            out[(v, h)] = len(seen)
+    return out
+
+
+def test_hyperball_accuracy_and_monotonicity(spark):
+    """HyperBall estimates track exact ball sizes: per-hop AGGREGATE
+    neighborhood function within the m=64 HLL error band (~13% stderr →
+    assert 25%), per-vertex estimates non-decreasing in hop, and hop-0
+    estimates ≈ 1 (a fresh counter holds exactly one element)."""
+    from elektra_spark.operators.anf import hyperball
+
+    pairs = _random_graph(37, 300, 900)
+    verts = sorted({v for e in pairs for v in e})
+    hops = 4
+    rows = hyperball(edges_from_pairs(spark, pairs), hops=hops).collect()
+    est = {(r["vid"], r["hop"]): r["ball_est"] for r in rows}
+    exact = _exact_balls(pairs, verts, hops)
+    assert len(rows) == len(verts) * (hops + 1)
+    for v in verts:
+        assert abs(est[(v, 0)] - 1.0) < 0.1
+        for h in range(1, hops + 1):
+            assert est[(v, h)] >= est[(v, h - 1)] - 1e-9, "ball estimates must be monotone"
+    for h in range(1, hops + 1):
+        tot_e = sum(est[(v, h)] for v in verts)
+        tot_x = sum(exact[(v, h)] for v in verts)
+        assert abs(tot_e - tot_x) / tot_x < 0.25, (h, tot_e, tot_x)
+
+
+def test_hyperball_contract_depth():
+    """ANF_HOPS covers the contract graph: the register multiset reaches its
+    fixpoint AT hop ANF_HOPS (the last unrolled hop is the first no-op — the
+    depth is sufficient, with no wasted rounds in the twin)."""
+    import os
+
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sf_dir = os.environ.get("ELEKTRA_SF_DIR", "/root/testdata/sf0.01")
+    if not os.path.exists(f"{sf_dir}/lineitem.parquet"):
+        pytest.skip(f"no contract-scale data at {sf_dir}")
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
+    )
+    sql = entry._hyperball_sql()
+    h = entry.ANF_HOPS
+    same_last = con.execute(
+        sql.replace(
+            f"SELECT vid, hop::INTEGER AS hop, ball_est FROM (",
+            f"SELECT count(*) FROM (SELECT * FROM r{h} EXCEPT SELECT * FROM r{h - 1}) q --",
+        ).split("--")[0]
+    ).fetchone()[0]
+    assert same_last == 0, f"registers still changing at hop {h}; raise ANF_HOPS"
+    moved = con.execute(
+        sql.replace(
+            f"SELECT vid, hop::INTEGER AS hop, ball_est FROM (",
+            f"SELECT count(*) FROM (SELECT * FROM r{h - 1} EXCEPT SELECT * FROM r{h - 2}) q --",
+        ).split("--")[0]
+    ).fetchone()[0]
+    assert moved > 0, f"fixpoint already at hop {h - 2}; ANF_HOPS wastes twin rounds"
+
+
+def test_hyperball_rejects_bad_m(spark):
+    from elektra_spark.operators.anf import hyperball
+
+    edges = edges_from_pairs(spark, HOUSE)
+    with pytest.raises(ValueError):
+        hyperball(edges, m=48)
+    with pytest.raises(ValueError):
+        hyperball(edges, m=512)
