@@ -59,6 +59,7 @@ MIS_SQL_ROUNDS = 8  # unrolled Luby rounds; ≥ the contract instance's depth (p
 PSEUDO_DIAM_HOPS = 20  # double-sweep BFS bound — generous vs the copurchase graph's small-world eccentricity (~6)
 ANF_HOPS = 4  # HyperBall contract depth; the sf0.01 copurchase registers reach fixpoint at hop 4 (diameter 3 + 1 no-op hop, pinned by pytest)
 ANF_REGISTERS = 64  # HLL registers per vertex (m=64 → ~13% standard error; pytest bounds the observed error vs exact balls)
+PASSAGE_TOKENS = 16  # aligned dedup-window width; sf0.01 docs yield 1921 passages, 147 duplicate occurrences in 69 groups — non-vacuous
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -1438,6 +1439,18 @@ def q_chunk_docs(spark, sf_dir):
 
     docs = _t(spark, sf_dir, "documents")
     return chunk_documents(docs, size=CHUNK_SIZE, stride=CHUNK_STRIDE)
+
+
+def q_passage_dedup_docs(spark, sf_dir):
+    """Passage-level exact dedup with reconstruction (dedup/passages.py,
+    Lee et al. ACL 2022's ExactSubstr granularity as aligned PASSAGE_TOKENS
+    windows): repeated passages keep only their min-(doc_id, pidx)
+    occurrence; cleaned text is re-joined byte-exactly. Winner election is
+    a combinable min-struct groupBy on the passage hash — boilerplate-hot
+    hashes never serialize on one reducer."""
+    from elektra_spark.dedup.passages import passage_dedup
+
+    return passage_dedup(_t(spark, sf_dir, "documents"), window_tokens=PASSAGE_TOKENS)
 
 
 def q_corpus_filter_docs(spark, sf_dir):
@@ -3139,6 +3152,29 @@ def _corpus_budget_sql() -> str:
   SELECT doc_id, lang, n_chars FROM c WHERE cum <= {CHAR_BUDGET}"""
 
 
+def _passage_dedup_sql() -> str:
+    """Twin of q_passage_dedup_docs: identical window slicing (1-based
+    inclusive list slice = Spark's slice(toks, g·W+1, W)), identical winner
+    rule (first occurrence under (doc_id, pidx) order per md5), identical
+    single-space re-join — byte-exact, no floats."""
+    w = PASSAGE_TOKENS
+    return f"""
+  WITH base AS (SELECT doc_id, string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+  p AS MATERIALIZED (
+    SELECT doc_id, gs.g::INTEGER AS pidx,
+           array_to_string(toks[gs.g*{w}+1 : gs.g*{w}+{w}], ' ') AS passage
+    FROM base, LATERAL (SELECT unnest(generate_series(0,
+         greatest(CAST(ceil(len(base.toks)::DOUBLE / {w}) AS INTEGER), 1) - 1)) AS g) gs),
+  k AS (SELECT doc_id, pidx, passage,
+          row_number() OVER (PARTITION BY md5(passage) ORDER BY doc_id, pidx) AS rn
+        FROM p)
+  SELECT doc_id, count(*)::INTEGER AS n_passages,
+         sum(CASE WHEN rn = 1 THEN 1 ELSE 0 END)::INTEGER AS n_kept,
+         coalesce(string_agg(CASE WHEN rn = 1 THEN passage END, ' ' ORDER BY pidx), '') AS clean_text
+  FROM k GROUP BY doc_id
+  """
+
+
 def _chunk_docs_sql() -> str:
     """Twin of q_chunk_docs: identical window generation via a lateral
     generate_series — byte-identical substrings."""
@@ -3296,6 +3332,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_budget_docs": q_corpus_budget_docs,
         "corpus_sample_stream": q_corpus_sample_stream,
         "chunk_docs": q_chunk_docs,
+        "passage_dedup_docs": q_passage_dedup_docs,
         "ann_topk_docs": q_ann_topk_docs,
         "ann_topk_brute_docs": q_ann_topk_brute_docs,
         "ann_lsh_docs": q_ann_lsh_docs,
@@ -3403,6 +3440,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "corpus_budget_docs": _corpus_budget_sql(),
         "corpus_sample_stream": _corpus_sample_stream_sql(),
         "chunk_docs": _chunk_docs_sql(),
+        "passage_dedup_docs": _passage_dedup_sql(),
         "transcript_cc": _transcript_cc_sql(),
         "transcript_pagerank": _transcript_pagerank_sql(),
         "dynamic_pagerank_transcript": _dynamic_pagerank_sql(),

@@ -659,3 +659,85 @@ def test_repetition_profile_extremes(spark):
     assert got[1] == (5, 0.0, 0.25)  # 4 distinct bigrams, each once → 1/4
     assert got[2] == (0, 0.0, 0.0) and got[3] == (0, 0.0, 0.0)
     assert got[4] == (1, 0.0, 1.0)   # clamped single-token window
+
+
+# -------------------------------------------------------------- passage dedup
+def _passage_dedup_oracle(rows, w):
+    """Pure-Python twin: aligned w-token windows, first (doc_id, pidx)
+    occurrence wins, kept passages re-joined with single spaces."""
+    passages = []
+    for doc_id, text in rows:
+        toks = (text or "").split(" ")
+        n = max((len(toks) + w - 1) // w, 1)
+        for g in range(n):
+            passages.append((doc_id, g, " ".join(toks[g * w : g * w + w])))
+    first = {}
+    for doc_id, g, p in sorted(passages):
+        first.setdefault(p, (doc_id, g))
+    out = {}
+    for doc_id, _ in rows:
+        mine = [(g, p) for d, g, p in passages if d == doc_id]
+        kept = [p for g, p in mine if first[p] == (doc_id, g)]
+        out[doc_id] = (len(mine), len(kept), " ".join(kept))
+    return out
+
+
+def test_passage_dedup_matches_oracle(spark):
+    from elektra_spark.dedup.passages import passage_dedup
+
+    rows = [
+        (0, "a b c d e f g h i j"),          # two 5-token passages
+        (1, "a b c d e x y z w v"),          # passage 0 duplicates doc 0's
+        (2, "f g h i j a b c d e"),          # both passages duplicated, swapped
+        (3, "unique tokens only here now"),  # untouched
+        (4, ""),                             # empty doc must survive
+        (5, "a b c d e f g h i j"),          # full duplicate of doc 0
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        r["doc_id"]: (r["n_passages"], r["n_kept"], r["clean_text"])
+        for r in passage_dedup(df, window_tokens=5).collect()
+    }
+    assert got == _passage_dedup_oracle(rows, 5)
+    # the winner rule in words: doc 0 keeps everything, doc 1 loses its
+    # first passage, doc 2 and doc 5 lose everything they share with doc 0
+    assert got[0] == (2, 2, "a b c d e f g h i j")
+    assert got[1] == (2, 1, "x y z w v")
+    assert got[2] == (2, 0, "")
+    assert got[4] == (1, 1, "")
+    assert got[5] == (2, 0, "")
+
+
+def test_passage_dedup_kept_passages_globally_unique(spark):
+    """Post-condition: across the cleaned corpus no kept passage text
+    repeats — the defining property of the pass."""
+    import random
+
+    from elektra_spark.dedup.passages import passage_dedup, passages
+
+    rng = random.Random(7)
+    vocab = ["alpha", "beta", "gamma", "delta", "eps"]
+    rows = [
+        (i, " ".join(rng.choice(vocab) for _ in range(rng.randrange(4, 40))))
+        for i in range(60)
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    out = passage_dedup(df, window_tokens=4)
+    kept = passages(
+        out.select("doc_id", F.col("clean_text").alias("text")), 4
+    ).filter(F.col("passage") != "")
+    # NOTE: re-windowing the cleaned text realigns windows, so assert on the
+    # operator's own kept set instead: total kept == distinct kept passages
+    n_kept = out.agg(F.sum("n_kept")).collect()[0][0]
+    occ = passages(df, 4).withColumn("h", F.md5("passage"))
+    n_distinct = occ.select("h").distinct().count()
+    assert n_kept == n_distinct
+    assert kept.count() > 0
+
+
+def test_passage_dedup_rejects_bad_window(spark):
+    from elektra_spark.dedup.passages import passage_dedup
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        passage_dedup(df, window_tokens=0)
