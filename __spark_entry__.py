@@ -814,6 +814,44 @@ def q_hyperball_copurchase(spark, sf_dir):
     return hyperball(_copurchase_graph(spark, sf_dir), hops=ANF_HOPS, m=ANF_REGISTERS)
 
 
+def q_neighborhood_function_copurchase(spark, sf_dir):
+    """Aggregate neighborhood function N(h) = Σ_v |B(v, h)| and the
+    0.9-effective-diameter flag, derived from the same HyperBall register
+    chain as hyperball_copurchase (Palmer et al. KDD 2002's headline
+    statistic; Boldi-Vigna's four-degrees measurement). The 6dp per-vertex
+    estimates are summed as exact ×10⁶ integers so cross-engine float
+    association cannot perturb the hash; fraction and flag derive from
+    single divisions / integer comparisons of those sums."""
+    from elektra_spark.operators.anf import hyperball
+
+    hb = hyperball(_copurchase_graph(spark, sf_dir), hops=ANF_HOPS, m=ANF_REGISTERS)
+    s = (
+        hb.select("hop", F.round(F.col("ball_est") * 1000000.0).cast("long").alias("e6"))
+        .groupBy("hop")
+        .agg(F.sum("e6").alias("nf_e6"))
+    )
+    fin = s.filter(F.col("hop") == ANF_HOPS).select(F.col("nf_e6").alias("fin_e6"))
+    return s.crossJoin(F.broadcast(fin)).select(
+        F.col("hop").cast("int").alias("hop"),
+        F.round(F.col("nf_e6") / 1000000.0, 6).alias("nf"),
+        F.round(F.col("nf_e6").cast("double") / F.col("fin_e6").cast("double"), 6).alias("reach_frac"),
+        (F.col("nf_e6") * 10 >= F.col("fin_e6") * 9).alias("within_090"),
+    )
+
+
+def q_transcript_widest(spark, sf_dir):
+    """Hop-bounded widest (max-bottleneck) paths (operators/bfs.py
+    widest_path) from the tool-actor seeds — the max-min dual of
+    transcript_sssp over the same vid-derived integer weight, same
+    SSSP_MAX_HOPS contract bound; the DuckDB twin's recursive CTE caps
+    identically and shares the weight expression."""
+    from elektra_spark.operators.bfs import widest_path
+
+    g = _transcript_graph(spark)
+    seeds = g.vertices.filter(F.col("kind") == "tool").select("vid")
+    return widest_path(g.edges, seeds, vertices=g.vertices, max_hops=SSSP_MAX_HOPS)
+
+
 def q_transcript_turn_gaps(spark, sf_dir):
     """Per-conversation latency profile (operators/convstats.py
     turn_gap_profile): inter-turn gap stats from the raw transcript ts
@@ -2058,6 +2096,29 @@ def _transcript_sssp_sql() -> str:
     )
 
 
+def _transcript_widest_sql() -> str:
+    """Widest-path twin (operators/bfs.py widest_path): recursive CTE from
+    the tool-actor seeds accumulating least(width, w) and keeping the max
+    per vertex, capped at SSSP_MAX_HOPS. Width values live in
+    {1..5} ∪ {sentinel}, so the closure is finite."""
+    from elektra_spark.operators.bfs import WIDEST_SOURCE_W
+
+    return (
+        "WITH RECURSIVE "
+        + _transcript_tables_sql(300).lstrip()
+        + f""",
+  d(vid, wd, hops) AS (
+    SELECT vid, {WIDEST_SOURCE_W}::BIGINT, 0 FROM tool_v
+    UNION
+    SELECT b.dst, least(d.wd, (1 + (b.src + b.dst) % 5)::BIGINT), d.hops + 1
+    FROM d JOIN b ON b.src = d.vid WHERE d.hops < {SSSP_MAX_HOPS}
+  ),
+  md AS (SELECT vid, max(wd) AS width FROM d GROUP BY vid)
+  SELECT v.vid, coalesce(md.width, -1)::BIGINT AS width
+  FROM verts v LEFT JOIN md USING (vid)"""
+    )
+
+
 _SUPPORT_ROUND = """,
   t{i} AS MATERIALIZED (SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
         FROM e{p} e1 JOIN e{p} e2 ON e1.dst = e2.src
@@ -2443,8 +2504,8 @@ def _mis_sql() -> str:
     return "".join(parts)
 
 
-def _hyperball_sql() -> str:
-    """Twin of q_hyperball_copurchase: ANF_HOPS unrolled HyperBall hops.
+def _hyperball_ctes() -> str:
+    """Shared CTE chain for the HyperBall twins: ANF_HOPS unrolled hops.
     Registers are (vid, reg, rho) rows from the identical md5 bit slices
     (operators/anf.py layout); each hop maxes own ∪ neighbor registers;
     each estimate applies the identical HLL formula — the shared alpha·m²
@@ -2484,8 +2545,35 @@ def _hyperball_sql() -> str:
         )
         parts.append(est(t))
     union = " UNION ALL ".join(f"SELECT * FROM est{t}" for t in range(ANF_HOPS + 1))
-    parts.append(f"\n  SELECT vid, hop::INTEGER AS hop, ball_est FROM ({union})")
+    parts.append(f""",
+  u AS (SELECT * FROM ({union}))""")
     return "".join(parts)
+
+
+def _hyperball_sql() -> str:
+    """Twin of q_hyperball_copurchase: per-vertex estimates off the shared
+    register chain."""
+    return _hyperball_ctes() + "\n  SELECT vid, hop::INTEGER AS hop, ball_est FROM u"
+
+
+def _neighborhood_function_sql() -> str:
+    """Twin of q_neighborhood_function_copurchase: per-hop aggregate N(h)
+    off the shared chain. Float-association hazard dodged by summing the
+    6dp estimates as EXACT integers (×10⁶ → BIGINT): both engines reach
+    the identical nf_e6 regardless of summation order, and the reach
+    fraction / effective-diameter flag derive from single divisions /
+    pure integer comparisons of those sums."""
+    return (
+        _hyperball_ctes()
+        + f""",
+  s AS (SELECT hop, sum(CAST(round(ball_est * 1000000.0) AS BIGINT)) AS nf_e6 FROM u GROUP BY hop),
+  f AS (SELECT nf_e6 AS fin_e6 FROM s WHERE hop = {ANF_HOPS})
+  SELECT s.hop::INTEGER AS hop,
+         round(s.nf_e6 / 1000000.0, 6) AS nf,
+         round(s.nf_e6::DOUBLE / f.fin_e6::DOUBLE, 6) AS reach_frac,
+         (s.nf_e6 * 10 >= f.fin_e6 * 9) AS within_090
+  FROM s, f"""
+    )
 
 
 def _transcript_hits_sql() -> str:
@@ -3295,6 +3383,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_copurchase": q_diameter_copurchase,
         "mis_copurchase": q_mis_copurchase,
         "hyperball_copurchase": q_hyperball_copurchase,
+        "neighborhood_function_copurchase": q_neighborhood_function_copurchase,
+        "transcript_widest": q_transcript_widest,
         "transcript_bipartite": q_transcript_bipartite,
         "transcript_scc": q_transcript_scc,
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
@@ -3472,6 +3562,8 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "diameter_copurchase": _diameter_sql(),
         "mis_copurchase": _mis_sql(),
         "hyperball_copurchase": _hyperball_sql(),
+        "neighborhood_function_copurchase": _neighborhood_function_sql(),
+        "transcript_widest": _transcript_widest_sql(),
         "transcript_bipartite": _transcript_bipartite_sql(),
         "transcript_scc": _transcript_scc_sql(),
         "tfidf_docs": _tfidf_sql(),

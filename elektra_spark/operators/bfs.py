@@ -386,3 +386,66 @@ def pseudo_diameter(
         [(start, far1, ecc1, far2, ecc2)],
         "start long, far1 long, ecc_start int, far2 long, pseudo_diameter int",
     )
+
+
+WIDEST_SOURCE_W = 999  # zero-edge paths have infinite bottleneck; capped to a sentinel above any real edge weight
+
+
+def widest_path(
+    edges: DataFrame,
+    sources: DataFrame | list[int],
+    vertices: DataFrame | None = None,
+    max_hops: int = 12,
+    weight: str | None = None,
+    checkpoint: CheckpointFn | None = None,
+    on_superstep: SuperstepHook | None = None,
+) -> DataFrame:
+    """Hop-bounded widest (maximum-bottleneck) paths → (vid, width): the
+    maximum over ≤ ``max_hops``-edge paths from any source of the MINIMUM
+    edge weight along the path; ``-1`` if unreached, ``WIDEST_SOURCE_W``
+    for the sources themselves (the empty path's bottleneck is +∞, capped
+    to a sentinel above every real weight). The max-min dual of
+    :func:`weighted_distance` — the "how strong is the strongest route"
+    question (capacity routing, trust propagation) next to its "how cheap"
+    one; same contract discipline, same per-round plan shape (one shuffled
+    join into the static adjacency + a combinable ``max``), and the same
+    default vid-derived integer weight the DuckDB twin recomputes. Integer
+    widths ∈ {1..max_w} ∪ {sentinel} keep the twin's recursion closure
+    finite."""
+    spark = edges.sparkSession
+    w_expr = F.col(weight).cast("long") if weight else (F.lit(1) + (F.col("src") + F.col("dst")) % 5).cast("long")
+    fwd = edges.select("src", "dst", w_expr.alias("w"))
+    both = fwd.union(fwd.select(F.col("dst").alias("src"), F.col("src").alias("dst"), "w"))
+    if isinstance(sources, DataFrame):
+        seed = sources.select(F.col("vid").cast("long").alias("vid")).distinct()
+    else:
+        seed = spark.createDataFrame([(int(v),) for v in sources], "vid long").distinct()
+    if checkpoint is None:
+        checkpoint = RetainedCheckpointer()
+    with _no_aqe(spark):
+        both = checkpoint(both, -1)
+        width = checkpoint(seed.withColumn("width", F.lit(WIDEST_SOURCE_W).cast("long")), 0)
+        for step in range(1, max_hops + 1):
+            t0 = time.time()
+            relaxed = (
+                both.join(width.withColumnRenamed("vid", "src").withColumnRenamed("width", "wd"), "src")
+                .select(F.col("dst").alias("vid"), F.least("wd", "w").alias("width"))
+            )
+            nxt = width.unionByName(relaxed).groupBy("vid").agg(F.max("width").alias("width"))
+            nxt = checkpoint(nxt, step)
+            # monotone (per-vid max only rises, vertex set only grows), so
+            # the two-column anti-join is an exact change probe
+            changed = nxt.join(width, ["vid", "width"], "left_anti").limit(1).count()
+            if on_superstep is not None:
+                on_superstep(step, changed, time.time() - t0)
+            width = nxt
+            if changed == 0:
+                break
+    out = width.select("vid", F.col("width").cast("long").alias("width"))
+    if vertices is not None:
+        out = (
+            vertices.select("vid")
+            .join(out, "vid", "left")
+            .select("vid", F.coalesce("width", F.lit(-1)).cast("long").alias("width"))
+        )
+    return out

@@ -1395,3 +1395,55 @@ def test_hyperball_rejects_bad_m(spark):
         hyperball(edges, m=48)
     with pytest.raises(ValueError):
         hyperball(edges, m=512)
+
+
+# ---------------------------------------------------------------- widest path
+def _widest_oracle(pairs, seeds, max_hops, w):
+    from elektra_spark.operators.bfs import WIDEST_SOURCE_W
+
+    verts = sorted({v for e in pairs for v in e} | set(seeds))
+    width = {v: WIDEST_SOURCE_W for v in seeds}
+    for _ in range(max_hops):
+        nxt = dict(width)
+        for a, b in pairs:
+            for u, v in ((a, b), (b, a)):
+                if u in width and min(width[u], w(a, b)) > nxt.get(v, -1):
+                    nxt[v] = min(width[u], w(a, b))
+        if nxt == width:
+            break
+        width = nxt
+    return {v: width.get(v, -1) for v in verts}
+
+
+@pytest.mark.parametrize(
+    "pairs,seeds,max_hops",
+    [(HOUSE, [0], 8), (CLIQUE5_PLUS_PATH + [(10, 11)], [0], 8),
+     (CLIQUE5_PLUS_PATH, [0, 7], 2), (_random_graph(43, 70, 120), [0, 1], 6)],
+    ids=["house", "disconnected", "bounded", "random"],
+)
+def test_widest_path_matches_oracle(spark, pairs, seeds, max_hops):
+    from elektra_spark.operators.bfs import widest_path
+
+    edges = edges_from_pairs(spark, pairs)
+    verts = sorted({v for e in pairs for v in e} | set(seeds))
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    got = {r["vid"]: r["width"] for r in
+           widest_path(edges, seeds, vertices=vdf, max_hops=max_hops).collect()}
+    assert got == _widest_oracle(pairs, seeds, max_hops, lambda a, b: 1 + (a + b) % 5)
+
+
+def test_widest_path_prefers_bottleneck_over_length(spark):
+    """Defining property: a longer path with fatter edges beats a short
+    thin one. 0-1 direct weight w(0,1)=1+(0+1)%5=2; detour 0-4-9-1 has
+    weights w(0,4)=5, w(4,9)=4, w(9,1)=1+10%5=1 — pick vids so the detour
+    bottleneck exceeds the direct edge."""
+    from elektra_spark.operators.bfs import widest_path
+
+    # w(a,b) = 1+(a+b)%5: direct 0-6 → 2; detour 0-4 (5), 4-10 (5) , 10-6 → 1+16%5=2
+    # choose: 0-6 direct w=2 ; 0-9 w=5, 9-10 w=5, 10-6 w=2 → bottleneck 2 (tie)
+    # simplest decisive case: 0-1 (w=2) vs 0-4 (w=5) → 4-5 (w=5) → 5-1 (w=2): still 2.
+    # use explicit weight column instead
+    rows = [(0, 1, 1), (0, 2, 9), (2, 3, 9), (3, 1, 8)]
+    df = spark.createDataFrame(rows, "src long, dst long, w long")
+    got = {r["vid"]: r["width"] for r in widest_path(df, [0], weight="w").collect()}
+    assert got[1] == 8  # via the fat detour, not the direct w=1 edge
