@@ -1562,6 +1562,7 @@ def _ivf_sample(sf_dir: str) -> list:
 
 
 IVF_K, IVF_ITERS, IVF_NPROBE = 8, 5, 2
+SEMDEDUP_TAU = 0.4  # cosine prune threshold; drops 19/500 sf0.01 vectors (0.5 is vacuous, 0.3 drops 40%)
 
 
 def q_ann_ivf_docs(spark, sf_dir):
@@ -2902,6 +2903,32 @@ def _ann_lsh_sql(k: int = 5, multi_probe: int = 0) -> str:
   """
 
 
+def q_semdedup_docs(spark, sf_dir):
+    """SemDeDup (sim/semdedup.py, Abbas et al. 2023): k-means-cluster the
+    embedding corpus with the SAME deterministic sample-trained quantizer
+    the IVF path uses, then within each cluster drop every vector within
+    cosine SEMDEDUP_TAU of a lower-id clustermate. Quadratic only inside a
+    cluster; the cluster id is the one shuffle key."""
+    from elektra_spark.sim.ivf import train_centroids
+    from elektra_spark.sim.semdedup import semdedup
+
+    emb = _t(spark, sf_dir, "embeddings")
+    centroids = train_centroids(_ivf_sample(sf_dir), k=IVF_K, iters=IVF_ITERS)
+    return semdedup(emb, centroids, threshold=SEMDEDUP_TAU)
+
+
+def _semdedup_sql() -> str:
+    """Twin of q_semdedup_docs — same centroid literals, same argmax
+    assignment, same fold cosine, same keep rule (trains from
+    $ELEKTRA_SF_DIR like the IVF twin)."""
+    from elektra_spark.sim.ivf import train_centroids
+    from elektra_spark.sim.semdedup import semdedup_sql
+
+    sf_dir = os.environ.get("ELEKTRA_SF_DIR", "/root/testdata/sf0.01")
+    centroids = train_centroids(_ivf_sample(sf_dir), k=IVF_K, iters=IVF_ITERS)
+    return semdedup_sql(centroids, threshold=SEMDEDUP_TAU)
+
+
 def _ann_ivf_sql() -> str:
     """Twin of q_ann_ivf_docs. The quantizer must train on the SAME data the
     engine trains on (q_ann_ivf_docs trains from the harness's sf_dir), so
@@ -3428,6 +3455,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_docs": q_ann_lsh_docs,
         "ann_lsh_multiprobe_docs": q_ann_lsh_multiprobe_docs,
         "ann_ivf_docs": q_ann_ivf_docs,
+        "semdedup_docs": q_semdedup_docs,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_stats": q_embedding_stats,
         "multimodal_features": q_multimodal_features,
@@ -3449,6 +3477,7 @@ def oracle_sql() -> dict[str, str]:
         # missing test-data mount degrades only this entry (to the driver's
         # rows-only check), never the whole oracle surface
         oracles["ann_ivf_docs"] = _ann_ivf_sql()
+        oracles["semdedup_docs"] = _semdedup_sql()
     except Exception:
         pass
     return oracles

@@ -741,3 +741,38 @@ def test_passage_dedup_rejects_bad_window(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         passage_dedup(df, window_tokens=0)
+
+
+def test_semdedup_drops_within_cluster_near_dups(spark):
+    """SemDeDup keep rule: within a k-means cluster, a vector is dropped iff
+    a lower-id clustermate sits within cosine `threshold`. Near-identical
+    copies collapse to the lowest id; orthogonal vectors all survive."""
+    import numpy as np
+
+    from elektra_spark.sim.ivf import train_centroids
+    from elektra_spark.sim.semdedup import semdedup
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(4, 16)
+    rows, vid = [], 0
+    for b in range(4):
+        for _ in range(5):  # 5 near-copies per base → 1 keeper each
+            v = base[b] + 1e-3 * rng.randn(16)
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    cents = train_centroids([v for _, v in rows], k=4, iters=5)
+    out = semdedup(corpus, cents, threshold=0.95).collect()
+    kept = sorted(r["vec_id"] for r in out if r["kept"])
+    by_cluster = {}
+    for r in out:
+        by_cluster.setdefault(r["cluster"], []).append(r)
+    # every cluster keeps exactly its min id; near-copies land together
+    for c, members in by_cluster.items():
+        keepers = [m["vec_id"] for m in members if m["kept"]]
+        assert keepers == [min(m["vec_id"] for m in members)], (c, keepers)
+    assert len(kept) == 4
+
+    # threshold above any pairwise cosine → everything kept
+    out_hi = semdedup(corpus, cents, threshold=1.1).collect()
+    assert all(r["kept"] for r in out_hi)
