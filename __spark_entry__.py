@@ -1398,6 +1398,61 @@ def q_token_stats_docs(spark, sf_dir):
     )
 
 
+DSIR_TARGET_LANG = "en"  # target subset for the importance weights (218/500 sf0.01 docs)
+
+
+def q_dsir_weights_docs(spark, sf_dir):
+    """DSIR-lite importance weights (text/dsir.py, Xie et al. NeurIPS 2023):
+    per-document log-likelihood ratio of the lang='en' target distribution
+    vs the raw corpus over md5-bucketed unigrams. Two shuffles total; the
+    1024-row log-ratio table broadcasts back."""
+    from elektra_spark.text.dsir import dsir_weights
+
+    docs = _t(spark, sf_dir, "documents")
+    return dsir_weights(docs, target=F.col("lang") == DSIR_TARGET_LANG)
+
+
+# deterministic PII enrichment for the tagger contract row: the synthetic
+# corpus contains no PII-shaped strings (word-soup text), so the row tags an
+# AUGMENTED copy — every doc gains an email, every 3rd an IPv4, every 5th a
+# phone, all derived from doc_id. Both engines build the identical string;
+# the operator itself (text/patterns.py) is data-independent and separately
+# pytest-covered on crafted real-shaped strings.
+def _pii_augment_spark() -> F.Column:
+    return F.concat(
+        F.coalesce(F.col("text"), F.lit("")),
+        F.lit(" contact doc"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.com"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(F.lit(" from 10."), (F.col("doc_id") % 256).cast("string"), F.lit(".0.1")),
+        ).otherwise(F.lit("")),
+        F.when(
+            F.col("doc_id") % 5 == 0,
+            F.concat(F.lit(" call +1-555-"), F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0")),
+        ).otherwise(F.lit("")),
+    )
+
+
+_PII_AUGMENT_SQL = (
+    "coalesce(text, '') || ' contact doc' || doc_id::VARCHAR || '@example.com'"
+    " || CASE WHEN doc_id % 3 = 0 THEN ' from 10.' || (doc_id % 256)::VARCHAR || '.0.1' ELSE '' END"
+    " || CASE WHEN doc_id % 5 = 0 THEN ' call +1-555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0') ELSE '' END"
+)
+
+
+def q_pii_scan_docs(spark, sf_dir):
+    """Dolma-style PII tagger + redaction (text/patterns.py): span counts for
+    email/IPv4/phone patterns plus the md5 fingerprint of the redacted text,
+    over the deterministically PII-augmented corpus (see _pii_augment_spark).
+    Pure JVM regex expressions — fuses into the scan, zero shuffles."""
+    from elektra_spark.text.patterns import pattern_tags
+
+    docs = _t(spark, sf_dir, "documents")
+    return pattern_tags(docs.select("doc_id", _pii_augment_spark().alias("text")))
+
+
 def q_lang_stats_docs(spark, sf_dir):
     """Relational aggregate surface. avg is derived from exact integer
     sum/count (identical double division in both engines) instead of
@@ -3216,6 +3271,22 @@ def _text_profile_sql() -> str:
   """
 
 
+def _dsir_weights_sql() -> str:
+    """Twin of q_dsir_weights_docs — same md5-slice bucket hash, smoothing,
+    and per-token join + sum (text/dsir.py dsir_sql)."""
+    from elektra_spark.text.dsir import dsir_sql
+
+    return dsir_sql(target_pred=f"lang = '{DSIR_TARGET_LANG}'")
+
+
+def _pii_scan_sql() -> str:
+    """Twin of q_pii_scan_docs — identical PII augmentation expression fed
+    through the shared pattern/redaction literals (text/patterns.py)."""
+    from elektra_spark.text.patterns import pattern_tags_sql
+
+    return pattern_tags_sql(text_expr=f"({_PII_AUGMENT_SQL})")
+
+
 def _token_stats_sql() -> str:
     """Twin of q_token_stats_docs, generated from the same regex/constants."""
     from elektra_spark.text.analysis import BPE_CHARS_PER_SUBWORD, BPE_PIECE_RE
@@ -3442,6 +3513,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "repetition_docs": q_repetition_docs,
         "text_profile_docs": q_text_profile_docs,
         "token_stats_docs": q_token_stats_docs,
+        "dsir_weights_docs": q_dsir_weights_docs,
+        "pii_scan_docs": q_pii_scan_docs,
         "tfidf_docs": q_tfidf_docs,
         "lang_stats_docs": q_lang_stats_docs,
         "corpus_filter_docs": q_corpus_filter_docs,
@@ -3554,6 +3627,8 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "simhash_near_pairs_docs": _simhash_near_pairs_sql(),
         "text_profile_docs": _text_profile_sql(),
         "token_stats_docs": _token_stats_sql(),
+        "dsir_weights_docs": _dsir_weights_sql(),
+        "pii_scan_docs": _pii_scan_sql(),
         "corpus_filter_docs": _corpus_filter_sql(),
         "corpus_sample_docs": _corpus_sample_sql(),
         "corpus_budget_docs": _corpus_budget_sql(),

@@ -776,3 +776,52 @@ def test_semdedup_drops_within_cluster_near_dups(spark):
     # threshold above any pairwise cosine → everything kept
     out_hi = semdedup(corpus, cents, threshold=1.1).collect()
     assert all(r["kept"] for r in out_hi)
+
+
+def test_pattern_tagger_counts_and_redacts(spark):
+    """PII tagger on real-shaped strings (not the augmented fixture): counts
+    per pattern and order-stable redaction."""
+    from elektra_spark.text.patterns import pattern_tags, redact
+
+    rows = [
+        (0, "mail me at alice@example.org or bob.smith+x@sub.domain.co today"),
+        (1, "server 192.168.0.1 and 10.0.0.255 up; call +1-555-0134"),
+        (2, "no pii here at all"),
+        (3, None),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in pattern_tags(df).collect()}
+    assert (got[0]["n_email"], got[0]["n_ipv4"], got[0]["n_phone"]) == (2, 0, 0)
+    assert (got[1]["n_email"], got[1]["n_ipv4"], got[1]["n_phone"]) == (0, 2, 1)
+    assert (got[2]["n_email"], got[2]["n_ipv4"], got[2]["n_phone"]) == (0, 0, 0)
+    assert (got[3]["n_email"], got[3]["n_ipv4"], got[3]["n_phone"]) == (0, 0, 0)
+
+    red = df.select("doc_id", redact(F.coalesce(F.col("text"), F.lit(""))).alias("r")).collect()
+    red = {r["doc_id"]: r["r"] for r in red}
+    assert red[0] == "mail me at <EMAIL> or <EMAIL> today"
+    assert red[1] == "server <IP> and <IP> up; call <PHONE>"
+    assert red[2] == "no pii here at all"
+
+
+def test_dsir_scores_separate_target_vocab(spark):
+    """DSIR importance weights: documents written in the target subset's
+    vocabulary score strictly higher than documents in the off-target
+    vocabulary, and every score is finite."""
+    import math
+
+    from elektra_spark.text.dsir import dsir_weights
+
+    rows = []
+    for i in range(30):  # target docs: vocab A
+        rows.append((i, "alpha beta gamma alpha beta", "en"))
+    for i in range(30, 60):  # raw-only docs: vocab B
+        rows.append((i, "zeta eta theta zeta eta", "de"))
+    # two probe docs OUTSIDE the target set, one per vocabulary
+    rows.append((100, "alpha beta gamma", "de"))
+    rows.append((101, "zeta eta theta", "de"))
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string")
+    got = {r["doc_id"]: r["dsir_score"] for r in dsir_weights(df, F.col("lang") == "en").collect()}
+    assert len(got) == 62
+    assert all(math.isfinite(v) for v in got.values())
+    assert got[100] > 0 > got[101]
+    assert got[100] > got[101]
