@@ -1398,6 +1398,21 @@ def q_token_stats_docs(spark, sf_dir):
     )
 
 
+PACK_CONTEXT_LEN = 512  # ~25 bins over the 500-doc sf0.01 corpus; many docs straddle a boundary
+
+
+def q_pack_sequences_docs(spark, sf_dir):
+    """Concat-and-chunk sequence packing (text/packing.py): where every doc
+    lands when the corpus is concatenated in doc_id order and split into
+    PACK_CONTEXT_LEN-token training windows. The global token prefix sum is
+    the hierarchical two-level scan (range partition → pid-local window →
+    K broadcast bases) — no single-partition exchange."""
+    from elektra_spark.text.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    return pack_sequences(docs, context_len=PACK_CONTEXT_LEN)
+
+
 DSIR_TARGET_LANG = "en"  # target subset for the importance weights (218/500 sf0.01 docs)
 
 
@@ -3279,6 +3294,14 @@ def _dsir_weights_sql() -> str:
     return dsir_sql(target_pred=f"lang = '{DSIR_TARGET_LANG}'")
 
 
+def _pack_sequences_sql() -> str:
+    """Twin of q_pack_sequences_docs — single ordered window cumsum with the
+    identical integral bin arithmetic (text/packing.py pack_sequences_sql)."""
+    from elektra_spark.text.packing import pack_sequences_sql
+
+    return pack_sequences_sql(context_len=PACK_CONTEXT_LEN)
+
+
 def _pii_scan_sql() -> str:
     """Twin of q_pii_scan_docs — identical PII augmentation expression fed
     through the shared pattern/redaction literals (text/patterns.py)."""
@@ -3515,6 +3538,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_stats_docs": q_token_stats_docs,
         "dsir_weights_docs": q_dsir_weights_docs,
         "pii_scan_docs": q_pii_scan_docs,
+        "pack_sequences_docs": q_pack_sequences_docs,
         "tfidf_docs": q_tfidf_docs,
         "lang_stats_docs": q_lang_stats_docs,
         "corpus_filter_docs": q_corpus_filter_docs,
@@ -3629,6 +3653,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "token_stats_docs": _token_stats_sql(),
         "dsir_weights_docs": _dsir_weights_sql(),
         "pii_scan_docs": _pii_scan_sql(),
+        "pack_sequences_docs": _pack_sequences_sql(),
         "corpus_filter_docs": _corpus_filter_sql(),
         "corpus_sample_docs": _corpus_sample_sql(),
         "corpus_budget_docs": _corpus_budget_sql(),

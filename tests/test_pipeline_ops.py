@@ -825,3 +825,31 @@ def test_dsir_scores_separate_target_vocab(spark):
     assert all(math.isfinite(v) for v in got.values())
     assert got[100] > 0 > got[101]
     assert got[100] > got[101]
+
+
+def test_pack_sequences_exact_prefix_and_bins(spark):
+    """Sequence packing: the hierarchical prefix sum equals the sequential
+    cumsum, bins follow the integral arithmetic, and the packed stream is
+    gapless (each doc starts where the previous ended)."""
+    from elektra_spark.text.packing import pack_sequences
+
+    rows = [(i, " ".join(["w"] * ((i * 7) % 13 + 1))) for i in range(200)]
+    df = spark.createDataFrame(rows, "doc_id long, text string").repartition(8)
+    out = {r["doc_id"]: r for r in pack_sequences(df, context_len=16).collect()}
+    assert len(out) == 200
+    off = 0
+    for i in range(200):
+        n = (i * 7) % 13 + 1
+        r = out[i]
+        assert (r["n_toks"], r["start_off"]) == (n, off), i
+        assert r["first_bin"] == off // 16
+        assert r["last_bin"] == (off + n - 1) // 16
+        off += n
+
+
+def test_pack_sequences_rejects_bad_context(spark):
+    from elektra_spark.text.packing import pack_sequences
+
+    df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        pack_sequences(df, context_len=0)
