@@ -1398,6 +1398,21 @@ def q_token_stats_docs(spark, sf_dir):
     )
 
 
+CMS_WIDTH = 64  # << the ~60-word synthetic vocab forces real collisions → non-vacuous overestimates
+
+
+def q_token_cms_docs(spark, sf_dir):
+    """Count-min sketch token frequencies (text/cms.py, Cormode &
+    Muthukrishnan 2005): every distinct token's exact corpus count next to
+    its CMS_D×CMS_WIDTH sketch estimate (est >= true by construction; the
+    narrow width makes collisions — and therefore real overestimates —
+    visible at sf0.01)."""
+    from elektra_spark.text.cms import token_cms
+
+    docs = _t(spark, sf_dir, "documents")
+    return token_cms(docs, width=CMS_WIDTH)
+
+
 PACK_CONTEXT_LEN = 512  # ~25 bins over the 500-doc sf0.01 corpus; many docs straddle a boundary
 
 
@@ -3294,6 +3309,14 @@ def _dsir_weights_sql() -> str:
     return dsir_sql(target_pred=f"lang = '{DSIR_TARGET_LANG}'")
 
 
+def _token_cms_sql() -> str:
+    """Twin of q_token_cms_docs — identical md5 row keying, sketch, and
+    min-estimate (text/cms.py token_cms_sql)."""
+    from elektra_spark.text.cms import token_cms_sql
+
+    return token_cms_sql(width=CMS_WIDTH)
+
+
 def _pack_sequences_sql() -> str:
     """Twin of q_pack_sequences_docs — single ordered window cumsum with the
     identical integral bin arithmetic (text/packing.py pack_sequences_sql)."""
@@ -3539,6 +3562,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_weights_docs": q_dsir_weights_docs,
         "pii_scan_docs": q_pii_scan_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
+        "token_cms_docs": q_token_cms_docs,
         "tfidf_docs": q_tfidf_docs,
         "lang_stats_docs": q_lang_stats_docs,
         "corpus_filter_docs": q_corpus_filter_docs,
@@ -3654,6 +3678,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "dsir_weights_docs": _dsir_weights_sql(),
         "pii_scan_docs": _pii_scan_sql(),
         "pack_sequences_docs": _pack_sequences_sql(),
+        "token_cms_docs": _token_cms_sql(),
         "corpus_filter_docs": _corpus_filter_sql(),
         "corpus_sample_docs": _corpus_sample_sql(),
         "corpus_budget_docs": _corpus_budget_sql(),

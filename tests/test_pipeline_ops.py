@@ -853,3 +853,24 @@ def test_pack_sequences_rejects_bad_context(spark):
     df = spark.createDataFrame([(0, "a b")], "doc_id long, text string")
     with pytest.raises(ValueError):
         pack_sequences(df, context_len=0)
+
+
+def test_count_min_sketch_never_underestimates(spark):
+    """CMS invariants: est >= true for every token; with width >= the
+    distinct-token count and a collision-free draw the estimate is exact for
+    most tokens; narrow width forces real overestimates."""
+    from elektra_spark.text.cms import token_cms
+
+    rows = [(i, " ".join(f"tok{(i + j) % 20}" for j in range(10))) for i in range(50)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    wide = token_cms(df, width=4096).collect()
+    assert len(wide) == 20
+    assert all(r["cms_est"] >= r["true_cnt"] for r in wide)
+    assert sum(r["cms_est"] == r["true_cnt"] for r in wide) >= 18  # 20 tokens in 4096 buckets
+
+    narrow = token_cms(df, width=4).collect()
+    assert all(r["cms_est"] >= r["true_cnt"] for r in narrow)
+    assert any(r["cms_est"] > r["true_cnt"] for r in narrow)  # 20 tokens in 4 buckets must collide
+
+    total = sum(r["true_cnt"] for r in wide)
+    assert total == 500
