@@ -1344,6 +1344,52 @@ def q_streaming_dedup_docs(spark, sf_dir):
     return dedup_assignments(docs, catalog, key=key)
 
 
+def q_token_cms_stream(spark, sf_dir):
+    """Streaming count-min sketch (streaming/cms.py): the corpus arrives as
+    three parquet drops consumed one-per-micro-batch, each reduced to its
+    own partial sketch and MERGEd insert-only under (batch_id, i, b) —
+    additive partials make the accumulated sketch identical to the batch
+    sketch, which is why this row hashes against the SAME oracle as
+    token_cms_docs (delivery mode must not change the estimates; the
+    batch_id keying is what keeps a replayed micro-batch a no-op)."""
+    import glob as _glob
+    import shutil
+    import tempfile
+    import time as _time
+
+    from elektra_spark.streaming.cms import apply_token_stream, sketch_from_state
+    from elektra_spark.tables import SnapshotCatalog
+    from elektra_spark.text.cms import estimates_vs_exact
+
+    docs = _t(spark, sf_dir, "documents")
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"elektra_stream_cms_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    drop_dir = os.path.join(base, "docs")
+    os.makedirs(drop_dir)
+    now = _time.time()
+    for i in range(3):
+        part = docs.filter(F.col("doc_id") % 3 == i).coalesce(1)
+        stage = os.path.join(base, f"_stage{i}")
+        part.write.mode("overwrite").parquet(stage)
+        [pf] = _glob.glob(os.path.join(stage, "part-*.parquet"))
+        dest = os.path.join(drop_dir, f"d{i}.parquet")
+        shutil.move(pf, dest)
+        shutil.rmtree(stage)
+        os.utime(dest, (now - 300 + i * 60, now - 300 + i * 60))
+
+    catalog = SnapshotCatalog(spark, os.path.join(base, "wh"))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, lang string, source string, n_chars long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(drop_dir)
+    )
+    apply_token_stream(
+        stream, catalog, os.path.join(base, "ckpt"), width=CMS_WIDTH
+    ).awaitTermination()
+    return estimates_vs_exact(docs, sketch_from_state(catalog), width=CMS_WIDTH)
+
+
 def q_minhash_docs(spark, sf_dir):
     from elektra_spark.dedup.minhash import minhash_signature
 
@@ -3563,6 +3609,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scan_docs": q_pii_scan_docs,
         "pack_sequences_docs": q_pack_sequences_docs,
         "token_cms_docs": q_token_cms_docs,
+        "token_cms_stream": q_token_cms_stream,
         "tfidf_docs": q_tfidf_docs,
         "lang_stats_docs": q_lang_stats_docs,
         "corpus_filter_docs": q_corpus_filter_docs,
@@ -3679,6 +3726,9 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "pii_scan_docs": _pii_scan_sql(),
         "pack_sequences_docs": _pack_sequences_sql(),
         "token_cms_docs": _token_cms_sql(),
+        # delivery-order independence IS the contract: the streaming row
+        # hashes against the identical batch twin
+        "token_cms_stream": _token_cms_sql(),
         "corpus_filter_docs": _corpus_filter_sql(),
         "corpus_sample_docs": _corpus_sample_sql(),
         "corpus_budget_docs": _corpus_budget_sql(),

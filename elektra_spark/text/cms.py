@@ -31,6 +31,37 @@ def _bucket(w: Column, i: int, width: int) -> Column:
     ) % width
 
 
+def _tokens(docs: DataFrame, text_col: str) -> DataFrame:
+    return docs.select(
+        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("w")
+    ).filter(F.col("w") != "")
+
+
+def token_buckets(toks: DataFrame, width: int, d: int) -> DataFrame:
+    """(w) → (w, i, b) long form: each token occurrence with its ``d``
+    (hash row, bucket) pairs — the shared substrate for the batch sketch
+    and the streaming per-batch partial sketches."""
+    return toks.select(
+        "w",
+        F.posexplode(F.array(*[_bucket(F.col("w"), i, width) for i in range(d)])).alias(
+            "i", "b"
+        ),
+    )
+
+
+def partial_sketch(
+    docs: DataFrame, width: int, d: int = CMS_D, text_col: str = "text"
+) -> DataFrame:
+    """→ (i, b, c): the count-min sketch of just these documents. Sketches
+    are ADDITIVE — summing per-batch partials cell-wise equals the sketch of
+    the union — which is what makes the streaming variant exact."""
+    return (
+        token_buckets(_tokens(docs, text_col), width, d)
+        .groupBy("i", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+
+
 def token_cms(
     docs: DataFrame,
     width: int = 64,
@@ -44,20 +75,24 @@ def token_cms(
     token's ``d`` buckets collides with another token's mass)."""
     if width < 1 or d < 1:
         raise ValueError(f"width and d must be >= 1, got {width}, {d}")
-    toks = docs.select(
-        F.explode(F.split(F.coalesce(F.col(text_col), F.lit("")), " ")).alias("w")
-    ).filter(F.col("w") != "")
+    sketch = partial_sketch(docs, width=width, d=d, text_col=text_col)
+    return estimates_vs_exact(docs, sketch, width, d, text_col)
 
-    # one pass → (w, i, bucket) long form; both aggregations hang off it
-    long = toks.select(
-        "w",
-        F.posexplode(F.array(*[_bucket(F.col("w"), i, width) for i in range(d)])).alias(
-            "i", "b"
-        ),
-    )
-    sketch = long.groupBy("i", "b").agg(F.count(F.lit(1)).alias("c"))
+
+def estimates_vs_exact(
+    docs: DataFrame,
+    sketch: DataFrame,
+    width: int,
+    d: int = CMS_D,
+    text_col: str = "text",
+) -> DataFrame:
+    """→ (token, true_cnt, cms_est) evaluating an ALREADY-BUILT sketch
+    (batch or accumulated-streaming — cf. streaming/cms.py) against the
+    exact corpus counts."""
+    toks = _tokens(docs, text_col)
     est = (
-        long.distinct()
+        token_buckets(toks, width, d)
+        .distinct()
         .join(F.broadcast(sketch), ["i", "b"])
         .groupBy("w")
         .agg(F.min("c").alias("cms_est"))

@@ -271,3 +271,46 @@ def test_streaming_quota_sample_matches_batch_and_split_independent(spark, tmp_p
         results.append(sorted((s, k) for s, k in got))
     assert results[0] == want
     assert results[1] == want  # split-independent final state
+
+
+def test_streaming_cms_additive_and_replay_safe(spark, tmp_path):
+    """Per-batch partial sketches accumulated through the insert-only MERGE
+    equal the single-shot batch sketch, independently of how the corpus is
+    split; re-committing a batch under its batch_id (Structured Streaming's
+    at-least-once replay) is a no-op instead of a double-count."""
+    from pyspark.sql import functions as F
+
+    from elektra_spark.streaming.cms import sketch_from_state
+    from elektra_spark.tables import SnapshotCatalog
+    from elektra_spark.text.cms import partial_sketch
+
+    rows = [(i, " ".join(f"t{(i + j) % 9}" for j in range(6))) for i in range(60)]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    want = sorted(
+        (r["i"], r["b"], r["c"]) for r in partial_sketch(docs, width=8).collect()
+    )
+
+    catalog = SnapshotCatalog(spark, str(tmp_path / "wh"))
+    for split in (2, 3):  # both splits must land on the same accumulated sketch
+        table = f"cms_{split}"
+        for bid in range(split):
+            part = partial_sketch(
+                docs.filter(F.col("doc_id") % split == bid), width=8
+            ).withColumn("batch_id", F.lit(bid).cast("long"))
+            if catalog.exists(table):
+                catalog.merge_insert(table, part, keys=["batch_id", "i", "b"])
+            else:
+                catalog.write(table, part, operation="create")
+        # replay the LAST batch verbatim — must not change the state
+        catalog.merge_insert(
+            table,
+            partial_sketch(
+                docs.filter(F.col("doc_id") % split == split - 1), width=8
+            ).withColumn("batch_id", F.lit(split - 1).cast("long")),
+            keys=["batch_id", "i", "b"],
+        )
+        got = sorted(
+            (r["i"], r["b"], r["c"])
+            for r in sketch_from_state(catalog, table).collect()
+        )
+        assert got == want, split
