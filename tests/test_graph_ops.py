@@ -1369,21 +1369,20 @@ def test_hyperball_contract_depth():
     con.execute(
         f"CREATE VIEW lineitem AS SELECT * FROM read_parquet('{sf_dir}/lineitem.parquet')"
     )
-    sql = entry._hyperball_sql()
+    # probe off the shared CTE chain directly — string-surgery on the final
+    # SELECT of _hyperball_sql() silently no-opped when its text changed,
+    # turning this test into a flaky first-row comparison
+    ctes = entry._hyperball_ctes()
     h = entry.ANF_HOPS
-    same_last = con.execute(
-        sql.replace(
-            f"SELECT vid, hop::INTEGER AS hop, ball_est FROM (",
-            f"SELECT count(*) FROM (SELECT * FROM r{h} EXCEPT SELECT * FROM r{h - 1}) q --",
-        ).split("--")[0]
-    ).fetchone()[0]
+
+    def diff(a: int, b: int) -> int:
+        return con.execute(
+            ctes + f"\n  SELECT count(*) FROM (SELECT * FROM r{a} EXCEPT SELECT * FROM r{b}) q"
+        ).fetchone()[0]
+
+    same_last = diff(h, h - 1)
     assert same_last == 0, f"registers still changing at hop {h}; raise ANF_HOPS"
-    moved = con.execute(
-        sql.replace(
-            f"SELECT vid, hop::INTEGER AS hop, ball_est FROM (",
-            f"SELECT count(*) FROM (SELECT * FROM r{h - 1} EXCEPT SELECT * FROM r{h - 2}) q --",
-        ).split("--")[0]
-    ).fetchone()[0]
+    moved = diff(h - 1, h - 2)
     assert moved > 0, f"fixpoint already at hop {h - 2}; ANF_HOPS wastes twin rounds"
 
 
