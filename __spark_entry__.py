@@ -666,6 +666,23 @@ def _transcript_graph(spark, n_conversations=300):
     return derive_graph(_transcripts(spark, n_conversations))
 
 
+PARTITION_GRID = [8, 32, 128]  # candidate partition counts for the layout advisor
+
+
+def q_partition_advisor_transcript(spark, sf_dir):
+    """Partitioning advisor (operators/partition_advisor.py): measured edge
+    cut — the shuffle volume of every superstep join — for hash vs dense-vid
+    range layouts over the transcript link graph. Quantifies WHY the
+    engine's conversation-contiguous vid assignment (ingest/edges.py) wins:
+    reply edges are (v, v+1), so range blocks cut only boundary-straddling
+    edges while any uniform hash cuts ~1 - 1/P of them."""
+    from elektra_spark.operators.partition_advisor import edge_cut_advisor
+
+    g = _transcript_graph(spark)
+    n_vids = g.vertices.count()  # dense 0..N-1 vid space (turns + tool actors)
+    return edge_cut_advisor(g.edges, n_vids=n_vids, partition_counts=PARTITION_GRID)
+
+
 def q_transcript_cc(spark, sf_dir):
     from elektra_spark.operators.cc import connected_components
 
@@ -1877,6 +1894,24 @@ _TRANSCRIPT_CC_RECURSIVE = """,
     SELECT b.dst, r.label FROM r JOIN b ON b.src = r.vid WHERE r.label < b.dst
   ),
   cc AS (SELECT vid, min(label) AS component FROM r GROUP BY vid)"""
+
+
+def _partition_advisor_sql() -> str:
+    """Twin of q_partition_advisor_transcript: same edge derivation CTEs,
+    same md5 hash bucket, same integral block arithmetic; the vid-space
+    size comes from the same verts relation the Spark side counts."""
+    from elektra_spark.operators.partition_advisor import edge_cut_advisor_sql
+
+    prefix = (
+        _transcript_tables_sql(300).lstrip()
+        + ",\n  nv AS (SELECT count(*)::BIGINT AS n FROM verts)"
+    )
+    return edge_cut_advisor_sql(
+        edges_sql="SELECT src, dst FROM edges",
+        n_vids="(SELECT n FROM nv)",
+        partition_counts=PARTITION_GRID,
+        prefix_ctes=prefix,
+    )
 
 
 def _transcript_cc_sql() -> str:
@@ -3577,6 +3612,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_widest": q_transcript_widest,
         "transcript_bipartite": q_transcript_bipartite,
         "transcript_scc": q_transcript_scc,
+        "partition_advisor_transcript": q_partition_advisor_transcript,
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
         "dynamic_orders": q_dynamic_orders,
         "streaming_dynamic_orders": q_streaming_dynamic_orders,
@@ -3770,6 +3806,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_widest": _transcript_widest_sql(),
         "transcript_bipartite": _transcript_bipartite_sql(),
         "transcript_scc": _transcript_scc_sql(),
+        "partition_advisor_transcript": _partition_advisor_sql(),
         "tfidf_docs": _tfidf_sql(),
         "kcore_copurchase": _kcore_sql(KCORE_K, KCORE_SQL_ROUNDS),
         "coreness_copurchase": _coreness_sql(CORENESS_SQL_ROUNDS),

@@ -1446,3 +1446,37 @@ def test_widest_path_prefers_bottleneck_over_length(spark):
     df = spark.createDataFrame(rows, "src long, dst long, w long")
     got = {r["vid"]: r["width"] for r in widest_path(df, [0], weight="w").collect()}
     assert got[1] == 8  # via the fat detour, not the direct w=1 edge
+
+
+def test_partition_advisor_range_beats_hash_on_chains(spark):
+    """On a pure chain graph with dense contiguous vids, range layout cuts
+    exactly P-1-ish boundary edges while hash cuts ~1 - 1/P of all edges —
+    the quantitative claim behind the engine's dense-vid derivation."""
+    from elektra_spark.operators.partition_advisor import edge_cut_advisor
+
+    n = 1024
+    edges = spark.range(n - 1).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    out = {(r["strategy"], r["p"]): r for r in edge_cut_advisor(edges, n, [8, 32]).collect()}
+    assert len(out) == 4
+    for p in (8, 32):
+        rng, hsh = out[("range", p)], out[("hash", p)]
+        assert rng["n_edges"] == n - 1 and hsh["n_edges"] == n - 1
+        # contiguous blocks: only edges straddling a block boundary are cut
+        assert rng["cut_edges"] == p - 1
+        # uniform hash: expected cut 1 - 1/p; allow wide slack, require the gap
+        assert hsh["cut_frac"] > 0.5
+        assert rng["cut_frac"] < 0.05 < hsh["cut_frac"]
+
+
+def test_partition_advisor_rejects_bad_args(spark):
+    from elektra_spark.operators.partition_advisor import edge_cut_advisor
+
+    edges = spark.createDataFrame([(0, 1)], "src long, dst long")
+    with pytest.raises(ValueError):
+        edge_cut_advisor(edges, 0, [8])
+    with pytest.raises(ValueError):
+        edge_cut_advisor(edges, 2, [])
+    with pytest.raises(ValueError):
+        edge_cut_advisor(edges, 2, [0])
