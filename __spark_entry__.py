@@ -56,6 +56,7 @@ TRI_SAMPLE_PERMILLE = 200  # DOULION edge-sampling rate p = 0.2 (deterministic h
 WALK_LEN = 8  # random-walk transitions per seed (DeepWalk-style corpus length)
 WALK_SEED_MOD = 97  # walk seeds = vertices with vid % 97 == 0 (~1% of the transcript graph)
 MIS_SQL_ROUNDS = 8  # unrolled Luby rounds; ≥ the contract instance's depth (pinned by pytest; extras are no-ops once undecided is empty)
+MATCHING_SQL_ROUNDS = 4  # unrolled locally-minimal-edge rounds; the transcript instance empties alive at round 3 (pinned by pytest; the spare round is a no-op)
 PSEUDO_DIAM_HOPS = 20  # double-sweep BFS bound — generous vs the copurchase graph's small-world eccentricity (~6)
 ANF_HOPS = 4  # HyperBall contract depth; the sf0.01 copurchase registers reach fixpoint at hop 4 (diameter 3 + 1 no-op hop, pinned by pytest)
 ANF_REGISTERS = 64  # HLL registers per vertex (m=64 → ~13% standard error; pytest bounds the observed error vs exact balls)
@@ -817,6 +818,20 @@ def q_mis_copurchase(spark, sf_dir):
     from elektra_spark.operators.walks import maximal_independent_set
 
     return maximal_independent_set(_copurchase_graph(spark, sf_dir))
+
+
+def q_matching_transcript(spark, sf_dir):
+    """Maximal matching (operators/matching.py): locally-minimal-edge rule
+    with per-round re-hashed md5 priorities — the edge-side sibling of the
+    MIS row (an MIS of the line graph computed directly on the edge
+    relation), over the transcript link graph where the reply chains +
+    tool-hub stars exercise both degenerate shapes. The DuckDB twin unrolls
+    MATCHING_SQL_ROUNDS rounds of the identical priority/winner/retire
+    schedule; maximality and disjointness are asserted structurally in
+    pytest."""
+    from elektra_spark.operators.matching import maximal_matching
+
+    return maximal_matching(_transcript_graph(spark).edges)
 
 
 def q_hyperball_copurchase(spark, sf_dir):
@@ -2671,6 +2686,50 @@ def _mis_sql() -> str:
     return "".join(parts)
 
 
+def _matching_hash_sql(r: int) -> str:
+    """SQL text of operators/matching.py _edge_priority — the identical md5
+    slice of the "round:src:dst" key."""
+    key = f"{r} || ':' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)"
+    return f"('0x' || substr(md5({key}), 1, 12))::BIGINT"
+
+
+def _matching_sql() -> str:
+    """Twin of q_matching_transcript: MATCHING_SQL_ROUNDS unrolled rounds —
+    per-round re-hashed md5 edge priorities, an edge wins iff it is the
+    strict (h, src, dst) minimum among alive edges at BOTH endpoints,
+    winners' vertices retire every incident edge. Rounds past the
+    alive-empty fixpoint are no-ops."""
+    parts = [
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + ",\n  a0 AS (SELECT src, dst FROM edges)"
+    ]
+    wins = []
+    for r in range(1, MATCHING_SQL_ROUNDS + 1):
+        h = _matching_hash_sql(r)
+        parts.append(
+            f""",
+  p{r} AS MATERIALIZED (SELECT src, dst, {h} AS h FROM a{r - 1}),
+  inc{r} AS (SELECT src AS vid, h, src, dst FROM p{r}
+             UNION ALL SELECT dst AS vid, h, src, dst FROM p{r}),
+  vm{r} AS (SELECT vid, h, src, dst FROM (
+    SELECT vid, h, src, dst,
+           row_number() OVER (PARTITION BY vid ORDER BY h, src, dst) AS rn
+    FROM inc{r}) WHERE rn = 1),
+  win{r} AS MATERIALIZED (SELECT p.src, p.dst FROM p{r} p
+    JOIN vm{r} ms ON ms.vid = p.src AND ms.h = p.h AND ms.src = p.src AND ms.dst = p.dst
+    JOIN vm{r} md ON md.vid = p.dst AND md.h = p.h AND md.src = p.src AND md.dst = p.dst),
+  mv{r} AS (SELECT src AS vid FROM win{r} UNION SELECT dst FROM win{r}),
+  a{r} AS MATERIALIZED (SELECT a.src, a.dst FROM a{r - 1} a
+    WHERE a.src NOT IN (SELECT vid FROM mv{r})
+      AND a.dst NOT IN (SELECT vid FROM mv{r}))"""
+        )
+        wins.append(f"SELECT src, dst FROM win{r}")
+    parts.append(f"""
+  SELECT src, dst FROM ({" UNION ALL ".join(wins)}) q""")
+    return "".join(parts)
+
+
 def _hyperball_ctes() -> str:
     """Shared CTE chain for the HyperBall twins: ANF_HOPS unrolled hops.
     Registers are (vid, reg, rho) rows from the identical md5 bit slices
@@ -3607,6 +3666,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_walks": q_transcript_walks,
         "diameter_copurchase": q_diameter_copurchase,
         "mis_copurchase": q_mis_copurchase,
+        "matching_transcript": q_matching_transcript,
         "hyperball_copurchase": q_hyperball_copurchase,
         "neighborhood_function_copurchase": q_neighborhood_function_copurchase,
         "transcript_widest": q_transcript_widest,
@@ -3801,6 +3861,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_walks": _transcript_walks_sql(),
         "diameter_copurchase": _diameter_sql(),
         "mis_copurchase": _mis_sql(),
+        "matching_transcript": _matching_sql(),
         "hyperball_copurchase": _hyperball_sql(),
         "neighborhood_function_copurchase": _neighborhood_function_sql(),
         "transcript_widest": _transcript_widest_sql(),

@@ -1480,3 +1480,59 @@ def test_partition_advisor_rejects_bad_args(spark):
         edge_cut_advisor(edges, 2, [])
     with pytest.raises(ValueError):
         edge_cut_advisor(edges, 2, [0])
+
+
+def test_maximal_matching_disjoint_and_maximal(spark):
+    """Structural contract on a mixed instance (chain + star + clique + an
+    isolated edge): matched edges are vertex-disjoint, and no alive edge
+    remains — every unmatched edge touches a matched vertex."""
+    from elektra_spark.operators.matching import maximal_matching
+
+    chain = [(i, i + 1) for i in range(20)]
+    star = [(100, 100 + i) for i in range(1, 8)]
+    clique = [(a, b) for a in range(200, 206) for b in range(a + 1, 206)]
+    extra = [(300, 301)]
+    edges = spark.createDataFrame(chain + star + clique + extra, "src long, dst long")
+    got = [(r["src"], r["dst"]) for r in maximal_matching(edges).collect()]
+
+    used = [v for e in got for v in e]
+    assert len(used) == len(set(used))  # vertex-disjoint
+    matched_v = set(used)
+    for u, v in chain + star + clique + extra:
+        assert u in matched_v or v in matched_v, (u, v)  # maximal
+    assert (300, 301) in got  # isolated edge always matches
+
+
+def test_maximal_matching_chain_round_depth(spark):
+    """The md5 priority keeps rounds logarithmic on the adversarial case —
+    a long (v, v+1) reply chain, where a linear-in-vid hash is locally
+    monotone and would peel one edge per run per round."""
+    from elektra_spark.operators.matching import maximal_matching
+
+    rounds = []
+    chain = spark.createDataFrame([(i, i + 1) for i in range(512)], "src long, dst long")
+    out = maximal_matching(
+        chain, on_superstep=lambda r, n, s: rounds.append((r, n))
+    ).collect()
+    assert len(out) >= 512 // 3  # a maximal matching on a path is >= m/3... loose floor
+    assert len(rounds) <= 12, rounds  # ~log-round convergence, not O(n)
+
+
+def test_matching_contract_depth():
+    """MATCHING_SQL_ROUNDS covers the contract instance: alive empties at
+    round MATCHING_SQL_ROUNDS - 1 (the spare unrolled round is the first
+    no-op), and was still non-empty the round before."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sql = entry._matching_sql()
+    ctes = sql[: sql.rfind("\n  SELECT src, dst FROM (")]
+    con = duckdb.connect()
+    h = entry.MATCHING_SQL_ROUNDS
+
+    def alive(r: int) -> int:
+        return con.execute(ctes + f"\n  SELECT count(*) FROM a{r}").fetchone()[0]
+
+    assert alive(h - 1) == 0, f"alive still non-empty at round {h - 1}; raise MATCHING_SQL_ROUNDS"
+    assert alive(h - 2) > 0, f"fixpoint before round {h - 2}; MATCHING_SQL_ROUNDS wastes twin rounds"
