@@ -23,13 +23,11 @@ range ≈ P/n_edges): the quantitative version of the docstring claim that
 dense-vid range partitioning is what lets the CC kernel collapse whole
 conversations locally before any shuffle.
 
-Everything is integral arithmetic + one count aggregation per (strategy,
-P) — the advisor costs one scan of the edge table regardless of P grid.
+Everything is integral arithmetic folded into ONE aggregate — the advisor
+costs a single scan of the edge table regardless of the grid size.
 """
 
 from __future__ import annotations
-
-from functools import reduce
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
@@ -57,7 +55,12 @@ def edge_cut_advisor(
     vid-space size (max vid + 1)."""
     if n_vids < 1 or not partition_counts:
         raise ValueError("n_vids must be >= 1 and partition_counts non-empty")
-    per = []
+    # ONE scan for the whole grid: every (strategy, p) cut indicator is a
+    # column of the same aggregate; the 1-row result explodes into the long
+    # format. A union-of-aggregates shape would re-scan the edge table once
+    # per grid cell — 2×|grid| passes over 100 TB for six numbers.
+    combos = []
+    aggs = [F.count(F.lit(1)).alias("n_edges")]
     for p in partition_counts:
         if p < 1:
             raise ValueError(f"partition counts must be >= 1, got {p}")
@@ -66,20 +69,20 @@ def edge_cut_advisor(
             ("range", lambda c, pp: _range_bucket(c, pp, n_vids)),
         ):
             cut = (bucket("src", p) != bucket("dst", p)).cast("long")
-            per.append(
-                edges.agg(
-                    F.count(F.lit(1)).alias("n_edges"),
-                    F.sum(cut).alias("cut_edges"),
-                    F.round(F.sum(cut) / F.count(F.lit(1)), 6).alias("cut_frac"),
-                ).select(
-                    F.lit(strategy).alias("strategy"),
-                    F.lit(p).cast("int").alias("p"),
-                    "n_edges",
-                    "cut_edges",
-                    "cut_frac",
-                )
-            )
-    return reduce(DataFrame.unionByName, per)
+            combos.append((strategy, p))
+            aggs.append(F.sum(cut).alias(f"cut_{strategy}_{p}"))
+    row = edges.agg(*aggs)
+    structs = [
+        F.struct(
+            F.lit(strategy).alias("strategy"),
+            F.lit(p).cast("int").alias("p"),
+            F.col("n_edges").alias("n_edges"),
+            F.col(f"cut_{strategy}_{p}").alias("cut_edges"),
+            F.round(F.col(f"cut_{strategy}_{p}") / F.col("n_edges"), 6).alias("cut_frac"),
+        )
+        for strategy, p in combos
+    ]
+    return row.select(F.explode(F.array(*structs)).alias("r")).select("r.*")
 
 
 def edge_cut_advisor_sql(
