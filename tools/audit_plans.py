@@ -316,6 +316,62 @@ def main():
     ]
     sections.append(("Benchmark decontamination (broadcast eval-set semi-join)", p, checks))
 
+    # 14. partition advisor: the whole (strategy × P) grid must fold into ONE
+    # aggregate over the edge table — a union-of-aggregates would re-scan it
+    # once per grid cell
+    from elektra_spark.operators.partition_advisor import edge_cut_advisor
+
+    # plain edge relation isolates the advisor's own shape (g.edges carries
+    # the derivation's Union/windows and would confound the counts)
+    plain_edges = spark.range(20000).select(
+        F.col("id").alias("src"), (F.col("id") + 1).alias("dst")
+    )
+    p = fmt(edge_cut_advisor(plain_edges, 20001, [8, 32, 128]))
+    # count operator-detail headers only — the formatted output repeats every
+    # node once in the tree and once in the detail listing
+    n_aggs = len(re.findall(r"^\(\d+\) HashAggregate", p, re.M))
+    checks = [
+        f"one aggregate pair over the edges (HashAggregate ×{n_aggs}, no Union)"
+        if "Union" not in p and n_aggs <= 2
+        else f"FAIL: grid not folded (Union present or HashAggregate ×{n_aggs})",
+        "single-partition exchange only for the 1-row final agg"
+        if p.count("Exchange SinglePartition") <= 1
+        else "FAIL: multiple single-partition exchanges",
+    ]
+    sections.append(("Partition advisor (whole grid in one edge-table scan)", p, checks))
+
+    # 15. sequence packing: the global token prefix sum must be the two-level
+    # scan — pid-partitioned window, never Window over one partition
+    from elektra_spark.text.packing import pack_sequences
+
+    p = fmt(pack_sequences(docs_df, context_len=512))
+    checks = [
+        "window partitioned by pid (parallel running sums, no single-partition window)"
+        if "Exchange SinglePartition" not in p
+        else "FAIL: single-partition exchange in the packing prefix sum",
+        "partition bases broadcast back (BroadcastHashJoin)"
+        if "BroadcastHashJoin" in p
+        else "note: bases joined non-broadcast (fine only at toy scale)",
+    ]
+    sections.append(("Sequence packing (hierarchical exact prefix sum)", p, checks))
+
+    # 16. count-min sketch: tiny sketch broadcast back for estimates; both
+    # aggregations map-side combinable; the token explode stays pre-shuffle
+    from elektra_spark.text.cms import token_cms
+
+    p = fmt(token_cms(docs_df, width=64))
+    checks = [
+        "sketch broadcast into the estimate join (BroadcastHashJoin)"
+        if "BroadcastHashJoin" in p
+        else "FAIL: sketch not broadcast",
+        "map-side partial aggregation present"
+        if "partial_count" in p or "partial_sum" in p or "partial_min" in p
+        else "FAIL: no partial aggregation",
+        "Generate (token explode) runs inside the scan stage" if "Generate" in p
+        else "FAIL: no Generate node",
+    ]
+    sections.append(("Count-min sketch (broadcast sketch + combinable aggs)", p, checks))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (generated by tools/audit_plans.py)\n")
         f.write("\nProperties asserted for 100 TB readiness; regenerate after planner-affecting changes.\n")
