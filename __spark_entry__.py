@@ -57,6 +57,7 @@ WALK_LEN = 8  # random-walk transitions per seed (DeepWalk-style corpus length)
 WALK_SEED_MOD = 97  # walk seeds = vertices with vid % 97 == 0 (~1% of the transcript graph)
 MIS_SQL_ROUNDS = 8  # unrolled Luby rounds; ≥ the contract instance's depth (pinned by pytest; extras are no-ops once undecided is empty)
 MATCHING_SQL_ROUNDS = 4  # unrolled locally-minimal-edge rounds; the transcript instance empties alive at round 3 (pinned by pytest; the spare round is a no-op)
+COLORING_SQL_ROUNDS = 9  # unrolled Jones–Plassmann rounds; the transcript instance colors out at round 8 (pinned by pytest; the spare round is a no-op)
 PSEUDO_DIAM_HOPS = 20  # double-sweep BFS bound — generous vs the copurchase graph's small-world eccentricity (~6)
 ANF_HOPS = 4  # HyperBall contract depth; the sf0.01 copurchase registers reach fixpoint at hop 4 (diameter 3 + 1 no-op hop, pinned by pytest)
 ANF_REGISTERS = 64  # HLL registers per vertex (m=64 → ~13% standard error; pytest bounds the observed error vs exact balls)
@@ -832,6 +833,18 @@ def q_matching_transcript(spark, sf_dir):
     from elektra_spark.operators.matching import maximal_matching
 
     return maximal_matching(_transcript_graph(spark).edges)
+
+
+def q_coloring_transcript(spark, sf_dir):
+    """Jones–Plassmann greedy coloring (operators/coloring.py): fixed md5
+    vertex priorities, local-max winners take the smallest absent neighbor
+    color — color VALUES are a pure function of the graph, so the DuckDB
+    twin (COLORING_SQL_ROUNDS unrolled rounds) hashes the full assignment.
+    Validity (no monochrome edge) is asserted structurally in pytest."""
+    from elektra_spark.operators.coloring import greedy_coloring
+
+    g = _transcript_graph(spark)
+    return greedy_coloring(g.edges, vertices=g.vertices)
 
 
 def q_hyperball_copurchase(spark, sf_dir):
@@ -2686,6 +2699,48 @@ def _mis_sql() -> str:
     return "".join(parts)
 
 
+def _coloring_sql() -> str:
+    """Twin of q_coloring_transcript: COLORING_SQL_ROUNDS unrolled Jones–
+    Plassmann rounds — one fixed md5 priority per vertex, a round's winners
+    are the strict (h, vid) local maxima among uncolored neighbors, each
+    takes the smallest color absent from its colored neighborhood. Color
+    VALUES are deterministic, so the twin hashes the full assignment."""
+    pri = "('0x' || substr(md5('jp:' || CAST(vid AS VARCHAR)), 1, 12))::BIGINT"
+    parts = [
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + f""",
+  u0 AS (SELECT vid, {pri} AS h FROM verts),
+  col0 AS (SELECT CAST(NULL AS BIGINT) AS vid, CAST(NULL AS INTEGER) AS color WHERE false)"""
+    ]
+    for r in range(1, COLORING_SQL_ROUNDS + 1):
+        parts.append(
+            f""",
+  nm{r} AS (SELECT vid, hd, nvid FROM (
+    SELECT us.vid, ud.h AS hd, b.dst AS nvid,
+           row_number() OVER (PARTITION BY us.vid ORDER BY ud.h DESC, b.dst DESC) AS rn
+    FROM b JOIN u{r - 1} us ON b.src = us.vid JOIN u{r - 1} ud ON b.dst = ud.vid) WHERE rn = 1),
+  w{r} AS MATERIALIZED (SELECT u.vid FROM u{r - 1} u LEFT JOIN nm{r} n USING (vid)
+    WHERE n.vid IS NULL OR (u.h, u.vid) > (n.hd, n.nvid)),
+  ncol{r} AS (SELECT w.vid, c.color FROM b JOIN w{r} w ON b.src = w.vid
+              JOIN col{r - 1} c ON b.dst = c.vid GROUP BY w.vid, c.color),
+  rk{r} AS (SELECT vid, color, row_number() OVER (PARTITION BY vid ORDER BY color) - 1 AS idx
+            FROM ncol{r}),
+  gap{r} AS (SELECT vid, min(CASE WHEN color <> idx THEN idx END) AS g,
+                    count(*) AS n FROM rk{r} GROUP BY vid),
+  newc{r} AS MATERIALIZED (SELECT w.vid, coalesce(gap.g, gap.n, 0)::INTEGER AS color
+    FROM w{r} w LEFT JOIN gap{r} gap USING (vid)),
+  col{r} AS MATERIALIZED (SELECT vid, color FROM col{r - 1} UNION ALL SELECT vid, color FROM newc{r}),
+  u{r} AS MATERIALIZED (SELECT u.vid, u.h FROM u{r - 1} u
+    WHERE u.vid NOT IN (SELECT vid FROM w{r}))"""
+        )
+    parts.append(
+        f"""
+  SELECT vid, color FROM col{COLORING_SQL_ROUNDS}"""
+    )
+    return "".join(parts)
+
+
 def _matching_hash_sql(r: int) -> str:
     """SQL text of operators/matching.py _edge_priority — the identical md5
     slice of the "round:src:dst" key."""
@@ -3667,6 +3722,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_copurchase": q_diameter_copurchase,
         "mis_copurchase": q_mis_copurchase,
         "matching_transcript": q_matching_transcript,
+        "coloring_transcript": q_coloring_transcript,
         "hyperball_copurchase": q_hyperball_copurchase,
         "neighborhood_function_copurchase": q_neighborhood_function_copurchase,
         "transcript_widest": q_transcript_widest,
@@ -3862,6 +3918,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "diameter_copurchase": _diameter_sql(),
         "mis_copurchase": _mis_sql(),
         "matching_transcript": _matching_sql(),
+        "coloring_transcript": _coloring_sql(),
         "hyperball_copurchase": _hyperball_sql(),
         "neighborhood_function_copurchase": _neighborhood_function_sql(),
         "transcript_widest": _transcript_widest_sql(),

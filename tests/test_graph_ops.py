@@ -1536,3 +1536,54 @@ def test_matching_contract_depth():
 
     assert alive(h - 1) == 0, f"alive still non-empty at round {h - 1}; raise MATCHING_SQL_ROUNDS"
     assert alive(h - 2) > 0, f"fixpoint before round {h - 2}; MATCHING_SQL_ROUNDS wastes twin rounds"
+
+
+def test_coloring_valid_and_greedy(spark):
+    """JP coloring: proper (no monochrome edge) on a mixed instance; a
+    K5 clique uses exactly 5 colors; a star uses 2; isolated vertices get
+    color 0."""
+    from elektra_spark.operators.coloring import greedy_coloring
+
+    chain = [(i, i + 1) for i in range(30)]
+    star = [(100, 100 + i) for i in range(1, 9)]
+    k5 = [(a, b) for a in range(200, 205) for b in range(a + 1, 205)]
+    edges = spark.createDataFrame(chain + star + k5, "src long, dst long")
+    verts = spark.createDataFrame([(v,) for v in
+        list(range(31)) + [100 + i for i in range(9)] + list(range(200, 205)) + [999]
+    ], "vid long")
+    col = {r["vid"]: r["color"] for r in greedy_coloring(edges, vertices=verts).collect()}
+    assert len(col) == 31 + 9 + 5 + 1
+    for u, v in chain + star + k5:
+        assert col[u] != col[v], (u, v)
+    assert sorted({col[v] for v in range(200, 205)}) == [0, 1, 2, 3, 4]
+    assert len({col[100 + i] for i in range(9)}) == 2
+    assert col[999] == 0
+
+
+def test_coloring_deterministic_across_runs(spark):
+    from elektra_spark.operators.coloring import greedy_coloring
+
+    edges = spark.createDataFrame([(i, (i * 7) % 40) for i in range(40) if i != (i * 7) % 40],
+                                  "src long, dst long")
+    a = sorted((r["vid"], r["color"]) for r in greedy_coloring(edges).collect())
+    b = sorted((r["vid"], r["color"]) for r in greedy_coloring(edges).collect())
+    assert a == b
+
+
+def test_coloring_contract_depth():
+    """COLORING_SQL_ROUNDS covers the contract instance: uncolored empties
+    at round COLORING_SQL_ROUNDS - 1 (the spare round is the first no-op)."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sql = entry._coloring_sql()
+    ctes = sql[: sql.rfind("\n  SELECT vid, color FROM col")]
+    con = duckdb.connect()
+    h = entry.COLORING_SQL_ROUNDS
+
+    def uncolored(r: int) -> int:
+        return con.execute(ctes + f"\n  SELECT count(*) FROM u{r}").fetchone()[0]
+
+    assert uncolored(h - 1) == 0, f"still uncolored at round {h - 1}; raise COLORING_SQL_ROUNDS"
+    assert uncolored(h - 2) > 0, f"fixpoint before round {h - 2}; COLORING_SQL_ROUNDS wastes twin rounds"
