@@ -3183,6 +3183,33 @@ def _ann_lsh_sql(k: int = 5, multi_probe: int = 0) -> str:
   """
 
 
+PQ_M, PQ_K = 4, 8  # 4 blocks of 16 dims, 8 codewords each: 64 floats → 4×3 bits
+
+
+def q_pq_codes_docs(spark, sf_dir):
+    """Product-quantization codes (sim/pq.py, Jégou et al. TPAMI 2011):
+    per-block nearest-codeword ids + total squared reconstruction error,
+    codebooks trained on the SAME deterministic sample as the IVF
+    quantizer. Encoding is one narrow column expression — codebooks ride
+    as literals, the corpus never shuffles."""
+    from elektra_spark.sim.pq import pq_encode, train_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_codebooks(_ivf_sample(sf_dir), m=PQ_M, k=PQ_K, iters=IVF_ITERS)
+    return pq_encode(emb, books)
+
+
+def _pq_codes_sql() -> str:
+    """Twin of q_pq_codes_docs — identical codebook literals, slices,
+    distance arithmetic, and min-id argmin (trains from $ELEKTRA_SF_DIR
+    like the IVF twin)."""
+    from elektra_spark.sim.pq import pq_encode_sql, train_codebooks
+
+    sf_dir = os.environ.get("ELEKTRA_SF_DIR", "/root/testdata/sf0.01")
+    books = train_codebooks(_ivf_sample(sf_dir), m=PQ_M, k=PQ_K, iters=IVF_ITERS)
+    return pq_encode_sql(books)
+
+
 def q_semdedup_docs(spark, sf_dir):
     """SemDeDup (sim/semdedup.py, Abbas et al. 2023): k-means-cluster the
     embedding corpus with the SAME deterministic sample-trained quantizer
@@ -3776,6 +3803,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe_docs": q_ann_lsh_multiprobe_docs,
         "ann_ivf_docs": q_ann_ivf_docs,
         "semdedup_docs": q_semdedup_docs,
+        "pq_codes_docs": q_pq_codes_docs,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_stats": q_embedding_stats,
         "multimodal_features": q_multimodal_features,
@@ -3798,6 +3826,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only check), never the whole oracle surface
         oracles["ann_ivf_docs"] = _ann_ivf_sql()
         oracles["semdedup_docs"] = _semdedup_sql()
+        oracles["pq_codes_docs"] = _pq_codes_sql()
     except Exception:
         pass
     return oracles

@@ -874,3 +874,52 @@ def test_count_min_sketch_never_underestimates(spark):
 
     total = sum(r["true_cnt"] for r in wide)
     assert total == 500
+
+
+def test_pq_codes_compress_and_reconstruct(spark):
+    """PQ invariants: codes are in range, training vectors that ARE
+    codewords reconstruct (near-)exactly, and reconstruction error never
+    beats the best codeword by construction (argmin consistency: recon_err
+    equals the sum of per-block minima)."""
+    import numpy as np
+
+    from elektra_spark.sim.pq import pq_encode, train_codebooks
+
+    rng = np.random.RandomState(5)
+    base = rng.randn(8, 16)
+    rows = []
+    vid = 0
+    # interleaved so the deterministic init (first k sample rows) seeds one
+    # codeword per base vector instead of eight near-copies of base[0]
+    for _ in range(8):
+        for b in range(8):
+            rows.append((vid, [float(x) for x in base[b] + 0.01 * rng.randn(16)]))
+            vid += 1
+    corpus = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    books = train_codebooks([v for _, v in rows], m=4, k=8, iters=5)
+    assert len(books) == 4 and all(len(bk) == 8 and len(bk[0]) == 4 for bk in books)
+    # pure function of the sample
+    assert books == train_codebooks([v for _, v in rows], m=4, k=8, iters=5)
+
+    out = pq_encode(corpus, books).collect()
+    assert len(out) == len(rows)
+    for r in out:
+        for b in range(4):
+            assert 0 <= r[f"code{b}"] < 8
+        assert r["recon_err"] >= 0
+    # clustered fixture: the 8 codewords per block track the 8 base vectors,
+    # so the mean reconstruction error is far below the mean vector norm
+    errs = [r["recon_err"] for r in out]
+    norms = [sum(x * x for x in v) for _, v in rows]
+    assert sum(errs) / len(errs) < 0.05 * sum(norms) / len(norms)
+
+
+def test_pq_rejects_bad_shapes(spark):
+    from elektra_spark.sim.pq import train_codebooks
+
+    import numpy as np
+
+    with pytest.raises(ValueError):
+        train_codebooks(np.ones((20, 10)), m=4, k=8)  # 10 not divisible by 4
+    with pytest.raises(ValueError):
+        train_codebooks(np.ones((4, 16)), m=4, k=8)  # 4 rows can't seed 8
