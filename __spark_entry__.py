@@ -835,6 +835,46 @@ def q_matching_transcript(spark, sf_dir):
     return maximal_matching(_transcript_graph(spark).edges)
 
 
+SKEW_HOT_K = 16  # hub keys split out of the shuffle join (the Zipf tool actors)
+
+
+def q_skew_join_transcript(spark, sf_dir):
+    """Explicit skew-split join (operators/skew.py skew_split_join): attach
+    vertex kinds to both edge endpoints with the Zipf tool-actor hubs routed
+    through the broadcast leg, then aggregate edge counts per (kind, kind).
+    The oracle is the PLAIN join — the split must be invisible in the
+    result; the hub degrees in this graph are exactly the skew the north
+    rule says must be handled explicitly."""
+    from elektra_spark.operators.skew import skew_split_join, top_hub_keys
+
+    g = _transcript_graph(spark)
+    kinds = g.vertices.select("vid", "kind")
+    hot = top_hub_keys(g.edges, k=SKEW_HOT_K).select("vid")
+    e = g.edges.select(F.col("src").alias("vid"), "dst")
+    with_src = skew_split_join(e, kinds, "vid", hot).select(
+        F.col("kind").alias("src_kind"), F.col("dst").alias("vid")
+    )
+    with_both = skew_split_join(with_src, kinds, "vid", hot)
+    return (
+        with_both.groupBy("src_kind", F.col("kind").alias("dst_kind"))
+        .agg(F.count(F.lit(1)).alias("n_edges"))
+    )
+
+
+def q_salted_degree_transcript(spark, sf_dir):
+    """Salted two-phase degree count (operators/skew.py salted_count): the
+    explicit skew form for aggregation state partial-agg cannot bound; the
+    oracle is the plain one-phase degree count — identical results is the
+    contract (commutative merge)."""
+    from elektra_spark.operators.skew import salted_count
+
+    g = _transcript_graph(spark)
+    both = g.edges.select(F.col("src").alias("vid")).unionAll(
+        g.edges.select(F.col("dst").alias("vid"))
+    )
+    return salted_count(both, "vid", alias="degree")
+
+
 def q_coloring_transcript(spark, sf_dir):
     """Jones–Plassmann greedy coloring (operators/coloring.py): fixed md5
     vertex priorities, local-max winners take the smallest absent neighbor
@@ -2699,6 +2739,32 @@ def _mis_sql() -> str:
     return "".join(parts)
 
 
+def _skew_join_sql() -> str:
+    """Twin of q_skew_join_transcript: the PLAIN double join + aggregate —
+    the skew split must be invisible in the result."""
+    return (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + """,
+  vk AS (SELECT vid, 'turn' AS kind FROM turns UNION ALL SELECT vid, 'tool' AS kind FROM tool_v)
+  SELECT s.kind AS src_kind, d.kind AS dst_kind, count(*)::BIGINT AS n_edges
+  FROM edges e JOIN vk s ON e.src = s.vid JOIN vk d ON e.dst = d.vid
+  GROUP BY s.kind, d.kind"""
+    )
+
+
+def _salted_degree_sql() -> str:
+    """Twin of q_salted_degree_transcript: the plain one-phase degree count
+    the salted two-phase form must reproduce exactly."""
+    return (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + """,
+  bd AS (SELECT src AS vid FROM edges UNION ALL SELECT dst AS vid FROM edges)
+  SELECT vid, count(*)::BIGINT AS degree FROM bd GROUP BY vid"""
+    )
+
+
 def _coloring_sql() -> str:
     """Twin of q_coloring_transcript: COLORING_SQL_ROUNDS unrolled Jones–
     Plassmann rounds — one fixed md5 priority per vertex, a round's winners
@@ -3750,6 +3816,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_copurchase": q_mis_copurchase,
         "matching_transcript": q_matching_transcript,
         "coloring_transcript": q_coloring_transcript,
+        "skew_join_transcript": q_skew_join_transcript,
+        "salted_degree_transcript": q_salted_degree_transcript,
         "hyperball_copurchase": q_hyperball_copurchase,
         "neighborhood_function_copurchase": q_neighborhood_function_copurchase,
         "transcript_widest": q_transcript_widest,
@@ -3948,6 +4016,8 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "mis_copurchase": _mis_sql(),
         "matching_transcript": _matching_sql(),
         "coloring_transcript": _coloring_sql(),
+        "skew_join_transcript": _skew_join_sql(),
+        "salted_degree_transcript": _salted_degree_sql(),
         "hyperball_copurchase": _hyperball_sql(),
         "neighborhood_function_copurchase": _neighborhood_function_sql(),
         "transcript_widest": _transcript_widest_sql(),

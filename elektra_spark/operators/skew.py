@@ -65,3 +65,28 @@ def top_hub_keys(edges: DataFrame, k: int = 100) -> DataFrame:
     broadcasting separately in a skew-split plan."""
     both = edges.select(F.col("src").alias("vid")).union(edges.select(F.col("dst").alias("vid")))
     return both.groupBy("vid").agg(F.count("*").alias("degree")).orderBy(F.col("degree").desc()).limit(k)
+
+
+def skew_split_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str,
+    hot_keys: DataFrame,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Explicit skew-split inner join: rows whose ``key`` is in ``hot_keys``
+    (a 1-column DataFrame, e.g. :func:`top_hub_keys`) join via BROADCAST of
+    the right side's hot slice — the hot key never lands on one reducer —
+    while the cold remainder takes the normal shuffle join. Result ≡ a
+    plain ``left.join(right, key)`` for any inputs (the split is a
+    partition of the key space), which is exactly what the oracle twin
+    checks. This is the manual form of AQE's skew-join split, needed when
+    the hot side is known up front (Zipf tool actors) or when AQE is off
+    inside a superstep loop."""
+    hot = F.broadcast(hot_keys.select(F.col(hot_keys.columns[0]).alias(key)).distinct())
+    left_hot = left.join(hot, key, "left_semi")
+    left_cold = left.join(hot, key, "left_anti")
+    right_hot = right.join(hot, key, "left_semi")
+    joined_hot = left_hot.join(F.broadcast(right_hot), key)
+    joined_cold = left_cold.join(right, key)
+    return joined_cold.unionByName(joined_hot)

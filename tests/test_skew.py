@@ -32,3 +32,30 @@ def test_top_hub_keys_finds_tool_hubs(spark):
     hubs = top_hub_keys(g.edges, k=3).collect()
     tool_vids = {r["vid"] for r in g.vertices.filter(F.col("kind") == "tool").collect()}
     assert {r["vid"] for r in hubs} & tool_vids, "Zipf tool actors must dominate the degree ranking"
+
+
+def test_skew_split_join_equals_plain_join(spark):
+    """The skew-split join must be result-identical to the plain join on a
+    Zipf-skewed fixture (one key holds half the left rows), including keys
+    absent from the hot set and hot keys absent from the left side."""
+    from pyspark.sql import functions as F
+
+    from elektra_spark.operators.skew import skew_split_join
+
+    left = spark.createDataFrame(
+        [(0, i) for i in range(500)] + [(k, k * 10) for k in range(1, 50)],
+        "vid long, payload long",
+    )
+    right = spark.createDataFrame(
+        [(v, f"attr{v}") for v in range(60)], "vid long, attr string"
+    )
+    hot = spark.createDataFrame([(0,), (1,), (59,)], "vid long")  # 59 not in left
+    got = sorted(
+        (r["vid"], r["payload"], r["attr"])
+        for r in skew_split_join(left, right, "vid", hot).collect()
+    )
+    want = sorted(
+        (r["vid"], r["payload"], r["attr"]) for r in left.join(right, "vid").collect()
+    )
+    assert got == want
+    assert len(got) == 500 + 49  # hub rows all present exactly once
