@@ -3276,6 +3276,33 @@ def _pq_codes_sql() -> str:
     return pq_encode_sql(books)
 
 
+PQ_QUERY_MOD = 50  # 10 query vectors over the 500-vector sf0.01 corpus
+
+
+def q_pq_topk_docs(spark, sf_dir):
+    """Asymmetric-distance top-k over PQ codes (sim/pq.py pq_topk): the
+    corpus is read ONLY through its 4 code columns; per query each block
+    contributes one LUT lookup, so the scan is O(M) per candidate instead
+    of O(D) — the read path PQ compression exists for."""
+    from elektra_spark.sim.pq import pq_encode, pq_topk, train_codebooks
+
+    emb = _t(spark, sf_dir, "embeddings")
+    books = train_codebooks(_ivf_sample(sf_dir), m=PQ_M, k=PQ_K, iters=IVF_ITERS)
+    codes = pq_encode(emb, books)
+    queries = emb.filter(F.col("vec_id") % PQ_QUERY_MOD == 0)
+    return pq_topk(codes, queries, books, k=5)
+
+
+def _pq_topk_sql() -> str:
+    """Twin of q_pq_topk_docs — shared codebook literals and encode pieces,
+    identical LUT arithmetic and (adc, nbr) cut."""
+    from elektra_spark.sim.pq import pq_topk_sql, train_codebooks
+
+    sf_dir = os.environ.get("ELEKTRA_SF_DIR", "/root/testdata/sf0.01")
+    books = train_codebooks(_ivf_sample(sf_dir), m=PQ_M, k=PQ_K, iters=IVF_ITERS)
+    return pq_topk_sql(books, query_pred=f"id % {PQ_QUERY_MOD} = 0", k=5)
+
+
 def q_semdedup_docs(spark, sf_dir):
     """SemDeDup (sim/semdedup.py, Abbas et al. 2023): k-means-cluster the
     embedding corpus with the SAME deterministic sample-trained quantizer
@@ -3872,6 +3899,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_docs": q_ann_ivf_docs,
         "semdedup_docs": q_semdedup_docs,
         "pq_codes_docs": q_pq_codes_docs,
+        "pq_topk_docs": q_pq_topk_docs,
         "embedding_near_dups": q_embedding_near_dups,
         "embedding_stats": q_embedding_stats,
         "multimodal_features": q_multimodal_features,
@@ -3895,6 +3923,7 @@ def oracle_sql() -> dict[str, str]:
         oracles["ann_ivf_docs"] = _ann_ivf_sql()
         oracles["semdedup_docs"] = _semdedup_sql()
         oracles["pq_codes_docs"] = _pq_codes_sql()
+        oracles["pq_topk_docs"] = _pq_topk_sql()
     except Exception:
         pass
     return oracles

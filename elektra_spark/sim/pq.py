@@ -100,6 +100,43 @@ def pq_encode(
     return corpus.select(*cols)
 
 
+def pq_topk(
+    codes: DataFrame,
+    queries: DataFrame,
+    codebooks: list[list[list[float]]],
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Asymmetric-distance top-k (ADC): ADC(q, x) = Σ_b d2(q_b,
+    codeword[code_b(x)]) — the query stays exact, the corpus is read only
+    through its codes. Per query the block LUTs are arrays of k distance
+    expressions; the per-row lookup is one ``element_at`` per block, so the
+    scan is O(M) per (query, code row) instead of O(D). → (query_id, nbr,
+    adc, rank)."""
+    from pyspark.sql import Window
+
+    m = len(codebooks)
+    sub = len(codebooks[0][0])
+    qv = F.col(vec_col).cast("array<double>")
+    q = queries.select(F.col(id_col).alias("query_id"), qv.alias("qv"))
+    joined = q.crossJoin(codes.withColumnRenamed(id_col, "nbr")).filter(
+        F.col("query_id") != F.col("nbr")
+    )
+    total = None
+    for b, book in enumerate(codebooks):
+        lut = _block_dists(F.slice(F.col("qv"), b * sub + 1, sub), book)
+        term = F.element_at(lut, F.col(f"code{b}") + 1)
+        total = term if total is None else total + term
+    w = Window.partitionBy("query_id").orderBy(F.col("adc").asc(), F.col("nbr"))
+    return (
+        joined.withColumn("adc", total)
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "nbr", F.round("adc", 6).alias("adc"), "rank")
+    )
+
+
 def pq_encode_sql(
     codebooks: list[list[list[float]]],
     table: str = "embeddings",
@@ -109,25 +146,66 @@ def pq_encode_sql(
     """DuckDB twin generated from the same codebook literals: 1-based list
     slices, identical |x|² - 2x·c + |c|² arithmetic, identical min-id
     argmin (list_position of list_min = first occurrence)."""
-    from .ivf import _lit_sql
-
-    m = len(codebooks)
-    sub = len(codebooks[0][0])
-    pieces, errs = [], []
-    for b, book in enumerate(codebooks):
-        sl = f"v[{b * sub + 1}:{(b + 1) * sub}]"
-        dists = ", ".join(
-            f"list_inner_product({sl}, {sl}) - 2.0 * list_inner_product({sl}, {_lit_sql(row)})"
-            f" + {sum(v * v for v in row)!r}"
-            for row in book
-        )
-        pieces.append(
-            f"(list_position([{dists}], list_min([{dists}])) - 1)::INTEGER AS code{b}"
-        )
-        errs.append(f"list_min([{dists}])")
+    pieces, errs = _encode_pieces_sql(codebooks, "v")
     total = " + ".join(errs)
     return f"""
   WITH e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table})
   SELECT id AS {id_col}, {", ".join(pieces)}, round({total}, 6) AS recon_err
   FROM e
+  """
+
+
+def _dists_sql(codebook: list[list[float]], sl: str) -> str:
+    """SQL list of |x|² - 2x·c + |c|² over the slice expression ``sl``."""
+    from .ivf import _lit_sql
+
+    return ", ".join(
+        f"list_inner_product({sl}, {sl}) - 2.0 * list_inner_product({sl}, {_lit_sql(row)})"
+        f" + {sum(v * v for v in row)!r}"
+        for row in codebook
+    )
+
+
+def _encode_pieces_sql(codebooks, vec: str):
+    sub = len(codebooks[0][0])
+    pieces, errs = [], []
+    for b, book in enumerate(codebooks):
+        sl = f"{vec}[{b * sub + 1}:{(b + 1) * sub}]"
+        dists = _dists_sql(book, sl)
+        pieces.append(
+            f"(list_position([{dists}], list_min([{dists}])) - 1)::INTEGER AS code{b}"
+        )
+        errs.append(f"list_min([{dists}])")
+    return pieces, errs
+
+
+def pq_topk_sql(
+    codebooks: list[list[list[float]]],
+    query_pred: str,
+    k: int = 5,
+    table: str = "embeddings",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> str:
+    """DuckDB twin of :func:`pq_topk`: identical codes (shared encode
+    pieces), identical per-block LUT arithmetic, identical (adc, nbr)
+    row_number cut. ``query_pred`` selects the query rows."""
+    pieces, _ = _encode_pieces_sql(codebooks, "v")
+    sub = len(codebooks[0][0])
+    terms = []
+    for b, book in enumerate(codebooks):
+        sl = f"q.v[{b * sub + 1}:{(b + 1) * sub}]"
+        terms.append(f"([{_dists_sql(book, sl)}])[c.code{b} + 1]")
+    adc = " + ".join(terms)
+    return f"""
+  WITH e AS (SELECT {id_col} AS id, {vec_col}::DOUBLE[] AS v FROM {table}),
+  c AS MATERIALIZED (SELECT id AS nbr, {", ".join(pieces)} FROM e),
+  q AS (SELECT id AS query_id, v FROM e WHERE {query_pred}),
+  d AS (SELECT q.query_id, c.nbr, {adc} AS adc
+        FROM q CROSS JOIN c WHERE q.query_id <> c.nbr),
+  r AS (SELECT query_id, nbr, adc,
+               row_number() OVER (PARTITION BY query_id ORDER BY adc, nbr) AS rank
+        FROM d)
+  SELECT query_id, nbr, round(adc, 6) AS adc, rank::INTEGER AS rank
+  FROM r WHERE rank <= {k}
   """
