@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="elektra-spark")
     p.add_argument(
         "job",
-        choices=["pagerank", "cc", "lpa", "triangles", "forest", "derive", "stream-updates"],
+        choices=["pagerank", "cc", "lpa", "triangles", "forest", "color", "match", "derive", "stream-updates"],
     )
     p.add_argument("--edges", help="edge parquet path (src,dst)")
     p.add_argument("--synth-convs", type=int, help="synthesize transcript graph with N conversations")
@@ -170,6 +170,14 @@ def main(argv=None) -> int:
         from elektra_spark.operators.forest import spanning_forest
 
         out = spanning_forest(edges)
+    elif args.job == "color":
+        from elektra_spark.operators.coloring import greedy_coloring
+
+        out = greedy_coloring(edges, vertices=vertices, on_superstep=hook)
+    elif args.job == "match":
+        from elektra_spark.operators.matching import maximal_matching
+
+        out = maximal_matching(edges, on_superstep=hook)
     else:  # derive
         out = edges
 
