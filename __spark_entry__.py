@@ -3303,6 +3303,66 @@ def _pq_topk_sql() -> str:
     return pq_topk_sql(books, query_pred=f"id % {PQ_QUERY_MOD} = 0", k=5)
 
 
+# keep docs scored toward the lang-target distribution. NOT 0.0: with B=1024
+# buckets against ~5.6k target tokens at sf0.01, add-one smoothing flattens
+# p_t more than p_r and EVERY score lands negative (measured min -0.073 /
+# median -0.0465 / max -0.0064); the cut sits at the measured median so the
+# gate keeps 253/500 — a real split, not a vacuous pass-all or drop-all
+DSIR_KEEP_MIN = -0.0465
+
+
+def q_curation_manifest_docs(spark, sf_dir):
+    """End-to-end curation manifest composing the round-5 ops: SemDeDup
+    drops within-cluster semantic near-dups (embeddings keyed to doc ids),
+    the DSIR gate keeps documents scored toward the lang='en' target, and
+    the survivors pack into PACK_CONTEXT_LEN-token training windows — the
+    (doc → window) manifest a training job actually consumes. Each stage is
+    separately oracle-checked; this row checks the COMPOSITION."""
+    from elektra_spark.sim.ivf import train_centroids
+    from elektra_spark.sim.semdedup import semdedup
+    from elektra_spark.text.dsir import dsir_weights
+    from elektra_spark.text.packing import pack_sequences
+
+    docs = _t(spark, sf_dir, "documents")
+    emb = _t(spark, sf_dir, "embeddings")
+    cents = train_centroids(_ivf_sample(sf_dir), k=IVF_K, iters=IVF_ITERS)
+    sd = (
+        semdedup(emb, cents, threshold=SEMDEDUP_TAU)
+        .filter(F.col("kept"))
+        .select(F.col("vec_id").alias("doc_id"))
+    )
+    ds = (
+        dsir_weights(docs, target=F.col("lang") == DSIR_TARGET_LANG)
+        .filter(F.col("dsir_score") > DSIR_KEEP_MIN)
+        .select("doc_id")
+    )
+    kept = docs.join(sd, "doc_id").join(ds, "doc_id")
+    return pack_sequences(kept, context_len=PACK_CONTEXT_LEN)
+
+
+def _curation_manifest_sql() -> str:
+    """Twin of q_curation_manifest_docs — the same three twins chained as
+    CTEs (nested WITHs live inside derived tables)."""
+    from elektra_spark.sim.ivf import train_centroids
+    from elektra_spark.sim.semdedup import semdedup_sql
+    from elektra_spark.text.dsir import dsir_sql
+    from elektra_spark.text.packing import pack_sequences_sql
+
+    sf_dir = os.environ.get("ELEKTRA_SF_DIR", "/root/testdata/sf0.01")
+    cents = train_centroids(_ivf_sample(sf_dir), k=IVF_K, iters=IVF_ITERS)
+    sd = semdedup_sql(cents, threshold=SEMDEDUP_TAU)
+    ds = dsir_sql(target_pred=f"lang = '{DSIR_TARGET_LANG}'")
+    pack = pack_sequences_sql(context_len=PACK_CONTEXT_LEN, table="kept")
+    return f"""
+  WITH sd AS (SELECT vec_id FROM ({sd}) s WHERE s.kept),
+  ds AS (SELECT doc_id FROM ({ds}) d WHERE d.dsir_score > {DSIR_KEEP_MIN!r}),
+  kept AS (SELECT doc.* FROM documents doc
+           JOIN sd ON doc.doc_id = sd.vec_id
+           JOIN ds ON doc.doc_id = ds.doc_id)
+  SELECT * FROM ({pack}) p
+  """
+
+
 def q_semdedup_docs(spark, sf_dir):
     """SemDeDup (sim/semdedup.py, Abbas et al. 2023): k-means-cluster the
     embedding corpus with the SAME deterministic sample-trained quantizer
@@ -3898,6 +3958,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe_docs": q_ann_lsh_multiprobe_docs,
         "ann_ivf_docs": q_ann_ivf_docs,
         "semdedup_docs": q_semdedup_docs,
+        "curation_manifest_docs": q_curation_manifest_docs,
         "pq_codes_docs": q_pq_codes_docs,
         "pq_topk_docs": q_pq_topk_docs,
         "embedding_near_dups": q_embedding_near_dups,
@@ -3922,6 +3983,7 @@ def oracle_sql() -> dict[str, str]:
         # rows-only check), never the whole oracle surface
         oracles["ann_ivf_docs"] = _ann_ivf_sql()
         oracles["semdedup_docs"] = _semdedup_sql()
+        oracles["curation_manifest_docs"] = _curation_manifest_sql()
         oracles["pq_codes_docs"] = _pq_codes_sql()
         oracles["pq_topk_docs"] = _pq_topk_sql()
     except Exception:
