@@ -58,6 +58,7 @@ WALK_SEED_MOD = 97  # walk seeds = vertices with vid % 97 == 0 (~1% of the trans
 MIS_SQL_ROUNDS = 8  # unrolled Luby rounds; ≥ the contract instance's depth (pinned by pytest; extras are no-ops once undecided is empty)
 MATCHING_SQL_ROUNDS = 4  # unrolled locally-minimal-edge rounds; the transcript instance empties alive at round 3 (pinned by pytest; the spare round is a no-op)
 COLORING_SQL_ROUNDS = 9  # unrolled Jones–Plassmann rounds; the transcript instance colors out at round 8 (pinned by pytest; the spare round is a no-op)
+MSF_SQL_ROUNDS = 5  # unrolled Boruvka rounds; exact CC relabel per round ≥ halves components, and the transcript instance's pseudo-forest collapse finishes at round 4 (pinned by pytest; round 5 is the first no-op)
 PSEUDO_DIAM_HOPS = 20  # double-sweep BFS bound — generous vs the copurchase graph's small-world eccentricity (~6)
 ANF_HOPS = 4  # HyperBall contract depth; the sf0.01 copurchase registers reach fixpoint at hop 4 (diameter 3 + 1 no-op hop, pinned by pytest)
 ANF_REGISTERS = 64  # HLL registers per vertex (m=64 → ~13% standard error; pytest bounds the observed error vs exact balls)
@@ -833,6 +834,31 @@ def q_matching_transcript(spark, sf_dir):
     from elektra_spark.operators.matching import maximal_matching
 
     return maximal_matching(_transcript_graph(spark).edges)
+
+
+def _msf_weight_col() -> F.Column:
+    """Deterministic distinct-ish edge weight: 12-hex md5 slice of
+    "w:src:dst" (< 2^48, exact BIGINT in both engines); the operator's
+    (w, src, dst) tiebreak keeps the order total even if two edges collide,
+    so the MSF stays unique either way."""
+    key = F.concat_ws(":", F.lit("w"), F.col("src"), F.col("dst"))
+    return F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long")
+
+
+def q_msf_transcript(spark, sf_dir):
+    """Weighted minimum spanning forest (operators/forest.py
+    minimum_spanning_forest): Boruvka over md5-derived edge weights on the
+    transcript link graph. Under the total (w, src, dst) order the MSF is
+    unique, so the DuckDB twin — MSF_SQL_ROUNDS unrolled rounds of
+    per-component min-incident-edge selection with an exact recursive-CTE
+    relabel between rounds — must reproduce the edge SET bit-for-bit, not
+    just aggregates. The weighted sibling of `transcript_forest`
+    (elektra::SpanningTree, spanning_tree.h:27-106, which is
+    weight-oblivious because its unite order is a CAS race)."""
+    from elektra_spark.operators.forest import minimum_spanning_forest
+
+    e = _transcript_graph(spark).edges.select("src", "dst", _msf_weight_col().alias("w"))
+    return minimum_spanning_forest(e)
 
 
 SKEW_HOT_K = 16  # hub keys split out of the shuffle join (the Zipf tool actors)
@@ -2851,6 +2877,59 @@ def _matching_sql() -> str:
     return "".join(parts)
 
 
+def _msf_sql() -> str:
+    """Twin of q_msf_transcript: MSF_SQL_ROUNDS unrolled Boruvka rounds over
+    the identical md5 "w:src:dst" weights. Per round: every component picks
+    its strict (w, src, dst)-minimum incident live edge (row_number over the
+    doubled incidence list — same rule as operators/forest.py
+    _np_forest_winners), then labels collapse to the min label reachable
+    through the round's selected edges via a pruned recursive CTE (the
+    _TRANSCRIPT_CC_RECURSIVE pattern on the label quotient). Distinct-total
+    edge order → unique MSF → the edge sets must match exactly."""
+    parts = [
+        "WITH RECURSIVE "
+        + _transcript_tables_sql(300).lstrip()
+        + """,
+  ew AS MATERIALIZED (SELECT src, dst,
+    ('0x' || substr(md5('w:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 12))::BIGINT AS w
+    FROM edges),
+  l0 AS MATERIALIZED (SELECT vid, vid AS lbl FROM verts)"""
+    ]
+    sels = []
+    for r in range(1, MSF_SQL_ROUNDS + 1):
+        parts.append(
+            f""",
+  q{r} AS MATERIALIZED (
+    SELECT ew.src, ew.dst, ew.w, ls.lbl AS cs, ld.lbl AS cd
+    FROM ew JOIN l{r - 1} ls ON ls.vid = ew.src JOIN l{r - 1} ld ON ld.vid = ew.dst
+    WHERE ls.lbl <> ld.lbl),
+  sel{r} AS MATERIALIZED (
+    SELECT DISTINCT src, dst, w FROM (
+      SELECT comp, src, dst, w,
+             row_number() OVER (PARTITION BY comp ORDER BY w, src, dst) AS rn
+      FROM (SELECT cs AS comp, src, dst, w FROM q{r}
+            UNION ALL SELECT cd AS comp, src, dst, w FROM q{r})) WHERE rn = 1),
+  bq{r} AS MATERIALIZED (
+    SELECT ls.lbl AS a, ld.lbl AS b
+    FROM sel{r} s JOIN l{r - 1} ls ON ls.vid = s.src JOIN l{r - 1} ld ON ld.vid = s.dst
+    UNION
+    SELECT ld.lbl, ls.lbl
+    FROM sel{r} s JOIN l{r - 1} ls ON ls.vid = s.src JOIN l{r - 1} ld ON ld.vid = s.dst),
+  rc{r}(c, m) AS (
+    SELECT a, a FROM bq{r}
+    UNION
+    SELECT bq{r}.b, rc{r}.m FROM rc{r} JOIN bq{r} ON bq{r}.a = rc{r}.c WHERE rc{r}.m < bq{r}.b),
+  nl{r} AS (SELECT c, min(m) AS nl FROM rc{r} GROUP BY c),
+  l{r} AS MATERIALIZED (
+    SELECT v.vid, coalesce(n.nl, v.lbl) AS lbl
+    FROM l{r - 1} v LEFT JOIN nl{r} n ON n.c = v.lbl)"""
+        )
+        sels.append(f"SELECT src, dst, w FROM sel{r}")
+    parts.append(f"""
+  SELECT DISTINCT src, dst, w FROM ({" UNION ALL ".join(sels)}) q""")
+    return "".join(parts)
+
+
 def _hyperball_ctes() -> str:
     """Shared CTE chain for the HyperBall twins: ANF_HOPS unrolled hops.
     Registers are (vid, reg, rho) rows from the identical md5 bit slices
@@ -3902,6 +3981,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_copurchase": q_diameter_copurchase,
         "mis_copurchase": q_mis_copurchase,
         "matching_transcript": q_matching_transcript,
+        "msf_transcript": q_msf_transcript,
         "coloring_transcript": q_coloring_transcript,
         "skew_join_transcript": q_skew_join_transcript,
         "salted_degree_transcript": q_salted_degree_transcript,
@@ -4106,6 +4186,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "diameter_copurchase": _diameter_sql(),
         "mis_copurchase": _mis_sql(),
         "matching_transcript": _matching_sql(),
+        "msf_transcript": _msf_sql(),
         "coloring_transcript": _coloring_sql(),
         "skew_join_transcript": _skew_join_sql(),
         "salted_degree_transcript": _salted_degree_sql(),

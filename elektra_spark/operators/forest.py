@@ -37,16 +37,19 @@ from pyspark.sql import functions as F
 from .cc import _default_checkpoint, _np_min_labels
 
 
-def _np_forest_winners(src, dst):
+def _np_forest_winners(src, dst, w=None):
     """Boolean mask of winner edges — vectorized Boruvka, no per-row Python.
 
     Each round: every component selects its minimum incident live edge by
-    lexicographic (src, dst) rank (segmented ``np.minimum.reduceat`` over the
-    component-sorted endpoint list); selected edges merge components via the
-    shared min-label kernel on the component quotient. Distinct weights →
+    total-order rank — lexicographic ``(src, dst)`` when ``w`` is None (the
+    unweighted spanning forest), else ``(w, src, dst)`` (the weighted MSF;
+    the vid tiebreak keeps the order total even under hash-collided
+    weights) — via segmented ``np.minimum.reduceat`` over the
+    component-sorted endpoint list; selected edges merge components via the
+    shared min-label kernel on the component quotient. A total order →
     the selected set is the unique minimum spanning forest (acyclic by the
-    cut property), identical to a sequential Kruskal sweep in (src, dst)
-    order. O(log n) rounds, each O(E) vectorized.
+    cut property), identical to a sequential Kruskal sweep in rank order.
+    O(log n) rounds, each O(E) vectorized.
     """
     import numpy as np
 
@@ -57,7 +60,7 @@ def _np_forest_winners(src, dst):
     vids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
     s, d = inv[:m], inv[m:]
     n = len(vids)
-    order = np.lexsort((dst, src))
+    order = np.lexsort((dst, src)) if w is None else np.lexsort((dst, src, w))
     rank = np.empty(m, dtype=np.int64)
     rank[order] = np.arange(m)
     lbl = np.arange(n, dtype=np.int64)
@@ -131,3 +134,72 @@ def spanning_forest(
     # winner union still too large: recurse with fewer, larger partitions —
     # each level multiplies components merged per partition
     return spanning_forest(winners, num_partitions=max(2, parts // 4), driver_threshold=driver_threshold, _depth=_depth + 1)
+
+
+def _msf_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Per-partition weighted winners — same shape as :func:`_winner_kernel`
+    but ranked by (w, src, dst) and carrying w through."""
+    import numpy as np
+
+    chunks = list(batches)
+    if not chunks:
+        return
+    pdf = pd.concat(chunks, ignore_index=True)
+    src = pdf["src"].to_numpy(dtype=np.int64)
+    dst = pdf["dst"].to_numpy(dtype=np.int64)
+    w = pdf["w"].to_numpy(dtype=np.int64)
+    mask = _np_forest_winners(src, dst, w)
+    yield pd.DataFrame({"src": src[mask], "dst": dst[mask], "w": w[mask]})
+
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    num_partitions: int | None = None,
+    driver_threshold: int = 5_000_000,
+    _depth: int = 0,
+) -> DataFrame:
+    """Weighted minimum spanning forest → (src, dst, w) ⊆ edges.
+
+    Input: (src, dst, w:long) — canonical undirected edges. The (w, src,
+    dst) tiebreak makes the edge order total, so the MSF is UNIQUE and the
+    two-level composition is exact: for any partition of the edge set,
+    ``MSF(G) = MSF(∪ᵢ MSF(Eᵢ))`` — an edge outside its partition's local
+    MSF closes a cycle of strictly lighter edges there, so the cycle
+    property evicts it globally too (the classic MST filtering /
+    Karger–Klein–Tarjan composition). Each level keeps ≤ (local vertices −
+    1) edges per partition, so the union shrinks toward O(V) and either
+    fits the driver fallback or recurses with fewer partitions — the same
+    scale story as :func:`spanning_forest`, weights riding along.
+
+    Reference parity: the unweighted :func:`spanning_forest` reproduces
+    ``elektra::SpanningTree`` (spanning_tree.h:27-106) under the arbitrary
+    CAS race order; this variant pins the *unique* forest a deterministic
+    weight assignment selects, which is what makes a cross-engine
+    edge-set-exact oracle possible at all.
+    """
+    import numpy as np
+
+    spark = edges.sparkSession
+    parts = num_partitions or spark.sparkContext.defaultParallelism
+    partitioned = edges.select("src", "dst", "w").repartitionByRange(parts, "src")
+    winners = _default_checkpoint(
+        partitioned.mapInPandas(_msf_kernel, "src long, dst long, w long"), _depth
+    )
+    n_winners = winners.count()
+    if n_winners <= driver_threshold:
+        pdf = winners.toPandas()
+        if len(pdf) == 0:
+            return spark.createDataFrame([], "src long, dst long, w long")
+        src = pdf["src"].to_numpy(dtype=np.int64)
+        dst = pdf["dst"].to_numpy(dtype=np.int64)
+        w = pdf["w"].to_numpy(dtype=np.int64)
+        mask = _np_forest_winners(src, dst, w)
+        out = pd.DataFrame({"src": src[mask], "dst": dst[mask], "w": w[mask]})
+        if len(out) == 0:
+            return spark.createDataFrame([], "src long, dst long, w long")
+        return spark.createDataFrame(out)
+    if _depth >= 4:
+        raise RuntimeError("minimum_spanning_forest failed to reduce below driver threshold")
+    return minimum_spanning_forest(
+        winners, num_partitions=max(2, parts // 4), driver_threshold=driver_threshold, _depth=_depth + 1
+    )

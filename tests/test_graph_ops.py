@@ -1538,6 +1538,58 @@ def test_matching_contract_depth():
     assert alive(h - 2) > 0, f"fixpoint before round {h - 2}; MATCHING_SQL_ROUNDS wastes twin rounds"
 
 
+def test_msf_contract_depth():
+    """MSF_SQL_ROUNDS covers the contract instance: the per-round selected
+    set empties at round MSF_SQL_ROUNDS (the first no-op) and was still
+    non-empty the round before."""
+    import duckdb
+
+    import __spark_entry__ as entry
+
+    sql = entry._msf_sql()
+    ctes = sql[: sql.rfind("\n  SELECT DISTINCT src, dst, w FROM (")]
+    con = duckdb.connect()
+    h = entry.MSF_SQL_ROUNDS
+
+    def selected(r: int) -> int:
+        return con.execute(ctes + f"\n  SELECT count(*) FROM sel{r}").fetchone()[0]
+
+    assert selected(h) == 0, f"still selecting at round {h}; raise MSF_SQL_ROUNDS"
+    assert selected(h - 1) > 0, f"fixpoint before round {h - 1}; MSF_SQL_ROUNDS wastes twin rounds"
+
+
+def test_msf_matches_kruskal(spark):
+    """minimum_spanning_forest equals a sequential Kruskal sweep (UnionFind
+    oracle) on a mixed random instance — exact edge set, plus the forest
+    invariants (acyclic, spans, |F| = n − #components)."""
+    import numpy as np
+
+    from elektra_spark.operators.forest import minimum_spanning_forest
+    from tests.oracles import UnionFind
+
+    rng = np.random.RandomState(7)
+    n = 400
+    # two clusters + isolated vertices; duplicate-free canonical edges
+    raw = set()
+    for _ in range(1200):
+        a, b = int(rng.randint(0, n // 2)), int(rng.randint(0, n // 2))
+        if a != b:
+            raw.add((min(a, b), max(a, b)))
+    for _ in range(300):
+        a, b = int(rng.randint(n // 2, n - 20)), int(rng.randint(n // 2, n - 20))
+        if a != b:
+            raw.add((min(a, b), max(a, b)))
+    edges = [(s, d, int(rng.randint(0, 50))) for s, d in sorted(raw)]  # ties on purpose
+
+    # Kruskal under the same total (w, src, dst) order
+    uf = UnionFind(range(n))
+    expected = {(s, d, w) for w, s, d in sorted((w, s, d) for s, d, w in edges) if uf.union(s, d)}
+
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    got = {(r.src, r.dst, r.w) for r in minimum_spanning_forest(df, num_partitions=8).collect()}
+    assert got == expected
+
+
 def test_coloring_valid_and_greedy(spark):
     """JP coloring: proper (no monochrome edge) on a mixed instance; a
     K5 clique uses exactly 5 colors; a star uses 2; isolated vertices get
