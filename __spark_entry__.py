@@ -526,6 +526,17 @@ def q_triangles_per_vertex_copurchase(spark, sf_dir):
     return triangle_count_per_vertex(_copurchase_graph(spark, sf_dir))
 
 
+def q_transitivity_copurchase(spark, sf_dir):
+    """Global clustering coefficient (triangles.py transitivity):
+    3·triangles / wedges — integer aggregates + one 1e-6-rounded ratio, so
+    the DuckDB twin is exact. Complements the per-vertex
+    `clustering_coeff_copurchase` row with the hub-weighted whole-graph
+    statistic."""
+    from elektra_spark.operators.triangles import transitivity
+
+    return transitivity(_copurchase_graph(spark, sf_dir))
+
+
 def q_clustering_coeff_copurchase(spark, sf_dir):
     """Watts–Strogatz local clustering coefficient per vertex
     (triangles.py local_clustering_coefficient): 2·T(v)/(d(v)·(d(v)−1)),
@@ -859,6 +870,32 @@ def q_msf_transcript(spark, sf_dir):
 
     e = _transcript_graph(spark).edges.select("src", "dst", _msf_weight_col().alias("w"))
     return minimum_spanning_forest(e)
+
+
+SINGLE_LINKAGE_TAU = 1 << 47  # weight cut at half the 48-bit md5 space (~half the edges survive)
+
+
+def q_single_linkage_transcript(spark, sf_dir):
+    """Single-linkage clustering at threshold τ via the MSF cut: drop MSF
+    edges heavier than τ; components of the surviving forest edges are
+    EXACTLY the components of the full τ-light edge subgraph (the
+    Kruskal/single-linkage equivalence — every light edge either is in the
+    MSF or closes a cycle of strictly lighter, hence also light, edges).
+    The oracle deliberately takes the OTHER route — recursive-CTE CC over
+    all light edges directly — so this row cross-validates the MSF against
+    an independent algorithm rather than twinning the same plan.
+
+    100 TB story: the production win of the MSF route is that CC runs on
+    O(V) forest edges instead of O(E) light edges, and ONE cached MSF
+    serves every threshold (the dendrogram) — re-cutting is a filter, not
+    a recomputation."""
+    from elektra_spark.operators.cc import connected_components
+    from elektra_spark.operators.forest import minimum_spanning_forest
+
+    g = _transcript_graph(spark)
+    e = g.edges.select("src", "dst", _msf_weight_col().alias("w"))
+    kept = minimum_spanning_forest(e).filter(F.col("w") <= SINGLE_LINKAGE_TAU).select("src", "dst")
+    return connected_components(kept, vertices=g.vertices.select("vid"))
 
 
 SKEW_HOT_K = 16  # hub keys split out of the shuffle join (the Zipf tool actors)
@@ -2877,6 +2914,29 @@ def _matching_sql() -> str:
     return "".join(parts)
 
 
+def _single_linkage_sql() -> str:
+    """Independent-algorithm oracle for q_single_linkage_transcript:
+    min-vertex CC over ALL τ-light edges via the pruned recursive CTE —
+    not an MSF in sight, which is the point (Kruskal/single-linkage
+    equivalence, see the query docstring)."""
+    return (
+        "WITH RECURSIVE "
+        + _transcript_tables_sql(300).lstrip()
+        + f""",
+  ew AS MATERIALIZED (SELECT src, dst,
+    ('0x' || substr(md5('w:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 12))::BIGINT AS w
+    FROM edges),
+  lb AS MATERIALIZED (
+    SELECT src, dst FROM ew WHERE w <= {SINGLE_LINKAGE_TAU}
+    UNION ALL SELECT dst, src FROM ew WHERE w <= {SINGLE_LINKAGE_TAU}),
+  r(vid, label) AS (
+    SELECT vid, vid FROM verts
+    UNION
+    SELECT lb.dst, r.label FROM r JOIN lb ON lb.src = r.vid WHERE r.label < lb.dst)
+  SELECT vid, min(label) AS component FROM r GROUP BY vid"""
+    )
+
+
 def _msf_sql() -> str:
     """Twin of q_msf_transcript: MSF_SQL_ROUNDS unrolled Boruvka rounds over
     the identical md5 "w:src:dst" weights. Per round: every component picks
@@ -3982,6 +4042,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_copurchase": q_mis_copurchase,
         "matching_transcript": q_matching_transcript,
         "msf_transcript": q_msf_transcript,
+        "single_linkage_transcript": q_single_linkage_transcript,
+        "transitivity_copurchase": q_transitivity_copurchase,
         "coloring_transcript": q_coloring_transcript,
         "skew_join_transcript": q_skew_join_transcript,
         "salted_degree_transcript": q_salted_degree_transcript,
@@ -4187,6 +4249,20 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "mis_copurchase": _mis_sql(),
         "matching_transcript": _matching_sql(),
         "msf_transcript": _msf_sql(),
+        "single_linkage_transcript": _single_linkage_sql(),
+        "transitivity_copurchase": f"""
+  WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+  d AS (SELECT vid, count(*) AS d FROM (
+          SELECT src AS vid FROM e UNION ALL SELECT dst FROM e) GROUP BY vid),
+  w AS (SELECT sum(((d * (d - 1)) / 2)::BIGINT) AS n_wedges FROM d),
+  t AS (SELECT count(*)::BIGINT AS n_triangles
+        FROM e e1 JOIN e e2 ON e1.dst = e2.src
+        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst)
+  SELECT w.n_wedges, t.n_triangles,
+         round(CASE WHEN w.n_wedges > 0
+               THEN 3.0 * t.n_triangles / w.n_wedges ELSE 0.0 END, 6) AS transitivity
+  FROM w, t
+  """,
         "coloring_transcript": _coloring_sql(),
         "skew_join_transcript": _skew_join_sql(),
         "salted_degree_transcript": _salted_degree_sql(),

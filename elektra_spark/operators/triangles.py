@@ -253,3 +253,33 @@ def triangle_count_sampled(edges: DataFrame, p_permille: int = 200) -> DataFrame
         F.col("n_triangles").alias("n_triangles_sampled"),
         F.round(F.col("n_triangles").cast("double") * F.lit(scale), 6).alias("estimated_triangles"),
     )
+
+
+def transitivity(edges: DataFrame) -> DataFrame:
+    """→ single-row (n_wedges, n_triangles, transitivity) — the GLOBAL
+    clustering coefficient 3·T / W, where W = Σ_v d(v)·(d(v)−1)/2 is the
+    wedge (open-or-closed path of length 2) count of the simple undirected
+    graph. The whole-graph companion of
+    :func:`local_clustering_coefficient`: one number instead of a
+    per-vertex table, and NOT the mean of the local coefficients (hubs
+    weigh in proportionally to their wedge counts here).
+
+    Plan shape: the degree aggregate is one map-side-combinable shuffle and
+    the triangle count is the shared degree-ordered wedge join; both are
+    integer aggregates, so the cross-engine twin agrees exactly before the
+    contract's 1e-6 rounding of the ratio.
+    """
+    b = edges.select(F.col("src").alias("vid")).unionAll(edges.select(F.col("dst").alias("vid")))
+    deg = b.groupBy("vid").agg(F.count(F.lit(1)).alias("d"))
+    wedges = deg.agg(
+        F.sum((F.col("d") * (F.col("d") - 1) / 2).cast("long")).alias("n_wedges")
+    )
+    tri = triangle_count(edges)
+    return wedges.crossJoin(tri).select(
+        "n_wedges",
+        "n_triangles",
+        F.round(
+            F.when(F.col("n_wedges") > 0, 3.0 * F.col("n_triangles") / F.col("n_wedges")).otherwise(0.0),
+            6,
+        ).alias("transitivity"),
+    )
