@@ -372,6 +372,31 @@ def main():
     ]
     sections.append(("Count-min sketch (broadcast sketch + combinable aggs)", p, checks))
 
+    # 17. weighted MSF winner stage: ONE range exchange feeds the vectorized
+    # per-partition Boruvka; no join, no second shuffle — the recombine runs
+    # on the O(V) winner union, off this plan
+    from elektra_spark.operators.forest import _msf_kernel
+
+    ew = spark.read.parquet(f"{SF_DIR}/lineitem.parquet").select(
+        F.col("l_orderkey").alias("src"), F.col("l_partkey").alias("dst")
+    ).dropDuplicates(["src", "dst"]).select(
+        "src", "dst",
+        F.conv(F.substring(F.md5(F.concat_ws(":", F.lit("w"), "src", "dst")), 1, 12), 16, 10)
+        .cast("long").alias("w"),
+    )
+    p = fmt(ew.repartitionByRange(8, "src").mapInPandas(_msf_kernel, "src long, dst long, w long"))
+    checks = [
+        # the input-canonicalization dropDuplicates adds its own hash
+        # exchange upstream; the operator itself contributes exactly the one
+        # range exchange that feeds the winner kernel
+        "single range exchange (on src) feeds the winner kernel"
+        if p.count("rangepartitioning") == 1
+        else "FAIL: expected exactly one range exchange",
+        "Arrow-batched kernel (MapInPandas), not row-at-a-time Python"
+        if "MapInPandas" in p else "FAIL: no MapInPandas node",
+    ]
+    sections.append(("Weighted MSF winner stage (one range exchange + Arrow Boruvka)", p, checks))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (generated by tools/audit_plans.py)\n")
         f.write("\nProperties asserted for 100 TB readiness; regenerate after planner-affecting changes.\n")
