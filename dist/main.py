@@ -25,7 +25,7 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="elektra-spark")
     p.add_argument(
         "job",
-        choices=["pagerank", "cc", "lpa", "triangles", "forest", "color", "match", "derive", "stream-updates"],
+        choices=["pagerank", "cc", "lpa", "triangles", "forest", "msf", "color", "match", "derive", "stream-updates"],
     )
     p.add_argument("--edges", help="edge parquet path (src,dst)")
     p.add_argument("--synth-convs", type=int, help="synthesize transcript graph with N conversations")
@@ -170,6 +170,20 @@ def main(argv=None) -> int:
         from elektra_spark.operators.forest import spanning_forest
 
         out = spanning_forest(edges)
+    elif args.job == "msf":
+        from pyspark.sql import functions as F
+
+        from elektra_spark.operators.forest import minimum_spanning_forest
+
+        # deterministic md5 edge weights when the input carries none — the
+        # same portable 12-hex slice the contract row uses
+        if "w" not in edges.columns:
+            key = F.concat_ws(":", F.lit("w"), F.col("src"), F.col("dst"))
+            edges = edges.select(
+                "src", "dst",
+                F.conv(F.substring(F.md5(key), 1, 12), 16, 10).cast("long").alias("w"),
+            )
+        out = minimum_spanning_forest(edges)
     elif args.job == "color":
         from elektra_spark.operators.coloring import greedy_coloring
 
