@@ -59,6 +59,8 @@ MIS_SQL_ROUNDS = 8  # unrolled Luby rounds; ≥ the contract instance's depth (p
 MATCHING_SQL_ROUNDS = 4  # unrolled locally-minimal-edge rounds; the transcript instance empties alive at round 3 (pinned by pytest; the spare round is a no-op)
 COLORING_SQL_ROUNDS = 9  # unrolled Jones–Plassmann rounds; the transcript instance colors out at round 8 (pinned by pytest; the spare round is a no-op)
 MSF_SQL_ROUNDS = 5  # unrolled Boruvka rounds; exact CC relabel per round ≥ halves components, and the transcript instance's pseudo-forest collapse finishes at round 4 (pinned by pytest; round 5 is the first no-op)
+TEMPORAL_HOPS = 8  # earliest-arrival relaxation rounds — part of the operator contract (min over ≤ 8-edge temporal paths), capped identically by the unrolled twin
+TEMPORAL_SEED_MOD = 89  # temporal seeds = vids ≡ 0 (mod 89), ~1% of the transcript graph
 PSEUDO_DIAM_HOPS = 20  # double-sweep BFS bound — generous vs the copurchase graph's small-world eccentricity (~6)
 ANF_HOPS = 4  # HyperBall contract depth; the sf0.01 copurchase registers reach fixpoint at hop 4 (diameter 3 + 1 no-op hop, pinned by pytest)
 ANF_REGISTERS = 64  # HLL registers per vertex (m=64 → ~13% standard error; pytest bounds the observed error vs exact balls)
@@ -1045,6 +1047,45 @@ def _tool_sequences_sql() -> str:
     FROM read_parquet('{fx}') WHERE tool IS NOT NULL GROUP BY conv_id
   )
   SELECT seq, count(*)::BIGINT AS n_convs FROM s GROUP BY seq"""
+
+
+def q_temporal_reach_transcript(spark, sf_dir):
+    """Temporal earliest-arrival reachability (operators/temporal.py): which
+    turns/tools could a seed set's information have reached through
+    TIME-RESPECTING paths — reply edges fire at the later turn's ts, and a
+    tool-hub hop u → T → v is admissible only when v invoked T no earlier
+    than u (epoch-second timestamps agree exactly across engines). Seeds =
+    vids ≡ 0 (mod TEMPORAL_SEED_MOD), arrival 0; the DuckDB twin unrolls
+    the identical TEMPORAL_HOPS min-relaxation rounds over the identical
+    temporal edge derivation. The payload-aware sibling of the static
+    hop/weighted-distance rows — same plan family, eligibility predicate
+    `t >= arrival(src)` added to the relax join."""
+    from elektra_spark.operators.temporal import earliest_arrival
+
+    tr = _transcripts(spark, 300)
+    g = _transcript_graph(spark)
+    wt = (
+        g.vertices.filter(F.col("kind") == "turn")
+        .select("vid", "conv_id", "turn_idx", "tool")
+        .join(
+            tr.select("conv_id", "turn_idx", F.unix_timestamp("ts").alias("et")),
+            ["conv_id", "turn_idx"],
+        )
+    )
+    tool_v = g.vertices.filter(F.col("kind") == "tool").select(
+        F.col("vid").alias("tvid"), "tool"
+    )
+    reply = wt.filter(F.col("turn_idx") >= 1).select(
+        (F.col("vid") - 1).alias("src"), F.col("vid").alias("dst"), F.col("et").alias("t")
+    )
+    wt_tool = wt.join(tool_v, "tool")
+    up = wt_tool.select(F.col("vid").alias("src"), F.col("tvid").alias("dst"), F.col("et").alias("t"))
+    down = wt_tool.select(F.col("tvid").alias("src"), F.col("vid").alias("dst"), F.col("et").alias("t"))
+    tedges = reply.unionByName(up).unionByName(down)
+    seeds = g.vertices.filter(F.col("vid") % TEMPORAL_SEED_MOD == 0).select("vid")
+    return earliest_arrival(
+        tedges, seeds, vertices=g.vertices.select("vid"), max_hops=TEMPORAL_HOPS
+    )
 
 
 def q_transcript_salsa(spark, sf_dir):
@@ -2914,6 +2955,47 @@ def _matching_sql() -> str:
     return "".join(parts)
 
 
+def _temporal_reach_sql() -> str:
+    """Twin of q_temporal_reach_transcript: identical temporal edge
+    derivation (reply edges at the later turn's epoch seconds, tool hops
+    both directions at the turn's epoch seconds) and TEMPORAL_HOPS unrolled
+    min-relaxation rounds with the `t >= arrival` eligibility predicate.
+    All-integer arithmetic — exact."""
+    fx = _transcript_fixture(300)
+    parts = [
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + f""",
+  wt AS MATERIALIZED (
+    SELECT turns.vid, turns.turn_idx, turns.tool, epoch(rt.ts)::BIGINT AS et
+    FROM turns JOIN read_parquet('{fx}') rt
+      ON rt.conv_id = turns.conv_id AND rt.turn_idx = turns.turn_idx),
+  te AS MATERIALIZED (
+    SELECT (vid - 1)::BIGINT AS src, vid AS dst, et AS t FROM wt WHERE turn_idx >= 1
+    UNION ALL
+    SELECT wt.vid, tool_v.vid, wt.et FROM wt JOIN tool_v USING (tool)
+    UNION ALL
+    SELECT tool_v.vid, wt.vid, wt.et FROM wt JOIN tool_v USING (tool)),
+  a0 AS (SELECT vid, 0::BIGINT AS arrival FROM verts WHERE vid % {TEMPORAL_SEED_MOD} = 0)"""
+    ]
+    for r in range(1, TEMPORAL_HOPS + 1):
+        parts.append(
+            f""",
+  a{r} AS MATERIALIZED (SELECT vid, min(arrival) AS arrival FROM (
+    SELECT vid, arrival FROM a{r - 1}
+    UNION ALL
+    SELECT te.dst AS vid, te.t AS arrival
+    FROM a{r - 1} p JOIN te ON te.src = p.vid AND te.t >= p.arrival
+  ) GROUP BY vid)"""
+        )
+    parts.append(
+        f"""
+  SELECT v.vid, coalesce(a.arrival, -1)::BIGINT AS arrival
+  FROM verts v LEFT JOIN a{TEMPORAL_HOPS} a USING (vid)"""
+    )
+    return "".join(parts)
+
+
 def _single_linkage_sql() -> str:
     """Independent-algorithm oracle for q_single_linkage_transcript:
     min-vertex CC over ALL τ-light edges via the pruned recursive CTE —
@@ -4043,6 +4125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_transcript": q_matching_transcript,
         "msf_transcript": q_msf_transcript,
         "single_linkage_transcript": q_single_linkage_transcript,
+        "temporal_reach_transcript": q_temporal_reach_transcript,
         "transitivity_copurchase": q_transitivity_copurchase,
         "coloring_transcript": q_coloring_transcript,
         "skew_join_transcript": q_skew_join_transcript,
@@ -4250,6 +4333,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "matching_transcript": _matching_sql(),
         "msf_transcript": _msf_sql(),
         "single_linkage_transcript": _single_linkage_sql(),
+        "temporal_reach_transcript": _temporal_reach_sql(),
         "transitivity_copurchase": f"""
   WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
   d AS (SELECT vid, count(*) AS d FROM (

@@ -1590,6 +1590,31 @@ def test_msf_matches_kruskal(spark):
     assert got == expected
 
 
+def test_temporal_earliest_arrival(spark):
+    """Time-respecting semantics: a path may only use non-decreasing edge
+    times, so a structurally reachable vertex behind a time-INVERTED edge
+    pair stays unreached; earliest arrival is the min over admissible
+    paths, not the min over all paths."""
+    from elektra_spark.operators.temporal import earliest_arrival
+
+    #  0 -(t=10)-> 1 -(t=20)-> 2      : reachable, arrival 20
+    #  0 -(t=30)-> 3 -(t=5)->  4      : 4 blocked (5 < 30)
+    #  0 -(t=50)-> 2                  : worse arrival for 2, must lose to 20
+    #  5 isolated                      : -1
+    te = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 20), (0, 3, 30), (3, 4, 5), (0, 2, 50)],
+        "src long, dst long, t long",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(6)], "vid long")
+    got = {r.vid: r.arrival for r in earliest_arrival(te, [0], vertices=verts, max_hops=4).collect()}
+    assert got == {0: 0, 1: 10, 2: 20, 3: 30, 4: -1, 5: -1}
+
+    # hop bound is contractual: with max_hops=1 vertex 2 only gets the
+    # direct t=50 edge
+    got1 = {r.vid: r.arrival for r in earliest_arrival(te, [0], vertices=verts, max_hops=1).collect()}
+    assert got1[2] == 50 and got1[1] == 10
+
+
 def test_coloring_valid_and_greedy(spark):
     """JP coloring: proper (no monochrome edge) on a mixed instance; a
     K5 clique uses exactly 5 colors; a star uses 2; isolated vertices get
