@@ -1590,6 +1590,38 @@ def test_msf_matches_kruskal(spark):
     assert got == expected
 
 
+def test_single_linkage_equivalence(spark):
+    """Kruskal/single-linkage equivalence on a random weighted instance:
+    CC over (MSF edges with w ≤ τ) equals CC over (ALL edges with w ≤ τ),
+    for several τ cuts of the same cached forest."""
+    import numpy as np
+
+    from elektra_spark.operators.cc import connected_components
+    from elektra_spark.operators.forest import minimum_spanning_forest
+
+    rng = np.random.RandomState(11)
+    n = 300
+    raw = {(min(a, b), max(a, b)) for a, b in rng.randint(0, n, size=(900, 2)) if a != b}
+    edges = [(int(s), int(d), int(rng.randint(0, 1000))) for s, d in sorted(raw)]
+    df = spark.createDataFrame(edges, "src long, dst long, w long")
+    verts = spark.createDataFrame([(i,) for i in range(n)], "vid long")
+    msf = minimum_spanning_forest(df, num_partitions=8).cache()
+    for tau in (150, 500, 900):
+        via_msf = {
+            (r.vid, r.component)
+            for r in connected_components(
+                msf.filter(F.col("w") <= tau).select("src", "dst"), vertices=verts
+            ).collect()
+        }
+        direct = {
+            (r.vid, r.component)
+            for r in connected_components(
+                df.filter(F.col("w") <= tau).select("src", "dst"), vertices=verts
+            ).collect()
+        }
+        assert via_msf == direct, f"single-linkage mismatch at tau={tau}"
+
+
 def test_temporal_earliest_arrival(spark):
     """Time-respecting semantics: a path may only use non-decreasing edge
     times, so a structurally reachable vertex behind a time-INVERTED edge
