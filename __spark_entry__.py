@@ -528,6 +528,20 @@ def q_triangles_per_vertex_copurchase(spark, sf_dir):
     return triangle_count_per_vertex(_copurchase_graph(spark, sf_dir))
 
 
+RICH_CLUB_KS = [2, 4, 8, 16, 32]  # degree thresholds for the rich-club grid
+
+
+def q_rich_club_copurchase(spark, sf_dir):
+    """Rich-club coefficient grid (degrees.py rich_club): density of the
+    subgraph induced by vertices of degree > k, for RICH_CLUB_KS — do the
+    hubs form a club? All-integer counts per k sharing ONE degree aggregate
+    and ONE edge-degree join (the grid broadcast-cross-joins in); exact
+    DuckDB twin."""
+    from elektra_spark.operators.degrees import rich_club
+
+    return rich_club(_copurchase_graph(spark, sf_dir), RICH_CLUB_KS)
+
+
 def q_transitivity_copurchase(spark, sf_dir):
     """Global clustering coefficient (triangles.py transitivity):
     3·triangles / wedges — integer aggregates + one 1e-6-rounded ratio, so
@@ -4127,6 +4141,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_linkage_transcript": q_single_linkage_transcript,
         "temporal_reach_transcript": q_temporal_reach_transcript,
         "transitivity_copurchase": q_transitivity_copurchase,
+        "rich_club_copurchase": q_rich_club_copurchase,
         "coloring_transcript": q_coloring_transcript,
         "skew_join_transcript": q_skew_join_transcript,
         "salted_degree_transcript": q_salted_degree_transcript,
@@ -4333,6 +4348,23 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "matching_transcript": _matching_sql(),
         "msf_transcript": _msf_sql(),
         "single_linkage_transcript": _single_linkage_sql(),
+        "rich_club_copurchase": f"""
+  WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
+  ks(k) AS (VALUES {", ".join(f"({k})" for k in RICH_CLUB_KS)}),
+  d AS MATERIALIZED (SELECT vid, count(*) AS degree FROM (
+        SELECT src AS vid FROM e UNION ALL SELECT dst FROM e) GROUP BY vid),
+  nk AS (SELECT k, count(*) AS n_rich FROM d JOIN ks ON d.degree > ks.k GROUP BY k),
+  ed AS (SELECT least(ds.degree, dd.degree) AS dmin
+         FROM e JOIN d ds ON ds.vid = e.src JOIN d dd ON dd.vid = e.dst),
+  ek AS (SELECT k, count(*) AS n_rich_edges FROM ed JOIN ks ON ed.dmin > ks.k GROUP BY k)
+  SELECT ks.k, coalesce(nk.n_rich, 0)::BIGINT AS n_rich,
+         coalesce(ek.n_rich_edges, 0)::BIGINT AS n_rich_edges,
+         round(CASE WHEN coalesce(nk.n_rich, 0) >= 2
+               THEN 2.0 * coalesce(ek.n_rich_edges, 0)
+                    / (nk.n_rich::DOUBLE * (nk.n_rich - 1))
+               ELSE 0.0 END, 6) AS phi
+  FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
+  """,
         "temporal_reach_transcript": _temporal_reach_sql(),
         "transitivity_copurchase": f"""
   WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),

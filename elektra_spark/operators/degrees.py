@@ -63,3 +63,54 @@ def degree_assortativity(edges: DataFrame) -> DataFrame:
     sxy, sxx, syy = (F.col(c).cast("double") for c in ("sxy", "sxx", "syy"))
     r = (n * sxy - sx * sy) / (F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy))
     return agg.select(F.col("n").cast("long").alias("n_endpoints"), F.round(r, 6).alias("assortativity"))
+
+
+def rich_club(edges: DataFrame, ks: list[int]) -> DataFrame:
+    """→ (k, n_rich, n_rich_edges, phi) per threshold k: the rich-club
+    coefficient φ(k) = 2·E_k / (N_k·(N_k−1)) — the density of the subgraph
+    induced by vertices of degree > k (Zhou–Mondragón 2004). φ(k) → 1 means
+    the hubs form a near-clique; on hub-leaf graphs (the transcript/web
+    shape) it stays low. All-integer counts + one 1e-6-rounded ratio, so
+    the cross-engine twin is exact.
+
+    Plan shape: ONE degree aggregate + two broadcast-degree joins shared by
+    every k; the tiny k grid broadcast-cross-joins into the counts (the
+    grid side is a handful of rows — no edge-table re-scan per k). At
+    100 TB: two shuffles total (degree agg + edge-degree join), grid size
+    independent.
+    """
+    spark = edges.sparkSession
+    kdf = spark.createDataFrame([(int(k),) for k in ks], "k int")
+    deg = degrees(edges)
+    nk = (
+        deg.crossJoin(F.broadcast(kdf))
+        .filter(F.col("degree") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rich"))
+    )
+    ed = (
+        edges.select("src", "dst")
+        .join(deg.select(F.col("vid").alias("src"), F.col("degree").alias("ds")), "src")
+        .join(deg.select(F.col("vid").alias("dst"), F.col("degree").alias("dd")), "dst")
+        .select(F.least("ds", "dd").alias("dmin"))
+    )
+    ek = (
+        ed.crossJoin(F.broadcast(kdf))
+        .filter(F.col("dmin") > F.col("k"))
+        .groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_rich_edges"))
+    )
+    out = (
+        kdf.join(nk, "k", "left")
+        .join(ek, "k", "left")
+        .select(
+            "k",
+            F.coalesce("n_rich", F.lit(0)).cast("long").alias("n_rich"),
+            F.coalesce("n_rich_edges", F.lit(0)).cast("long").alias("n_rich_edges"),
+        )
+    )
+    phi = F.when(
+        F.col("n_rich") >= 2,
+        2.0 * F.col("n_rich_edges") / (F.col("n_rich") * (F.col("n_rich") - F.lit(1))),
+    ).otherwise(0.0)
+    return out.select("k", "n_rich", "n_rich_edges", F.round(phi, 6).alias("phi"))
