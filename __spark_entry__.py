@@ -1076,6 +1076,16 @@ def q_temporal_reach_transcript(spark, sf_dir):
     `t >= arrival(src)` added to the relax join."""
     from elektra_spark.operators.temporal import earliest_arrival
 
+    tedges, g = _transcript_temporal_edges(spark)
+    seeds = g.vertices.filter(F.col("vid") % TEMPORAL_SEED_MOD == 0).select("vid")
+    return earliest_arrival(
+        tedges, seeds, vertices=g.vertices.select("vid"), max_hops=TEMPORAL_HOPS
+    )
+
+
+def _transcript_temporal_edges(spark):
+    """Shared Spark-side temporal edge derivation for the two temporal rows
+    (see q_temporal_reach_transcript docstring)."""
     tr = _transcripts(spark, 300)
     g = _transcript_graph(spark)
     wt = (
@@ -1095,10 +1105,22 @@ def q_temporal_reach_transcript(spark, sf_dir):
     wt_tool = wt.join(tool_v, "tool")
     up = wt_tool.select(F.col("vid").alias("src"), F.col("tvid").alias("dst"), F.col("et").alias("t"))
     down = wt_tool.select(F.col("tvid").alias("src"), F.col("vid").alias("dst"), F.col("et").alias("t"))
-    tedges = reply.unionByName(up).unionByName(down)
-    seeds = g.vertices.filter(F.col("vid") % TEMPORAL_SEED_MOD == 0).select("vid")
-    return earliest_arrival(
-        tedges, seeds, vertices=g.vertices.select("vid"), max_hops=TEMPORAL_HOPS
+    return reply.unionByName(up).unionByName(down), g
+
+
+def q_temporal_departure_transcript(spark, sf_dir):
+    """Latest-departure temporal reachability (operators/temporal.py
+    latest_departure): the dual of `temporal_reach_transcript` — how late
+    can each turn/tool still start a time-respecting path into the target
+    set (the same vid ≡ 0 mod TEMPORAL_SEED_MOD set, now as SINKS). One
+    kernel serves both directions via the reverse-and-negate reduction; the
+    DuckDB twin spells out the identical reduction. All-integer — exact."""
+    from elektra_spark.operators.temporal import latest_departure
+
+    tedges, g = _transcript_temporal_edges(spark)
+    targets = g.vertices.filter(F.col("vid") % TEMPORAL_SEED_MOD == 0).select("vid")
+    return latest_departure(
+        tedges, targets, vertices=g.vertices.select("vid"), max_hops=TEMPORAL_HOPS
     )
 
 
@@ -2969,17 +2991,13 @@ def _matching_sql() -> str:
     return "".join(parts)
 
 
-def _temporal_reach_sql() -> str:
-    """Twin of q_temporal_reach_transcript: identical temporal edge
-    derivation (reply edges at the later turn's epoch seconds, tool hops
-    both directions at the turn's epoch seconds) and TEMPORAL_HOPS unrolled
-    min-relaxation rounds with the `t >= arrival` eligibility predicate.
-    All-integer arithmetic — exact."""
+def _temporal_edges_ctes() -> str:
+    """Shared CTE block: the temporal edge derivation (reply edges at the
+    later turn's epoch seconds, tool hops both directions at the turn's
+    epoch seconds) — the SQL mirror of q_temporal_reach_transcript's
+    Spark-side derivation."""
     fx = _transcript_fixture(300)
-    parts = [
-        "WITH "
-        + _transcript_tables_sql(300).lstrip()
-        + f""",
+    return f""",
   wt AS MATERIALIZED (
     SELECT turns.vid, turns.turn_idx, turns.tool, epoch(rt.ts)::BIGINT AS et
     FROM turns JOIN read_parquet('{fx}') rt
@@ -2989,25 +3007,62 @@ def _temporal_reach_sql() -> str:
     UNION ALL
     SELECT wt.vid, tool_v.vid, wt.et FROM wt JOIN tool_v USING (tool)
     UNION ALL
-    SELECT tool_v.vid, wt.vid, wt.et FROM wt JOIN tool_v USING (tool)),
-  a0 AS (SELECT vid, 0::BIGINT AS arrival FROM verts WHERE vid % {TEMPORAL_SEED_MOD} = 0)"""
-    ]
+    SELECT tool_v.vid, wt.vid, wt.et FROM wt JOIN tool_v USING (tool))"""
+
+
+def _temporal_relax_rounds(edge_rel: str) -> str:
+    """TEMPORAL_HOPS unrolled min-relaxation rounds over ``edge_rel`` with
+    the `t >= arrival` eligibility predicate; expects a0 defined."""
+    parts = []
     for r in range(1, TEMPORAL_HOPS + 1):
         parts.append(
             f""",
   a{r} AS MATERIALIZED (SELECT vid, min(arrival) AS arrival FROM (
     SELECT vid, arrival FROM a{r - 1}
     UNION ALL
-    SELECT te.dst AS vid, te.t AS arrival
-    FROM a{r - 1} p JOIN te ON te.src = p.vid AND te.t >= p.arrival
+    SELECT q.dst AS vid, q.t AS arrival
+    FROM a{r - 1} p JOIN {edge_rel} q ON q.src = p.vid AND q.t >= p.arrival
   ) GROUP BY vid)"""
         )
-    parts.append(
-        f"""
+    return "".join(parts)
+
+
+def _temporal_reach_sql() -> str:
+    """Twin of q_temporal_reach_transcript: identical temporal edge
+    derivation and TEMPORAL_HOPS unrolled min-relaxation rounds.
+    All-integer arithmetic — exact."""
+    return (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + _temporal_edges_ctes()
+        + f""",
+  a0 AS (SELECT vid, 0::BIGINT AS arrival FROM verts WHERE vid % {TEMPORAL_SEED_MOD} = 0)"""
+        + _temporal_relax_rounds("te")
+        + f"""
   SELECT v.vid, coalesce(a.arrival, -1)::BIGINT AS arrival
   FROM verts v LEFT JOIN a{TEMPORAL_HOPS} a USING (vid)"""
     )
-    return "".join(parts)
+
+
+def _temporal_departure_sql() -> str:
+    """Twin of q_temporal_departure_transcript: the identical
+    reverse-and-negate reduction (operators/temporal.py latest_departure) —
+    reversed temporal edges with negated times, targets seeded at the
+    -(2^62) sentinel, the same unrolled rounds, then departure = -arrival
+    over non-target vertices."""
+    return (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + _temporal_edges_ctes()
+        + f""",
+  rte AS MATERIALIZED (SELECT dst AS src, src AS dst, -t AS t FROM te),
+  a0 AS (SELECT vid, {-(1 << 62)}::BIGINT AS arrival FROM verts WHERE vid % {TEMPORAL_SEED_MOD} = 0)"""
+        + _temporal_relax_rounds("rte")
+        + f"""
+  SELECT v.vid, coalesce(-a.arrival, -1)::BIGINT AS departure
+  FROM verts v LEFT JOIN a{TEMPORAL_HOPS} a USING (vid)
+  WHERE v.vid % {TEMPORAL_SEED_MOD} <> 0"""
+    )
 
 
 def _single_linkage_sql() -> str:
@@ -4140,6 +4195,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "msf_transcript": q_msf_transcript,
         "single_linkage_transcript": q_single_linkage_transcript,
         "temporal_reach_transcript": q_temporal_reach_transcript,
+        "temporal_departure_transcript": q_temporal_departure_transcript,
         "transitivity_copurchase": q_transitivity_copurchase,
         "rich_club_copurchase": q_rich_club_copurchase,
         "coloring_transcript": q_coloring_transcript,
@@ -4366,6 +4422,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
   FROM ks LEFT JOIN nk USING (k) LEFT JOIN ek USING (k)
   """,
         "temporal_reach_transcript": _temporal_reach_sql(),
+        "temporal_departure_transcript": _temporal_departure_sql(),
         "transitivity_copurchase": f"""
   WITH e AS MATERIALIZED ({_COPURCHASE_SQL}),
   d AS (SELECT vid, count(*) AS d FROM (

@@ -42,11 +42,13 @@ def earliest_arrival(
     max_hops: int = 8,
     checkpoint: CheckpointFn | None = None,
     on_superstep: SuperstepHook | None = None,
+    seed_arrival: int = 0,
 ) -> DataFrame:
     """→ (vid, arrival): minimum arrival time from any source over
     time-respecting directed paths of at most ``max_hops`` edges; sources
-    arrive at 0 (free to depart at any edge time), unreached vertices get
-    ``-1`` when ``vertices`` supplies the universe.
+    arrive at ``seed_arrival`` (0 by default — free to depart at any
+    non-negative edge time), unreached vertices get ``-1`` when
+    ``vertices`` supplies the universe.
 
     ``tedges``: (src, dst, t) — directed temporal edges; traversing
     (src, dst, t) requires ``t ≥ arrival(src)`` and sets ``arrival(dst) ≤ t``.
@@ -64,7 +66,7 @@ def earliest_arrival(
         checkpoint = RetainedCheckpointer()
     with _no_aqe(spark):
         te = checkpoint(te, -1)
-        arr = checkpoint(seed.withColumn("arrival", F.lit(0).cast("long")), 0)
+        arr = checkpoint(seed.withColumn("arrival", F.lit(int(seed_arrival)).cast("long")), 0)
         for step in range(1, max_hops + 1):
             t0 = time.time()
             relaxed = (
@@ -96,5 +98,62 @@ def earliest_arrival(
             vertices.select("vid")
             .join(out, "vid", "left")
             .select("vid", F.coalesce("arrival", F.lit(-1)).cast("long").alias("arrival"))
+        )
+    return out
+
+
+#: seed arrival for the reversed/negated reduction — below every negated
+#: timestamp, so targets are eligible for all of their incident reverse edges
+_NEG_INF = -(1 << 62)
+
+
+def latest_departure(
+    tedges: DataFrame,
+    targets: DataFrame | list[int],
+    vertices: DataFrame | None = None,
+    max_hops: int = 8,
+    checkpoint: CheckpointFn | None = None,
+    on_superstep: SuperstepHook | None = None,
+) -> DataFrame:
+    """→ (vid, departure) for NON-target vertices: the latest time one can
+    leave ``vid`` and still reach some target over a time-respecting path of
+    ≤ ``max_hops`` edges; ``-1`` if no such path (edge times are positive
+    epoch seconds, so ``-1`` is unambiguous). Targets themselves are
+    excluded from the output — their departure is unbounded.
+
+    The classic reduction onto :func:`earliest_arrival`: reverse every edge
+    and negate its time. A forward path v →…→ target with non-decreasing
+    times t₁ ≤ … ≤ t_k becomes a reverse path target →…→ v with
+    non-decreasing negated times −t_k ≤ … ≤ −t₁, and minimizing the reverse
+    arrival −t₁ maximizes the forward departure t₁ — so
+    ``departure(v) = −arrival_rev(v)`` exactly, hop bound preserved. One
+    kernel, both temporal directions."""
+    rev = tedges.select(
+        F.col("dst").alias("src"), F.col("src").alias("dst"), (-F.col("t")).cast("long").alias("t")
+    )
+    a = earliest_arrival(
+        rev,
+        targets,
+        vertices=None,
+        max_hops=max_hops,
+        checkpoint=checkpoint,
+        on_superstep=on_superstep,
+        seed_arrival=_NEG_INF,
+    )
+    spark = tedges.sparkSession
+    if isinstance(targets, DataFrame):
+        tset = targets.select(F.col("vid").cast("long").alias("vid")).distinct()
+    else:
+        tset = spark.createDataFrame([(int(v),) for v in targets], "vid long").distinct()
+    out = (
+        a.join(tset, "vid", "left_anti")
+        .select("vid", (-F.col("arrival")).cast("long").alias("departure"))
+    )
+    if vertices is not None:
+        out = (
+            vertices.select("vid")
+            .join(tset, "vid", "left_anti")
+            .join(out, "vid", "left")
+            .select("vid", F.coalesce("departure", F.lit(-1)).cast("long").alias("departure"))
         )
     return out

@@ -1647,6 +1647,24 @@ def test_temporal_earliest_arrival(spark):
     assert got1[2] == 50 and got1[1] == 10
 
 
+def test_temporal_latest_departure(spark):
+    """Reverse-and-negate reduction: departure(v) is the max FIRST-edge time
+    over time-respecting paths into the target set; a time-inverted pair
+    blocks, targets are excluded from the output."""
+    from elektra_spark.operators.temporal import latest_departure
+
+    #  0 -(10)-> 1 -(20)-> 2 (target): leave 0 by 10, leave 1 by 20
+    #  3 -(30)-> 4 -(5)-> 2 (target): 3 blocked (5 < 30); 4 leaves at 5
+    #  0 -(7)->  2 direct: departure(0) = max(10, 7) = 10
+    te = spark.createDataFrame(
+        [(0, 1, 10), (1, 2, 20), (3, 4, 30), (4, 2, 5), (0, 2, 7)],
+        "src long, dst long, t long",
+    )
+    verts = spark.createDataFrame([(i,) for i in range(5)], "vid long")
+    got = {r.vid: r.departure for r in latest_departure(te, [2], vertices=verts, max_hops=4).collect()}
+    assert got == {0: 10, 1: 20, 3: -1, 4: 5}
+
+
 def test_coloring_valid_and_greedy(spark):
     """JP coloring: proper (no monochrome edge) on a mixed instance; a
     K5 clique uses exactly 5 colors; a star uses 2; isolated vertices get
