@@ -1124,6 +1124,29 @@ def q_temporal_departure_transcript(spark, sf_dir):
     )
 
 
+TOOL_COOC_MIN_W = 2  # tool pairs must co-occur in ≥ 2 conversations
+TOOL_COOC_MAX_CONV_TOOLS = 64  # degenerate-conversation guard (same contract role as PROJ_MAX_BASKET)
+
+
+def q_tool_cooccurrence_transcript(spark, sf_dir):
+    """Tool co-usage graph (operators/projection.py project_bipartite over
+    the (conv_id, tool) relation): which tools appear together in the same
+    conversation, weighted by co-occurring conversation count — the
+    agent-behavior companion of the lineitem copurchase row, straight off
+    the raw transcript payload. Same quadratic-hub group guard and
+    min-weight contract; string members exercise the projection's
+    type-agnostic path (lexicographic a < b canonicalization agrees across
+    engines on ASCII tool names)."""
+    from elektra_spark.operators.projection import project_bipartite
+
+    tr = _transcripts(spark, 300).filter(F.col("tool").isNotNull())
+    return project_bipartite(
+        tr.select(F.col("conv_id").alias("src"), F.col("tool").alias("dst")),
+        min_weight=TOOL_COOC_MIN_W,
+        max_group_size=TOOL_COOC_MAX_CONV_TOOLS,
+    )
+
+
 def q_transcript_salsa(spark, sf_dir):
     """SALSA hubs & authorities (operators/salsa.py) — degree-normalized
     HITS over the same directed transcript edge set: each spread divides by
@@ -4196,6 +4219,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "single_linkage_transcript": q_single_linkage_transcript,
         "temporal_reach_transcript": q_temporal_reach_transcript,
         "temporal_departure_transcript": q_temporal_departure_transcript,
+        "tool_cooccurrence_transcript": q_tool_cooccurrence_transcript,
         "transitivity_copurchase": q_transitivity_copurchase,
         "rich_club_copurchase": q_rich_club_copurchase,
         "coloring_transcript": q_coloring_transcript,
@@ -4311,6 +4335,15 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
   WITH e AS ({_COPURCHASE_SQL})
   SELECT count(*) AS n_triangles
   FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  """,
+        "tool_cooccurrence_transcript": f"""
+  WITH r AS (SELECT DISTINCT conv_id AS g, tool AS m
+             FROM read_parquet('{_transcript_fixture(300)}') WHERE tool IS NOT NULL),
+  ok AS (SELECT g FROM r GROUP BY g HAVING count(*) <= {TOOL_COOC_MAX_CONV_TOOLS}),
+  rr AS (SELECT r.g, r.m FROM r JOIN ok USING (g))
+  SELECT a.m AS src, b.m AS dst, count(*)::BIGINT AS weight
+  FROM rr a JOIN rr b ON a.g = b.g AND a.m < b.m
+  GROUP BY a.m, b.m HAVING count(*) >= {TOOL_COOC_MIN_W}
   """,
         "copurchase_weighted": f"""
   WITH r AS (SELECT DISTINCT l_orderkey AS g, l_partkey AS m FROM lineitem),
