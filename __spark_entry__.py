@@ -65,6 +65,8 @@ PSEUDO_DIAM_HOPS = 20  # double-sweep BFS bound — generous vs the copurchase g
 ANF_HOPS = 4  # HyperBall contract depth; the sf0.01 copurchase registers reach fixpoint at hop 4 (diameter 3 + 1 no-op hop, pinned by pytest)
 ANF_REGISTERS = 64  # HLL registers per vertex (m=64 → ~13% standard error; pytest bounds the observed error vs exact balls)
 PASSAGE_TOKENS = 16  # aligned dedup-window width; sf0.01 docs yield 1921 passages, 147 duplicate occurrences in 69 groups — non-vacuous
+BOILER_LINE_TOKENS = 12  # body-line width for the boilerplate-strip contract row
+BOILER_MIN_DOCS = 3  # CCNet threshold: a line in ≥ 3 distinct docs is boilerplate (binds on the 25-doc-per-source headers at sf0.01)
 
 _HERE = os.path.dirname(os.path.abspath(__file__))
 
@@ -1290,6 +1292,55 @@ def q_transcript_scc(spark, sf_dir):
     return strongly_connected_components(g.edges, vertices=g.vertices)
 
 
+def q_motifs_transcript(spark, sf_dir):
+    """Directed-motif census (operators/motifs.py) — arc reciprocity (one
+    reversed-key self-semi-join) plus the two 3-vertex motif counts:
+    directed 3-cycles (rotation enumeration ÷ 3) and transitive
+    feed-forward triangles (role-pinned, counted once) — over TWO digraphs
+    derived from the n=300 fixture, one row each:
+
+    - ``flow``: the turn-level flow digraph (derive_digraph). Its
+      reciprocity is structurally ZERO — tool-calling turns sit at odd
+      turn_idx only, so ``turn→hub`` and ``hub→turn+1`` arcs can never pair
+      up — and the twin asserting exactly 0 pins that parity argument.
+    - ``transition``: the tool-transition digraph (consecutive non-null
+      tools within a conversation, vids = alphabetical tool rank, self
+      loops dropped) — a dense little Markov-structure graph where every
+      census field is non-vacuous (18/21 arcs reciprocal at n=300).
+
+    All exact integer aggregates + one rounded ratio; the DuckDB twin
+    derives the identical digraphs and enumerates the same ordered
+    triples."""
+    from pyspark.sql import Window
+
+    from elektra_spark.ingest.edges import derive_digraph
+    from elektra_spark.operators.motifs import motif_census
+
+    t = _transcripts(spark, 300)
+    flow = motif_census(derive_digraph(t).edges)
+    calls = t.filter(F.col("tool").isNotNull()).select("conv_id", "turn_idx", "tool")
+    nxt = calls.withColumn(
+        "nxt", F.lead("tool").over(Window.partitionBy("conv_id").orderBy("turn_idx"))
+    ).filter(F.col("nxt").isNotNull() & (F.col("nxt") != F.col("tool")))
+    ranks = (
+        calls.select("tool")
+        .distinct()
+        .withColumn("vid", (F.row_number().over(Window.orderBy("tool")) - 1).cast("long"))
+    )
+    trans_arcs = (
+        nxt.join(ranks.select(F.col("tool"), F.col("vid").alias("src")), "tool")
+        .join(
+            ranks.select(F.col("tool").alias("nxt"), F.col("vid").alias("dst")), "nxt"
+        )
+        .select("src", "dst")
+        .distinct()
+    )
+    trans = motif_census(trans_arcs)
+    return flow.select(F.lit("flow").alias("graph"), "*").unionByName(
+        trans.select(F.lit("transition").alias("graph"), "*")
+    )
+
+
 def q_kcore_copurchase(spark, sf_dir):
     """k-core extraction (operators/kcore.py) on the copurchase projection:
     synchronous degree-peel to the fixpoint, returning surviving vertices
@@ -1868,6 +1919,49 @@ def q_passage_dedup_docs(spark, sf_dir):
     from elektra_spark.dedup.passages import passage_dedup
 
     return passage_dedup(_t(spark, sf_dir, "documents"), window_tokens=PASSAGE_TOKENS)
+
+
+def q_boilerplate_docs(spark, sf_dir):
+    """CCNet-style boilerplate line removal (dedup/lines.py): drop every
+    line repeated across ≥ BOILER_MIN_DOCS distinct documents, reassemble
+    byte-exactly. The documents fixture is single-line prose, so the line
+    model is derived deterministically: line 0 is a per-source template
+    header (``'SOURCE: ' || source`` — the fixture's stand-in for the site
+    chrome CCNet strips; 25 docs share each source at sf0.01, so headers
+    bind the threshold) and lines 1.. are aligned BOILER_LINE_TOKENS-token
+    chunks of the body (which stay unique and must survive untouched). The
+    DuckDB twin derives the identical lines and replays the identical
+    frequency filter — clean_text matches as raw string equality.
+
+    Contrast with `passage_dedup_docs`: that keeps the FIRST occurrence of
+    a repeated span; boilerplate removal drops ALL occurrences past the
+    frequency threshold — the CCNet semantics (Wenzek et al., LREC 2020)."""
+    from elektra_spark.dedup.lines import strip_boilerplate
+
+    w = BOILER_LINE_TOKENS
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "source", "text")
+    toks = F.split(F.coalesce(F.col("text"), F.lit("")), " ")
+    header = docs.select(
+        "doc_id",
+        F.lit(0).alias("line_idx"),
+        F.concat(F.lit("SOURCE: "), F.col("source")).alias("line"),
+    )
+    body = (
+        docs.withColumn("toks", toks)
+        .withColumn(
+            "chunks",
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.greatest(F.ceil(F.size("toks") / w).cast("int"), F.lit(1)) - 1,
+                ),
+                lambda g: F.array_join(F.slice(F.col("toks"), g * w + 1, w), " "),
+            ),
+        )
+        .select("doc_id", F.posexplode("chunks").alias("pos", "line"))
+        .select("doc_id", (F.col("pos") + 1).alias("line_idx"), "line")
+    )
+    return strip_boilerplate(header.unionByName(body), min_docs=BOILER_MIN_DOCS)
 
 
 def q_corpus_filter_docs(spark, sf_dir):
@@ -2601,16 +2695,14 @@ def _assortativity_sql() -> str:
   """
 
 
-def _transcript_scc_sql() -> str:
-    """Twin of q_transcript_scc: derive the directed flow graph from the
-    n=50 fixture (reply v→v+1, call turn→hub, response hub→v+1 — mirroring
-    ingest/edges.py derive_digraph), take the full transitive closure, and
-    assign scc = min over mutually reachable vertices. The closure is
-    unpruned (mutual reachability needs arbitrary pairs, not just minima),
-    which is why this query pins the small fixture."""
-    fx = _transcript_fixture(50)
+def _transcript_digraph_cte(n_conversations: int) -> str:
+    """Shared CTE fragment deriving the directed flow graph from the
+    transcript fixture (reply v→v+1, call turn→hub, response hub→v+1 —
+    mirroring ingest/edges.py derive_digraph). Ends with ``de`` (distinct,
+    self-loop-free arcs) and ``verts``; callers append their own CTEs/body
+    (used by the `transcript_scc` and `motifs_transcript` twins)."""
+    fx = _transcript_fixture(n_conversations)
     return f"""
-WITH RECURSIVE
   t AS MATERIALIZED (SELECT conv_id, turn_idx, tool FROM read_parquet('{fx}')),
   cl AS (SELECT conv_id, max(turn_idx) + 1 AS conv_len FROM t GROUP BY conv_id),
   off AS (SELECT conv_id, conv_len,
@@ -2630,7 +2722,18 @@ WITH RECURSIVE
           SELECT tool_v.vid AS src, turns.vid + 1 AS dst FROM turns JOIN tool_v USING (tool)
           WHERE turns.turn_idx < turns.conv_len - 1),
   de AS MATERIALIZED (SELECT DISTINCT src, dst FROM de0 WHERE src <> dst),
-  verts AS MATERIALIZED (SELECT vid FROM turns UNION ALL SELECT vid FROM tool_v),
+  verts AS MATERIALIZED (SELECT vid FROM turns UNION ALL SELECT vid FROM tool_v)"""
+
+
+def _transcript_scc_sql() -> str:
+    """Twin of q_transcript_scc: derive the directed flow graph from the
+    n=50 fixture (reply v→v+1, call turn→hub, response hub→v+1 — mirroring
+    ingest/edges.py derive_digraph), take the full transitive closure, and
+    assign scc = min over mutually reachable vertices. The closure is
+    unpruned (mutual reachability needs arbitrary pairs, not just minima),
+    which is why this query pins the small fixture."""
+    return f"""
+WITH RECURSIVE{_transcript_digraph_cte(50)},
   reach(src, dst) AS (
     SELECT src, dst FROM de
     UNION
@@ -2641,6 +2744,83 @@ WITH RECURSIVE
   SELECT v.vid, least(v.vid, coalesce(min(m.p), v.vid))::BIGINT AS scc
   FROM verts v LEFT JOIN mutual m ON m.vid = v.vid
   GROUP BY v.vid"""
+
+
+_MOTIF_CENSUS_BODY = """
+  rec_{g} AS (SELECT count(*)::BIGINT AS n_reciprocal_arcs FROM {g} a
+          WHERE EXISTS (SELECT 1 FROM {g} b WHERE b.src = a.dst AND b.dst = a.src)),
+  na_{g} AS (SELECT count(*)::BIGINT AS n_arcs FROM {g}),
+  cyc_{g} AS (SELECT (count(*) // 3)::BIGINT AS n_cyclic_triangles
+          FROM {g} e1 JOIN {g} e2 ON e2.src = e1.dst
+          JOIN {g} e3 ON e3.src = e2.dst AND e3.dst = e1.src
+          WHERE e1.src <> e2.dst),
+  ffl_{g} AS (SELECT count(*)::BIGINT AS n_transitive_triangles
+          FROM {g} e1 JOIN {g} e2 ON e2.src = e1.dst
+          JOIN {g} e3 ON e3.src = e1.src AND e3.dst = e2.dst
+          WHERE e1.src <> e2.dst)"""
+
+_MOTIF_CENSUS_ROW = """
+  SELECT '{label}' AS graph, na_{g}.n_arcs, rec_{g}.n_reciprocal_arcs,
+         round(CASE WHEN na_{g}.n_arcs > 0
+               THEN rec_{g}.n_reciprocal_arcs::DOUBLE / na_{g}.n_arcs ELSE 0.0 END, 6) AS reciprocity,
+         cyc_{g}.n_cyclic_triangles, ffl_{g}.n_transitive_triangles
+  FROM na_{g}, rec_{g}, cyc_{g}, ffl_{g}"""
+
+
+def _motifs_sql() -> str:
+    """Twin of q_motifs_transcript: the shared digraph CTE for the flow
+    row, a lead()-window transition derivation for the transition row, then
+    textbook enumerations per graph — reciprocal arcs via an EXISTS on the
+    reversed pair, directed 3-cycles as ordered rotations divided (integer
+    `//`) by 3, feed-forward triangles as role-pinned ordered triples.
+    Same integer aggregates, same final rounding as operators/motifs.py."""
+    fx = _transcript_fixture(300)
+    return (
+        f"""
+WITH{_transcript_digraph_cte(300)},
+  calls AS (SELECT conv_id, turn_idx, tool FROM read_parquet('{fx}') WHERE tool IS NOT NULL),
+  s AS (SELECT conv_id, tool, lead(tool) OVER (PARTITION BY conv_id ORDER BY turn_idx) AS nxt FROM calls),
+  ranks AS (SELECT tool, (row_number() OVER (ORDER BY tool) - 1)::BIGINT AS vid
+            FROM (SELECT DISTINCT tool FROM calls)),
+  te AS MATERIALIZED (SELECT DISTINCT r1.vid AS src, r2.vid AS dst
+        FROM s JOIN ranks r1 ON r1.tool = s.tool JOIN ranks r2 ON r2.tool = s.nxt
+        WHERE s.nxt IS NOT NULL AND s.nxt <> s.tool),"""
+        + _MOTIF_CENSUS_BODY.format(g="de")
+        + ","
+        + _MOTIF_CENSUS_BODY.format(g="te")
+        + _MOTIF_CENSUS_ROW.format(g="de", label="flow")
+        + "\n  UNION ALL"
+        + _MOTIF_CENSUS_ROW.format(g="te", label="transition")
+    )
+
+
+def _boilerplate_sql() -> str:
+    """Twin of q_boilerplate_docs: identical line derivation (per-source
+    header at line 0, lateral generate_series BOILER_LINE_TOKENS-token body
+    chunks — the passage-twin idiom), identical distinct-doc frequency
+    threshold, identical newline re-join ordered by line_idx."""
+    w = BOILER_LINE_TOKENS
+    return f"""
+  WITH base AS (SELECT doc_id, source, string_split(coalesce(text, ''), ' ') AS toks FROM documents),
+  body AS (
+    SELECT doc_id, (gs.g + 1)::INTEGER AS line_idx,
+           array_to_string(toks[gs.g*{w}+1 : gs.g*{w}+{w}], ' ') AS line
+    FROM base, LATERAL (SELECT unnest(generate_series(0,
+         greatest(CAST(ceil(len(base.toks)::DOUBLE / {w}) AS INTEGER), 1) - 1)) AS g) gs),
+  lines AS MATERIALIZED (
+    SELECT doc_id, 0 AS line_idx, 'SOURCE: ' || source AS line FROM base
+    UNION ALL SELECT doc_id, line_idx, line FROM body),
+  freq AS (SELECT line, count(DISTINCT doc_id) AS n_docs FROM lines GROUP BY line),
+  keep AS (SELECT l.doc_id, l.line_idx, l.line FROM lines l
+           JOIN freq f USING (line) WHERE f.n_docs < {BOILER_MIN_DOCS}),
+  tot AS (SELECT doc_id, count(*)::BIGINT AS n_lines FROM lines GROUP BY doc_id),
+  k AS (SELECT doc_id, count(*)::BIGINT AS n_kept,
+               string_agg(line, chr(10) ORDER BY line_idx) AS clean_text
+        FROM keep GROUP BY doc_id)
+  SELECT t.doc_id, t.n_lines, coalesce(k.n_kept, 0)::BIGINT AS n_kept,
+         coalesce(k.clean_text, '') AS clean_text
+  FROM tot t LEFT JOIN k USING (doc_id)
+  """
 
 
 def _transcript_bipartite_sql() -> str:
@@ -4230,6 +4410,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_widest": q_transcript_widest,
         "transcript_bipartite": q_transcript_bipartite,
         "transcript_scc": q_transcript_scc,
+        "motifs_transcript": q_motifs_transcript,
         "partition_advisor_transcript": q_partition_advisor_transcript,
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
         "dynamic_orders": q_dynamic_orders,
@@ -4272,6 +4453,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "corpus_sample_stream": q_corpus_sample_stream,
         "chunk_docs": q_chunk_docs,
         "passage_dedup_docs": q_passage_dedup_docs,
+        "boilerplate_docs": q_boilerplate_docs,
         "ann_topk_docs": q_ann_topk_docs,
         "ann_topk_brute_docs": q_ann_topk_brute_docs,
         "ann_lsh_docs": q_ann_lsh_docs,
@@ -4404,6 +4586,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "corpus_sample_stream": _corpus_sample_stream_sql(),
         "chunk_docs": _chunk_docs_sql(),
         "passage_dedup_docs": _passage_dedup_sql(),
+        "boilerplate_docs": _boilerplate_sql(),
         "transcript_cc": _transcript_cc_sql(),
         "transcript_pagerank": _transcript_pagerank_sql(),
         "dynamic_pagerank_transcript": _dynamic_pagerank_sql(),
@@ -4477,6 +4660,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_widest": _transcript_widest_sql(),
         "transcript_bipartite": _transcript_bipartite_sql(),
         "transcript_scc": _transcript_scc_sql(),
+        "motifs_transcript": _motifs_sql(),
         "partition_advisor_transcript": _partition_advisor_sql(),
         "tfidf_docs": _tfidf_sql(),
         "kcore_copurchase": _kcore_sql(KCORE_K, KCORE_SQL_ROUNDS),

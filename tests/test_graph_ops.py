@@ -1714,3 +1714,67 @@ def test_coloring_contract_depth():
 
     assert uncolored(h - 1) == 0, f"still uncolored at round {h - 1}; raise COLORING_SQL_ROUNDS"
     assert uncolored(h - 2) > 0, f"fixpoint before round {h - 2}; COLORING_SQL_ROUNDS wastes twin rounds"
+
+
+# ---------------------------------------------------------------- motif census
+
+# arcs over {0,1,2}: mutual 0<->1, cycle 0->1->2->0, shortcut 0->2.
+# By hand: reciprocal arcs = {01, 10, 20, 02} (the shortcut pairs with the
+# cycle's closing arc); one directed 3-cycle (0,1,2);
+# transitive triples (i->j, j->k, i->k): (0,1,2), (1,0,2), (1,2,0).
+MOTIF_TOY = [(0, 1), (1, 0), (1, 2), (2, 0), (0, 2)]
+
+
+def _digraph(spark, arcs):
+    df = spark.createDataFrame([(int(a), int(b)) for a, b in arcs], "src long, dst long")
+    return df.filter(F.col("src") != F.col("dst")).dropDuplicates(["src", "dst"])
+
+
+def _motif_oracle(arcs):
+    """Brute-force census over the distinct self-loop-free arc set."""
+    a = {(u, v) for u, v in arcs if u != v}
+    rec = sum(1 for (u, v) in a if (v, u) in a)
+    cyc = sum(1 for (i, j) in a for k in range(max(max(p) for p in a) + 1)
+              if (j, k) in a and (k, i) in a and i != k) // 3
+    ffl = sum(1 for (i, j) in a for k in range(max(max(p) for p in a) + 1)
+              if (j, k) in a and (i, k) in a and i != k)
+    return len(a), rec, cyc, ffl
+
+
+def test_motif_census_toy(spark):
+    from elektra_spark.operators.motifs import motif_census
+
+    row = motif_census(_digraph(spark, MOTIF_TOY)).collect()[0]
+    assert (row["n_arcs"], row["n_reciprocal_arcs"]) == (5, 4)
+    assert row["reciprocity"] == pytest.approx(0.8, abs=1e-9)
+    assert (row["n_cyclic_triangles"], row["n_transitive_triangles"]) == (1, 3)
+
+
+def _random_digraph(seed, n, m):
+    rng = random.Random(seed)
+    return list({(rng.randrange(n), rng.randrange(n)) for _ in range(m)})
+
+
+@pytest.mark.parametrize("seed,n,m", [(7, 12, 60), (11, 25, 180)], ids=["dense12", "sparse25"])
+def test_motif_census_matches_bruteforce(spark, seed, n, m):
+    from elektra_spark.operators.motifs import motif_census
+
+    arcs = [(a, b) for a, b in _random_digraph(seed, n, m) if a != b]
+    row = motif_census(_digraph(spark, arcs)).collect()[0]
+    na, rec, cyc, ffl = _motif_oracle(arcs)
+    assert row["n_arcs"] == na
+    assert row["n_reciprocal_arcs"] == rec
+    assert row["n_cyclic_triangles"] == cyc
+    assert row["n_transitive_triangles"] == ffl
+
+
+def test_motif_census_acyclic_graph(spark):
+    """A DAG (chain + shortcuts) has zero cycles and zero reciprocity but
+    real feed-forward triangles — the degenerate fields stay exact."""
+    from elektra_spark.operators.motifs import motif_census
+
+    arcs = [(i, i + 1) for i in range(6)] + [(0, 2), (2, 4)]
+    row = motif_census(_digraph(spark, arcs)).collect()[0]
+    assert row["n_reciprocal_arcs"] == 0 and row["reciprocity"] == 0.0
+    assert row["n_cyclic_triangles"] == 0
+    assert row["n_transitive_triangles"] == 2  # (0,1,2) and (2,3,4)

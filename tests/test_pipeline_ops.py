@@ -959,3 +959,56 @@ def test_pq_adc_topk_approximates_exact(spark):
     exact = cosine_topk_sql_style(corpus, queries, k=1).collect()
     for r in exact:
         assert r["nbr"] % 8 == r["query_id"] % 8
+
+
+# ------------------------------------------------------- boilerplate stripping
+
+def _lines_df(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, line_idx int, line string")
+
+
+def test_strip_boilerplate_drops_all_occurrences(spark):
+    """CCNet semantics: a line in >= min_docs distinct docs vanishes from
+    EVERY doc (not first-kept like passage dedup); unique lines survive in
+    original order; an all-boilerplate doc survives with empty text."""
+    from elektra_spark.dedup.lines import strip_boilerplate
+
+    rows = [
+        (1, 0, "HDR"), (1, 1, "one"),
+        (2, 0, "HDR"), (2, 1, "two"),
+        (3, 0, "HDR"), (3, 1, "three"), (3, 2, "HDR"),  # dup within one doc
+        (4, 0, "four a"), (4, 1, "four b"),
+        (5, 0, "HDR"),  # all-boilerplate doc
+    ]
+    got = {r["doc_id"]: r for r in strip_boilerplate(_lines_df(spark, rows), min_docs=3).collect()}
+    assert len(got) == 5
+    assert (got[1]["n_lines"], got[1]["n_kept"], got[1]["clean_text"]) == (2, 1, "one")
+    assert (got[3]["n_lines"], got[3]["n_kept"], got[3]["clean_text"]) == (3, 1, "three")
+    assert (got[4]["n_lines"], got[4]["n_kept"], got[4]["clean_text"]) == (2, 2, "four a\nfour b")
+    assert (got[5]["n_lines"], got[5]["n_kept"], got[5]["clean_text"]) == (1, 0, "")
+
+
+def test_strip_boilerplate_within_doc_repeats_dont_count(spark):
+    """n_docs is DISTINCT docs: a line repeated 5x inside one doc is not
+    boilerplate (threshold counts documents, not occurrences)."""
+    from elektra_spark.dedup.lines import strip_boilerplate
+
+    rows = [(1, i, "loop") for i in range(5)] + [(2, 0, "solo")]
+    got = {r["doc_id"]: r for r in strip_boilerplate(_lines_df(spark, rows), min_docs=2).collect()}
+    assert got[1]["n_kept"] == 5 and got[1]["clean_text"] == "\n".join(["loop"] * 5)
+
+
+def test_strip_boilerplate_order_restored(spark):
+    """Reassembly follows line_idx, not shuffle arrival order."""
+    from elektra_spark.dedup.lines import strip_boilerplate
+
+    rows = [(1, i, f"l{i:03d}") for i in reversed(range(20))]
+    got = strip_boilerplate(_lines_df(spark, rows).repartition(8), min_docs=2).collect()[0]
+    assert got["clean_text"] == "\n".join(f"l{i:03d}" for i in range(20))
+
+
+def test_strip_boilerplate_rejects_min_docs_below_2(spark):
+    from elektra_spark.dedup.lines import strip_boilerplate
+
+    with pytest.raises(ValueError):
+        strip_boilerplate(_lines_df(spark, [(1, 0, "x")]), min_docs=1)
