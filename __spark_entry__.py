@@ -223,6 +223,38 @@ def q_dynamic_orders(spark, sf_dir):
     return g.labels()
 
 
+def q_time_travel_orders(spark, sf_dir):
+    """Snapshot time travel on the state catalog (tables.py ``read(version)``
+    + ``history()`` — Iceberg's AS OF semantics on the stand-in): replay the
+    exact q_dynamic_orders schedule (insert order chains, then delete
+    every-13th-order tree edges), then read the labels table AS OF the
+    post-insert/pre-delete snapshot, located by scanning ``history()`` for
+    the ``batch_add_edges`` commit (not a hardcoded version number). The
+    DuckDB twin recomputes min-vid CC over the pre-delete edge set
+    (base ∪ inserts) — a hash match proves the travelled-to snapshot is the
+    true post-insert state, untouched by the later delete commit."""
+    import shutil
+    import tempfile
+
+    from elektra_spark.dynamic.updates import DynamicGraph
+    from elektra_spark.tables import SnapshotCatalog
+
+    edges, vertices = _customer_order_graph(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    wh = os.path.join(tempfile.gettempdir(), f"elektra_time_travel_{tag}")
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = SnapshotCatalog(spark, wh)
+    g = DynamicGraph.create(cat, edges, vertices=vertices)
+
+    adds, dels = _order_update_batches(spark, sf_dir)
+    g.batch_add_edges(adds.select("src", "dst"))
+    g.batch_delete_edges(dels.select("src", "dst"))
+    post_insert = max(
+        s["version"] for s in cat.history(g._t("labels")) if s["operation"] == "batch_add_edges"
+    )
+    return cat.read(g._t("labels"), version=post_insert)
+
+
 def _order_update_batches(spark, sf_dir):
     """q_dynamic_orders' deterministic insert/delete schedule as two
     ``(op, src, dst)`` update batches."""
@@ -2344,6 +2376,27 @@ def _dynamic_orders_sql() -> str:
     )
 
 
+def _time_travel_orders_sql() -> str:
+    """Twin of q_time_travel_orders: min-vid CC of the PRE-DELETE edge set
+    (all original customer-order edges plus the order-chain inserts) — what
+    the travelled-to snapshot must equal if time travel is sound."""
+    return (
+        f"""WITH RECURSIVE
+  e0 AS (SELECT o_custkey::BIGINT AS src, ({ORDER_VID_OFFSET} + o_orderkey)::BIGINT AS dst
+         FROM orders),
+  adds AS (SELECT ({ORDER_VID_OFFSET} + o1.o_orderkey)::BIGINT AS src,
+                  ({ORDER_VID_OFFSET} + o2.o_orderkey)::BIGINT AS dst
+           FROM orders o1 JOIN orders o2 ON o2.o_orderkey = o1.o_orderkey + 1
+           WHERE o1.o_orderkey % 100 = 0),
+  edges AS MATERIALIZED (SELECT src, dst FROM e0 UNION SELECT src, dst FROM adds),
+  verts AS MATERIALIZED (SELECT c_custkey::BIGINT AS vid FROM customer
+           UNION ALL SELECT ({ORDER_VID_OFFSET} + o_orderkey)::BIGINT FROM orders),
+  b AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)"""
+        + _TRANSCRIPT_CC_RECURSIVE
+        + "\n  SELECT vid, component FROM cc"
+    )
+
+
 def _dynamic_levels_orders_sql() -> str:
     """Twin of q_dynamic_levels_orders. Two pruned recursive CCs (post-insert
     and post-delete edge sets); the (level, is_tree) histogram then follows
@@ -4414,6 +4467,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "partition_advisor_transcript": q_partition_advisor_transcript,
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
         "dynamic_orders": q_dynamic_orders,
+        "time_travel_orders": q_time_travel_orders,
         "streaming_dynamic_orders": q_streaming_dynamic_orders,
         "dynamic_levels_orders": q_dynamic_levels_orders,
         "component_vertices_orders": q_component_vertices_orders,
@@ -4668,6 +4722,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_levels": _transcript_levels_sql(),
         "transcript_levels2": _transcript_levels2_sql(),
         "dynamic_orders": _dynamic_orders_sql(),
+        "time_travel_orders": _time_travel_orders_sql(),
         # delivery mode (streaming micro-batches vs direct batch calls) must
         # not change the final edge set, so the twin is the same CC query
         "streaming_dynamic_orders": _dynamic_orders_sql(),
