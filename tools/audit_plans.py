@@ -397,6 +397,47 @@ def main():
     ]
     sections.append(("Weighted MSF winner stage (one range exchange + Arrow Boruvka)", p, checks))
 
+    # 18. boilerplate strip: the distinct-doc frequency must be the two-phase
+    # dropDuplicates+count form — NO Expand node (the planner's generic
+    # count-distinct rewrite multiplies the line relation) — and reassembly
+    # adds exactly one doc_id exchange on top of the frequency join
+    from elektra_spark.dedup.lines import strip_boilerplate
+
+    lines_df = docs_df.select(
+        F.col("doc_id"), F.lit(0).alias("line_idx"), F.col("text").alias("line")
+    )
+    p = fmt(strip_boilerplate(lines_df, min_docs=3))
+    checks = [
+        "no Expand node (count-distinct expressed as dedup + combinable count)"
+        if "Expand" not in p
+        else "FAIL: planner chose the Expand count-distinct rewrite",
+        "map-side partial aggregation present"
+        if "partial_count" in p or "partial_sum" in p
+        else "FAIL: no partial aggregation on the line hash",
+        "no single-partition exchange" if "Exchange SinglePartition" not in p
+        else "FAIL: single-partition exchange in boilerplate strip",
+    ]
+    sections.append(("Boilerplate line strip (two-phase distinct-doc frequency)", p, checks))
+
+    # 19. motif census: both triad counts reuse ONE wedge join keyed on the
+    # shared middle vertex; closers arrive as semi-joins; scalar folds are
+    # the only single-partition exchanges (1-row frames)
+    from elektra_spark.operators.motifs import motif_census
+
+    arcs = spark.range(5000).select(F.col("id").alias("src"), ((F.col("id") * 7 + 3) % 5000).alias("dst"))
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    p = fmt(motif_census(arcs))
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    n_semi = len(re.findall(r"LeftSemi", p))
+    checks = [
+        f"closing probes are semi-joins (LeftSemi ×{n_semi})" if n_semi >= 3
+        else f"FAIL: expected ≥3 semi-joins, saw {n_semi}",
+        "single-partition exchanges only for the 1-row scalar folds"
+        if p.count("Exchange SinglePartition") <= 5
+        else "FAIL: unexpected single-partition exchange volume",
+    ]
+    sections.append(("Directed motif census (shared wedge join + semi-join closers)", p, checks))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (generated by tools/audit_plans.py)\n")
         f.write("\nProperties asserted for 100 TB readiness; regenerate after planner-affecting changes.\n")
