@@ -65,6 +65,9 @@ PSEUDO_DIAM_HOPS = 20  # double-sweep BFS bound — generous vs the copurchase g
 ANF_HOPS = 4  # HyperBall contract depth; the sf0.01 copurchase registers reach fixpoint at hop 4 (diameter 3 + 1 no-op hop, pinned by pytest)
 ANF_REGISTERS = 64  # HLL registers per vertex (m=64 → ~13% standard error; pytest bounds the observed error vs exact balls)
 PASSAGE_TOKENS = 16  # aligned dedup-window width; sf0.01 docs yield 1921 passages, 147 duplicate occurrences in 69 groups — non-vacuous
+INFLUENCE_P_PERMILLE = 650  # IC arc-activation probability (0.65 — cascade uses the full round horizon on the n=300 flow digraph)
+INFLUENCE_ROUNDS = 8  # cascade horizon, part of the operator contract (twin caps identically)
+INFLUENCE_SEED_MOD = 101  # IC seeds = vids ≡ 0 (mod 101), ~1% of the flow digraph
 BOILER_LINE_TOKENS = 12  # body-line width for the boilerplate-strip contract row
 BOILER_MIN_DOCS = 3  # CCNet threshold: a line in ≥ 3 distinct docs is boilerplate (binds on the 25-doc-per-source headers at sf0.01)
 
@@ -1370,6 +1373,25 @@ def q_motifs_transcript(spark, sf_dir):
     trans = motif_census(trans_arcs)
     return flow.select(F.lit("flow").alias("graph"), "*").unionByName(
         trans.select(F.lit("transition").alias("graph"), "*")
+    )
+
+
+def q_influence_transcript(spark, sf_dir):
+    """Independent-cascade influence spread (operators/influence.py) on the
+    n=300 flow digraph via the Kempe–Kleinberg live-edge reduction: one
+    deterministic md5-coin draw keeps ~65% of arcs, seeds = vids ≡ 0
+    (mod INFLUENCE_SEED_MOD), and the cascade is the DIRECTED multi-source
+    reachability of the live subgraph, reported as newly-activated counts
+    per round (non-trivial through the full INFLUENCE_ROUNDS horizon at
+    these constants). The DuckDB twin replays the identical coin and a
+    capped min-hop recursive closure."""
+    from elektra_spark.ingest.edges import derive_digraph
+    from elektra_spark.operators.influence import influence_spread
+
+    g = derive_digraph(_transcripts(spark, 300))
+    seeds = g.vertices.filter(F.col("vid") % INFLUENCE_SEED_MOD == 0).select("vid")
+    return influence_spread(
+        g.edges, seeds, p_permille=INFLUENCE_P_PERMILLE, max_rounds=INFLUENCE_ROUNDS
     )
 
 
@@ -2874,6 +2896,26 @@ def _boilerplate_sql() -> str:
          coalesce(k.clean_text, '') AS clean_text
   FROM tot t LEFT JOIN k USING (doc_id)
   """
+
+
+def _influence_sql() -> str:
+    """Twin of q_influence_transcript: identical md5 arc coin (the portable
+    12-hex slice), identical seed rule, capped min-hop recursive closure
+    over the live arcs, grouped into per-round activation counts."""
+    return f"""
+WITH RECURSIVE{_transcript_digraph_cte(300)},
+  live AS MATERIALIZED (SELECT src, dst FROM de
+    WHERE ('0x' || substr(md5('ic0:' || CAST(src AS VARCHAR) || ':' || CAST(dst AS VARCHAR)), 1, 12))::BIGINT % 1000 < {INFLUENCE_P_PERMILLE}),
+  seeds AS (SELECT vid FROM verts WHERE vid % {INFLUENCE_SEED_MOD} = 0),
+  d(vid, dist) AS (
+    SELECT vid, 0 FROM seeds
+    UNION
+    SELECT live.dst, d.dist + 1 FROM d JOIN live ON live.src = d.vid
+    WHERE d.dist < {INFLUENCE_ROUNDS}
+  ),
+  md AS (SELECT vid, min(dist) AS round FROM d GROUP BY vid)
+  SELECT round::INTEGER AS round, count(*)::BIGINT AS n_activated
+  FROM md GROUP BY round"""
 
 
 def _transcript_bipartite_sql() -> str:
@@ -4464,6 +4506,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_bipartite": q_transcript_bipartite,
         "transcript_scc": q_transcript_scc,
         "motifs_transcript": q_motifs_transcript,
+        "influence_transcript": q_influence_transcript,
         "partition_advisor_transcript": q_partition_advisor_transcript,
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
         "dynamic_orders": q_dynamic_orders,
@@ -4715,6 +4758,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_bipartite": _transcript_bipartite_sql(),
         "transcript_scc": _transcript_scc_sql(),
         "motifs_transcript": _motifs_sql(),
+        "influence_transcript": _influence_sql(),
         "partition_advisor_transcript": _partition_advisor_sql(),
         "tfidf_docs": _tfidf_sql(),
         "kcore_copurchase": _kcore_sql(KCORE_K, KCORE_SQL_ROUNDS),

@@ -1778,3 +1778,63 @@ def test_motif_census_acyclic_graph(spark):
     assert row["n_reciprocal_arcs"] == 0 and row["reciprocity"] == 0.0
     assert row["n_cyclic_triangles"] == 0
     assert row["n_transitive_triangles"] == 2  # (0,1,2) and (2,3,4)
+
+
+# ------------------------------------------------------- influence spread (IC)
+
+def test_influence_p1000_is_directed_bfs(spark):
+    """At p=1000 every arc is live, so the cascade is exact directed BFS:
+    chain 0->1->2->3 from seed 0 under a 2-round horizon activates one
+    vertex per round and never reaches 3."""
+    from elektra_spark.operators.influence import influence_spread
+
+    arcs = _digraph(spark, [(0, 1), (1, 2), (2, 3)])
+    got = {r["round"]: r["n_activated"]
+           for r in influence_spread(arcs, [0], p_permille=1000, max_rounds=2).collect()}
+    assert got == {0: 1, 1: 1, 2: 1}
+
+
+def test_influence_respects_direction(spark):
+    from elektra_spark.operators.influence import influence_spread
+
+    arcs = _digraph(spark, [(0, 1), (1, 2)])
+    got = {r["round"]: r["n_activated"]
+           for r in influence_spread(arcs, [2], p_permille=1000, max_rounds=4).collect()}
+    assert got == {0: 1}  # nothing flows against the arcs
+
+
+def test_influence_monotone_in_p_and_deterministic(spark):
+    """live(p1) is a subset of live(p2) for p1 < p2 under the shared coin,
+    so total activation is monotone in p; the same draw is reproducible
+    across calls and partitionings."""
+    from elektra_spark.operators.influence import influence_spread, live_arcs
+
+    arcs = _digraph(spark, _random_digraph(3, 40, 300))
+    totals = {}
+    for p in (200, 600, 1000):
+        rows = influence_spread(arcs, [0, 7, 21], p_permille=p, max_rounds=6).collect()
+        totals[p] = sum(r["n_activated"] for r in rows)
+    assert totals[200] <= totals[600] <= totals[1000]
+
+    a = sorted(map(tuple, live_arcs(arcs, 600).collect()))
+    b = sorted(map(tuple, live_arcs(arcs.repartition(7), 600).collect()))
+    assert a == b and 0 < len(a) < arcs.count()
+
+
+def test_influence_salt_varies_draw(spark):
+    from elektra_spark.operators.influence import live_arcs
+
+    arcs = _digraph(spark, _random_digraph(9, 40, 300))
+    a = set(map(tuple, live_arcs(arcs, 500, salt=0).collect()))
+    b = set(map(tuple, live_arcs(arcs, 500, salt=1).collect()))
+    assert a != b  # independent Monte-Carlo draws
+
+
+def test_influence_rejects_bad_p(spark):
+    from elektra_spark.operators.influence import live_arcs
+
+    arcs = _digraph(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        live_arcs(arcs, 0)
+    with pytest.raises(ValueError):
+        live_arcs(arcs, 1001)
