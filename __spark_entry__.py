@@ -4439,6 +4439,181 @@ def _minhash_candidates_sql() -> str:
   """
 
 
+# ---------------------------------------------- Euler-tour sequence surface
+# The explicit tour relation (elektra_spark/operators/euler.py) — the
+# set-oriented re-expression of the reference's skip-list tour machinery
+# (parallel_skip_list/skip_list.h Join/Split/FindParent,
+# augmented_skip_list.h BatchJoin/GetSubsequenceSum, SURVEY.md §2.3 rows
+# 31-35/38/39). The oracle twin walks the identical successor rule
+# sequentially with a recursive CTE — a genuinely different algorithm
+# (one-arc-at-a-time walk vs log-round pointer doubling), which is exactly
+# what an oracle should be.
+
+
+def _supplier_tree(spark, sf_dir):
+    """Three-level region←nation←supplier containment tree: 5 trees (one per
+    region). Vids: region = r_regionkey, nation = 100 + n_nationkey,
+    supplier = 1000 + s_suppkey — disjoint increasing ranges, so canonical
+    src<dst falls out of the hierarchy order."""
+    nation = _t(spark, sf_dir, "nation")
+    supplier = _t(spark, sf_dir, "supplier")
+    e1 = nation.select(
+        F.col("n_regionkey").cast("long").alias("src"),
+        (F.lit(100) + F.col("n_nationkey")).cast("long").alias("dst"),
+    )
+    e2 = supplier.select(
+        (F.lit(100) + F.col("s_nationkey")).cast("long").alias("src"),
+        (F.lit(1000) + F.col("s_suppkey")).cast("long").alias("dst"),
+    )
+    return e1.unionByName(e2)
+
+
+def q_euler_tour_suppliers(spark, sf_dir):
+    """Materialized Euler tour of every supplier tree: (tour, src, dst, pos)
+    with pos the arc's place on the circular tour broken at the smallest
+    arc — skip-list Join/BatchJoin building the sequence
+    (skip_list.h:246-262, augmented_skip_list.h:374-419)."""
+    from elektra_spark.operators.euler import euler_tour
+
+    return euler_tour(_supplier_tree(spark, sf_dir))
+
+
+def q_euler_parents_suppliers(spark, sf_dir):
+    """Deterministic geometric heights + FindLeftParent/FindRightParent over
+    the tour (skip_list.h:109-119,183-206); list ends report -1."""
+    from elektra_spark.operators.euler import euler_tour, find_taller_parents
+
+    t = find_taller_parents(euler_tour(_supplier_tree(spark, sf_dir)))
+    neg1 = F.lit(-1).cast("long")
+    return t.select(
+        "tour", "src", "dst", "pos", "lvl",
+        F.coalesce("left_parent_pos", neg1).alias("left_parent_pos"),
+        F.coalesce("right_parent_pos", neg1).alias("right_parent_pos"),
+    )
+
+
+def q_euler_range_sum_suppliers(spark, sf_dir):
+    """GetSubsequenceSum over real tour positions
+    (augmented_skip_list.h:421-470): per tour, sum of dst endpoints across
+    positions 3..40."""
+    from elektra_spark.operators.euler import euler_tour, tour_range_sum
+
+    return tour_range_sum(euler_tour(_supplier_tree(spark, sf_dir)), 3, 40)
+
+
+def q_euler_retour_suppliers(spark, sf_dir):
+    """BatchCut + BatchLink splice outcome (euler_tour_tree.h:273-369,
+    399-561): suppliers 1 and 2 are cut from their nations and linked to
+    nation (n+7) mod 25; only affected trees are re-toured
+    (elektra_spark.operators.euler.batch_retour), untouched tours keep
+    their rows verbatim. Compared against a full sequential re-walk of the
+    mutated forest."""
+    from elektra_spark.operators.euler import batch_retour, euler_tour
+
+    supplier = _t(spark, sf_dir, "supplier")
+    forest = _supplier_tree(spark, sf_dir)
+    old = euler_tour(forest)
+    moved = supplier.filter(F.col("s_suppkey") <= 2)
+    cuts = moved.select(
+        (F.lit(100) + F.col("s_nationkey")).cast("long").alias("src"),
+        (F.lit(1000) + F.col("s_suppkey")).cast("long").alias("dst"),
+    )
+    links = moved.select(
+        (F.lit(100) + ((F.col("s_nationkey") + 7) % 25)).cast("long").alias("src"),
+        (F.lit(1000) + F.col("s_suppkey")).cast("long").alias("dst"),
+    )
+    new_tour, _ = batch_retour(old, forest, links=links, cuts=cuts)
+    return new_tour
+
+
+def q_component_edge_slice_orders(spark, sf_dir):
+    """ForEachIncidentVertex rank-select analogue (hdt_euler_tour_tree.h:
+    82-83,255-323): the 2nd..4th incident edges of every component of the
+    customer-orders graph in canonical rank order."""
+    from elektra_spark.operators.cc import component_edge_slice, connected_components
+
+    edges, vertices = _customer_order_graph(spark, sf_dir)
+    labels = connected_components(edges, vertices=vertices)
+    return component_edge_slice(labels, edges, 2, 4)
+
+
+_SUPPLIER_TREE_EDGES_SQL = """
+    SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(100 + n_nationkey AS BIGINT) AS dst FROM nation
+    UNION ALL
+    SELECT CAST(100 + s_nationkey AS BIGINT) AS src, CAST(1000 + s_suppkey AS BIGINT) AS dst FROM supplier
+"""
+
+_SUPPLIER_TREE_VMAP_SQL = """
+    SELECT CAST(r_regionkey AS BIGINT) AS vid, CAST(r_regionkey AS BIGINT) AS comp FROM region
+    UNION ALL
+    SELECT CAST(100 + n_nationkey AS BIGINT) AS vid, CAST(n_regionkey AS BIGINT) AS comp FROM nation
+    UNION ALL
+    SELECT CAST(1000 + s_suppkey AS BIGINT) AS vid, CAST(n_regionkey AS BIGINT) AS comp
+    FROM supplier JOIN nation ON n_nationkey = s_nationkey
+"""
+
+# suppliers 1 and 2 re-homed to nation (n+7) mod 25 — the retour batch
+_RETOUR_EDGES_SQL = """
+    SELECT CAST(n_regionkey AS BIGINT) AS src, CAST(100 + n_nationkey AS BIGINT) AS dst FROM nation
+    UNION ALL
+    SELECT CAST(100 + (CASE WHEN s_suppkey <= 2 THEN (s_nationkey + 7) % 25 ELSE s_nationkey END) AS BIGINT) AS src,
+           CAST(1000 + s_suppkey AS BIGINT) AS dst
+    FROM supplier
+"""
+
+_RETOUR_VMAP_SQL = """
+    SELECT CAST(r_regionkey AS BIGINT) AS vid, CAST(r_regionkey AS BIGINT) AS comp FROM region
+    UNION ALL
+    SELECT CAST(100 + n_nationkey AS BIGINT) AS vid, CAST(n_regionkey AS BIGINT) AS comp FROM nation
+    UNION ALL
+    SELECT CAST(1000 + s_suppkey AS BIGINT) AS vid, CAST(n_regionkey AS BIGINT) AS comp
+    FROM supplier JOIN nation
+      ON n_nationkey = (CASE WHEN s_suppkey <= 2 THEN (s_nationkey + 7) % 25 ELSE s_nationkey END)
+"""
+
+# exact-arithmetic height mix — MUST equal elektra_spark.operators.euler
+# height_expr token for token (operands bounded: no BIGINT overflow in
+# either engine)
+_TOUR_LVL_SQL = (
+    "CAST(log2(CAST((x & -(x)) AS DOUBLE)) AS INT)"
+)
+_TOUR_MIX_SQL = (
+    "((((src % 1048576) * 2654435761 + (dst % 1048576) * 40503) % 4294967296) + 1)"
+)
+
+
+def _tour_walk_sql(edges_sql: str, vmap_sql: str, tail: str) -> str:
+    """Recursive-CTE sequential tour walk: identical successor rule as the
+    engine (circular next neighbor in sorted adjacency), executed one arc
+    per iteration from each tree's smallest arc."""
+    return f"""
+  WITH RECURSIVE
+  e AS ({edges_sql}),
+  vmap AS ({vmap_sql}),
+  arcs AS (SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e),
+  succ AS (
+    SELECT src, dst, dst AS nsrc,
+           COALESCE(LEAD(src) OVER (PARTITION BY dst ORDER BY src),
+                    MIN(src) OVER (PARTITION BY dst)) AS ndst
+    FROM arcs),
+  sc AS (SELECT s.src, s.dst, s.nsrc, s.ndst, m.comp FROM succ s JOIN vmap m ON s.src = m.vid),
+  roots AS (
+    SELECT comp, src AS rsrc, dst AS rdst FROM (
+      SELECT sc.*, ROW_NUMBER() OVER (PARTITION BY comp ORDER BY src, dst) AS rn FROM sc)
+    WHERE rn = 1),
+  walk AS (
+    SELECT s.src, s.dst, s.nsrc, s.ndst, s.comp, CAST(0 AS BIGINT) AS pos
+    FROM sc s JOIN roots r ON s.comp = r.comp AND s.src = r.rsrc AND s.dst = r.rdst
+    UNION ALL
+    SELECT t.src, t.dst, t.nsrc, t.ndst, t.comp, w.pos + 1
+    FROM walk w
+    JOIN sc t ON t.src = w.nsrc AND t.dst = w.ndst
+    JOIN roots r ON r.comp = w.comp
+    WHERE NOT (t.src = r.rsrc AND t.dst = r.rdst))
+  {tail}
+"""
+
+
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship: link graph from sf0.001 star schema → CC + PageRank joined."""
     sf_dir = "/root/testdata/sf0.001"
@@ -4460,6 +4635,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "four_cycles_copurchase": q_four_cycles_copurchase,
         "copurchase_weighted": q_copurchase_weighted,
         "triangles_per_vertex_copurchase": q_triangles_per_vertex_copurchase,
+        # Euler-tour sequence surface (SURVEY.md §2.3 rows 31-35/38/39 + §2.2 row 29)
+        "euler_tour_suppliers": q_euler_tour_suppliers,
+        "euler_parents_suppliers": q_euler_parents_suppliers,
+        "euler_range_sum_suppliers": q_euler_range_sum_suppliers,
+        "euler_retour_suppliers": q_euler_retour_suppliers,
+        "component_edge_slice_orders": q_component_edge_slice_orders,
         "degree_histogram_parts": q_degree_histogram_parts,
         "kcore_copurchase": q_kcore_copurchase,
         "coreness_copurchase": q_coreness_copurchase,
@@ -4596,6 +4777,46 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
   SELECT c_custkey AS vid, c_custkey AS component FROM customer
   UNION ALL
   SELECT {ORDER_VID_OFFSET} + o_orderkey AS vid, o_custkey AS component FROM orders
+  """,
+        "euler_tour_suppliers": _tour_walk_sql(
+            _SUPPLIER_TREE_EDGES_SQL,
+            _SUPPLIER_TREE_VMAP_SQL,
+            "SELECT comp AS tour, src, dst, pos FROM walk",
+        ),
+        "euler_parents_suppliers": _tour_walk_sql(
+            _SUPPLIER_TREE_EDGES_SQL,
+            _SUPPLIER_TREE_VMAP_SQL,
+            f""", lv AS (
+    SELECT src, dst, pos, comp, {_TOUR_LVL_SQL} AS lvl FROM (
+      SELECT w.*, {_TOUR_MIX_SQL} AS x FROM walk w))
+  SELECT a.comp AS tour, a.src, a.dst, a.pos, a.lvl,
+         COALESCE((SELECT MAX(b.pos) FROM lv b
+                   WHERE b.comp = a.comp AND b.pos < a.pos AND b.lvl > a.lvl), -1) AS left_parent_pos,
+         COALESCE((SELECT MIN(b.pos) FROM lv b
+                   WHERE b.comp = a.comp AND b.pos > a.pos AND b.lvl > a.lvl), -1) AS right_parent_pos
+  FROM lv a""",
+        ),
+        "euler_range_sum_suppliers": _tour_walk_sql(
+            _SUPPLIER_TREE_EDGES_SQL,
+            _SUPPLIER_TREE_VMAP_SQL,
+            """SELECT comp AS tour, CAST(SUM(dst) AS BIGINT) AS range_sum,
+         COUNT(*) AS n_arcs
+  FROM walk WHERE pos BETWEEN 3 AND 40 GROUP BY comp""",
+        ),
+        "euler_retour_suppliers": _tour_walk_sql(
+            _RETOUR_EDGES_SQL,
+            _RETOUR_VMAP_SQL,
+            "SELECT comp AS tour, src, dst, pos FROM walk",
+        ),
+        "component_edge_slice_orders": f"""
+  SELECT component, src, dst, rk FROM (
+    SELECT CAST(o_custkey AS BIGINT) AS component,
+           CAST(o_custkey AS BIGINT) AS src,
+           CAST({ORDER_VID_OFFSET} + o_orderkey AS BIGINT) AS dst,
+           ROW_NUMBER() OVER (PARTITION BY o_custkey
+                              ORDER BY o_custkey, {ORDER_VID_OFFSET} + o_orderkey) AS rk
+    FROM orders)
+  WHERE rk BETWEEN 2 AND 4
   """,
         "pagerank_customer_orders": _pagerank_sql(),
         "lpa_customer_orders": _lpa_sql(),

@@ -534,3 +534,22 @@ def component_edges(labels: DataFrame, edges: DataFrame, component: int) -> Data
     one component via a semi-join against its member vertices."""
     members = labels.filter(F.col("component") == component).select("vid")
     return edges.join(members.withColumnRenamed("vid", "src"), "src", "left_semi")
+
+
+def component_edge_slice(labels: DataFrame, edges: DataFrame, lo: int, hi: int) -> DataFrame:
+    """Rank-select over every component's incident-edge slice — the
+    set-oriented outcome of ``ForEachIncidentVertex(l, r, f)``
+    (hdt_euler_tour_tree.h:82-83,255-323). The reference rank-descends the
+    augmented skip list to *visit only* the l-th..r-th incident edges (a
+    work bound for its doubling search); the BSP analogue assigns each edge
+    a deterministic rank in canonical ``(src, dst)`` order (one
+    ``row_number`` window keyed by component — the scan is set-oriented and
+    already paid for) and filters the requested band. Ranks are 1-indexed
+    and ``lo..hi`` inclusive, matching the reference's rank semantics."""
+    from pyspark.sql import Window
+
+    e = edges.join(labels.select(F.col("vid").alias("src"), "component"), "src")
+    w = Window.partitionBy("component").orderBy("src", "dst")
+    return e.select(
+        "component", "src", "dst", F.row_number().over(w).alias("rk")
+    ).filter((F.col("rk") >= lo) & (F.col("rk") <= hi))
