@@ -438,6 +438,34 @@ def main():
     ]
     sections.append(("Directed motif census (shared wedge join + semi-join closers)", p, checks))
 
+    # 20. Euler-tour taller-parent search: all 33 height-level carry columns
+    # per direction must share ONE window pass (two Window subtrees total,
+    # one per direction) and the plan must contain NO join — the naive
+    # nearest-taller formulation is a quadratic self-join; the carry-column
+    # form is a fixed number of expressions over two sorts
+    from elektra_spark.operators.euler import euler_tour, find_taller_parents
+
+    forest = spark.range(1, 400).select(
+        ((F.col("id") * 13 + 5) % F.col("id")).alias("src"), F.col("id").alias("dst")
+    )
+    tour = euler_tour(forest)  # ranking runs eagerly; the result is a
+    # checkpoint-truncated relation, so the parents plan audits in isolation
+    p = fmt(find_taller_parents(tour))
+    # the live plan is everything above the first InMemoryRelation — below
+    # it sits the ranking's already-materialized (persisted) lineage
+    live = p.split("InMemoryRelation", 1)[0]
+    n_win = len(re.findall(r"\bWindow\b", live))
+    checks = [
+        f"both directions share one window pass each (Window ×{n_win} ≤ 4)"
+        if 0 < n_win <= 4
+        else f"FAIL: expected ≤4 Window nodes, saw {n_win}",
+        "no self-join above the materialized tour (carry columns, not the "
+        "quadratic nearest-taller join)"
+        if "Join" not in live
+        else "FAIL: parents plan contains a join",
+    ]
+    sections.append(("Euler-tour taller parents (per-level carry columns)", p, checks))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (generated by tools/audit_plans.py)\n")
         f.write("\nProperties asserted for 100 TB readiness; regenerate after planner-affecting changes.\n")
