@@ -875,6 +875,23 @@ def q_transcript_walks(spark, sf_dir):
     return random_walks(g.edges, seeds, walk_length=WALK_LEN)
 
 
+def q_transcript_node2vec(spark, sf_dir):
+    """Second-order biased walk corpus (operators/walks.py biased_walks) —
+    the node2vec sibling of `transcript_walks`: transitions rank neighbors
+    by (preference class, hash, vid) where the class encodes node2vec's
+    p>1, q>1 regime deterministically (close triangles first, explore
+    two-hop next, backtrack last — backtrack still forced at dead ends).
+    Same seeds and length as the first-order corpus so the two are
+    directly comparable; the DuckDB twin replays the second-order chain
+    row-for-row, classifying each candidate via the deduplicated
+    adjacency."""
+    from elektra_spark.operators.walks import biased_walks
+
+    g = _transcript_graph(spark)
+    seeds = g.vertices.filter(F.col("vid") % WALK_SEED_MOD == 0).select("vid")
+    return biased_walks(g.edges, seeds, walk_length=WALK_LEN)
+
+
 def q_mis_copurchase(spark, sf_dir):
     """Maximal independent set (operators/walks.py, Luby 1986) with
     deterministic per-round re-hashed priorities — the classic parallel
@@ -1590,6 +1607,97 @@ def q_decontaminate_docs(spark, sf_dir):
     docs = _t(spark, sf_dir, "documents")
     ev = docs.filter(F.col("doc_id") % 25 == 0)
     return decontaminate(docs, ev, n=3)
+
+
+def q_bloom_decontaminate_docs(spark, sf_dir):
+    """Bloom-filter decontamination (dedup/bloom.py) — the broadcast-bitmap
+    scale path beside `decontaminate_docs`'s exact semi-join: the same
+    eval split (every 25th doc) is folded into an m=2^16, k=4 Bloom filter
+    whose bits are md5 slices both engines compute identically, so the
+    DuckDB twin reproduces the FILTER (set-bit set) bit-for-bit and every
+    false positive is the same false positive. One-sided error vs the
+    exact path (bloom ⊇ exact, asserted in pytest) is what makes Bloom
+    filtering safe at the 10^9-eval-gram scale where the string broadcast
+    no longer fits: a negative probe is never contaminated."""
+    from elektra_spark.dedup.bloom import bloom_decontaminate
+
+    docs = _t(spark, sf_dir, "documents")
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    return bloom_decontaminate(docs, ev, n=3)
+
+
+def _bloom_bit_sql(j_expr: str, gram: str) -> str:
+    """SQL text of dedup/bloom.py _bit_col — the identical md5-slice bit
+    position, mod BLOOM_M_BITS."""
+    from elektra_spark.dedup.bloom import BLOOM_M_BITS
+
+    key = f"CAST({j_expr} AS VARCHAR) || ':' || {gram}"
+    return f"('0x' || substr(md5({key}), 1, 12))::BIGINT % {BLOOM_M_BITS}"
+
+
+def _bloom_decontaminate_sql() -> str:
+    """Twin of q_bloom_decontaminate_docs: rebuild the identical filter as
+    a distinct-bit relation (set semantics == the engine's bitmap by
+    construction), then a gram is Bloom-positive iff all BLOOM_K of its
+    bit probes land on set bits."""
+    from elektra_spark.dedup.bloom import BLOOM_K
+
+    return f"""WITH {_ngram_cte(3)},
+  dex AS (SELECT DISTINCT doc_id, ngram FROM ex),
+  js AS (SELECT unnest(generate_series(0, {BLOOM_K - 1})) AS j),
+  bits AS (SELECT DISTINCT {_bloom_bit_sql("j", "ngram")} AS bit
+           FROM (SELECT DISTINCT ngram FROM dex WHERE doc_id % 25 = 0) CROSS JOIN js),
+  tg AS (SELECT doc_id, ngram FROM dex WHERE doc_id % 25 <> 0),
+  pos AS (SELECT tg.doc_id, tg.ngram
+          FROM tg CROSS JOIN js
+          JOIN bits ON bits.bit = {_bloom_bit_sql("j", "tg.ngram")}
+          GROUP BY tg.doc_id, tg.ngram HAVING count(*) = {BLOOM_K}),
+  hits AS (SELECT doc_id, count(*) AS n_bloom_hits FROM pos GROUP BY doc_id),
+  tr AS (SELECT doc_id FROM documents WHERE doc_id % 25 <> 0)
+  SELECT tr.doc_id, coalesce(hits.n_bloom_hits, 0) AS n_bloom_hits,
+         coalesce(hits.n_bloom_hits, 0) > 0 AS bloom_contaminated
+  FROM tr LEFT JOIN hits USING (doc_id)"""
+
+
+def q_perplexity_docs(spark, sf_dir):
+    """Bigram-LM perplexity scoring (text/lm.py bigram_lm_scores) — the
+    CCNet-style LM quality filter re-expressed with integer-count
+    probabilities so the model itself is twinned: add-one-smoothed bigram
+    trained on the doc_id % 5 == 0 slice, every document scored by
+    -avg(ln P) over its bigram occurrences + exp of it, 1e-6 rounding,
+    NULL for bigram-less docs. The fourth corpus quality axis beside the
+    heuristic profile, repetition signals, and DSIR weights."""
+    from elektra_spark.text.lm import bigram_lm_scores
+
+    docs = _t(spark, sf_dir, "documents")
+    return bigram_lm_scores(docs, docs.filter(F.col("doc_id") % 5 == 0))
+
+
+def _perplexity_sql() -> str:
+    """Twin of q_perplexity_docs: identical tokenization (the toks CTE),
+    identical consecutive-pair derivation, identical integer counts and
+    smoothing, ln/exp over the same integer ratios."""
+    return """WITH toks AS (
+    SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS tk FROM documents
+  ),
+  bg AS (SELECT doc_id, tk[i] AS w1, tk[i + 1] AS w2
+         FROM (SELECT doc_id, tk, unnest(generate_series(1, len(tk) - 1)) AS i FROM toks)),
+  lm AS (SELECT w1, w2, count(*)::BIGINT AS c12 FROM bg WHERE doc_id % 5 = 0 GROUP BY w1, w2),
+  lm1 AS (SELECT w1, sum(c12)::BIGINT AS c1 FROM lm GROUP BY w1),
+  v AS (SELECT count(DISTINCT t) + 1 AS v
+        FROM (SELECT unnest(tk) AS t FROM toks WHERE doc_id % 5 = 0)),
+  sc AS (SELECT b.doc_id,
+                ln(coalesce(lm.c12, 0) + 1) - ln(coalesce(lm1.c1, 0) + v.v) AS lnp
+         FROM bg b LEFT JOIN lm ON b.w1 = lm.w1 AND b.w2 = lm.w2
+                   LEFT JOIN lm1 ON b.w1 = lm1.w1
+                   CROSS JOIN v),
+  agg AS (SELECT doc_id, count(*)::BIGINT AS n_bigrams,
+                 round(-avg(lnp), 6) AS cross_entropy,
+                 round(exp(-avg(lnp)), 6) AS perplexity
+          FROM sc GROUP BY doc_id)
+  SELECT documents.doc_id, coalesce(agg.n_bigrams, 0) AS n_bigrams,
+         agg.cross_entropy, agg.perplexity
+  FROM documents LEFT JOIN agg USING (doc_id)"""
 
 
 def q_repetition_docs(spark, sf_dir):
@@ -3140,6 +3248,36 @@ def _transcript_walks_sql() -> str:
     return "".join(parts)
 
 
+def _transcript_node2vec_sql() -> str:
+    """Twin of q_transcript_node2vec: per step, rank each walk's candidates
+    by the identical (class, hash, vid) order — class 2 backtrack, class 0
+    prev-adjacent, class 1 otherwise — carrying (prev, vid) second-order
+    state through the unrolled chain."""
+    parts = [
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + f""",
+  w0 AS (SELECT vid AS walk_id, 0 AS step, vid AS prev, vid
+         FROM verts WHERE vid % {WALK_SEED_MOD} = 0)"""
+    ]
+    for t in range(1, WALK_LEN + 1):
+        h = _walk_hash_sql("w.walk_id", t, "b2.dst")
+        parts.append(
+            f""",
+  w{t} AS MATERIALIZED (SELECT walk_id, {t} AS step, prev, vid FROM (
+    SELECT w.walk_id, w.vid AS prev, b2.dst AS vid,
+           row_number() OVER (PARTITION BY w.walk_id ORDER BY
+             CASE WHEN b2.dst = w.prev THEN 2
+                  WHEN m.src IS NOT NULL THEN 0 ELSE 1 END,
+             {h}, b2.dst) AS rn
+    FROM w{t - 1} w JOIN b b2 ON b2.src = w.vid
+    LEFT JOIN b m ON m.src = w.prev AND m.dst = b2.dst) WHERE rn = 1)"""
+        )
+    union = " UNION ALL ".join(f"SELECT walk_id, step, vid FROM w{t}" for t in range(WALK_LEN + 1))
+    parts.append(f"\n  SELECT walk_id, step::INTEGER AS step, vid FROM ({union})")
+    return "".join(parts)
+
+
 def _mis_sql() -> str:
     """Twin of q_mis_copurchase: MIS_SQL_ROUNDS unrolled Luby rounds —
     per-round re-hashed priorities, winners strictly below every undecided
@@ -4668,6 +4806,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_harmonic": q_transcript_harmonic,
         "transcript_closeness": q_transcript_closeness,
         "transcript_walks": q_transcript_walks,
+        "transcript_node2vec": q_transcript_node2vec,
         "diameter_copurchase": q_diameter_copurchase,
         "mis_copurchase": q_mis_copurchase,
         "matching_transcript": q_matching_transcript,
@@ -4715,6 +4854,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dup_clusters_docs": q_dup_clusters_docs,
         "repeated_ngrams_docs": q_repeated_ngrams_docs,
         "decontaminate_docs": q_decontaminate_docs,
+        "bloom_decontaminate_docs": q_bloom_decontaminate_docs,
+        "perplexity_docs": q_perplexity_docs,
         "repetition_docs": q_repetition_docs,
         "text_profile_docs": q_text_profile_docs,
         "token_stats_docs": q_token_stats_docs,
@@ -4933,6 +5074,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_harmonic": _transcript_harmonic_sql(),
         "transcript_closeness": _transcript_closeness_sql(),
         "transcript_walks": _transcript_walks_sql(),
+        "transcript_node2vec": _transcript_node2vec_sql(),
         "diameter_copurchase": _diameter_sql(),
         "mis_copurchase": _mis_sql(),
         "matching_transcript": _matching_sql(),
@@ -5006,6 +5148,8 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "dup_clusters_docs": _dup_clusters_sql(),
         "repeated_ngrams_docs": _repeated_ngrams_sql(),
         "decontaminate_docs": _decontaminate_sql(),
+        "bloom_decontaminate_docs": _bloom_decontaminate_sql(),
+        "perplexity_docs": _perplexity_sql(),
         "repetition_docs": _repetition_sql(),
         "ann_lsh_docs": _ann_lsh_sql(),
         "ann_lsh_multiprobe_docs": _ann_lsh_sql(multi_probe=2),

@@ -116,6 +116,103 @@ def random_walks(
     return out.select("walk_id", F.col("step").cast("int").alias("step"), "vid")
 
 
+def biased_walks(
+    edges: DataFrame,
+    start_vertices: DataFrame,
+    walk_length: int = 8,
+    checkpoint: CheckpointFn | None = None,
+    on_superstep: SuperstepHook | None = None,
+) -> DataFrame:
+    """→ (walk_id, step, vid): second-order (node2vec-style) deterministic
+    walks — the transition from ``(prev, v)`` ranks v's neighbors by a
+    **preference class** before the hash:
+
+      class 0: ``dst`` also adjacent to ``prev`` (closing a triangle —
+               node2vec's distance-1 candidates, weight 1),
+      class 1: ``dst`` two hops from ``prev`` (exploration — weight 1/q),
+      class 2: ``dst == prev`` (backtrack — weight 1/p),
+
+    i.e. the deterministic analogue of node2vec (Grover & Leskovec, KDD
+    2016) in its p>1, q>1 regime: sampling weights become a total order
+    ``(class, hash, vid)`` — the repo's arithmetic-hash discipline applied
+    to a SECOND-ORDER Markov chain, so the DuckDB twin replays the corpus
+    row-for-row. Backtrack still happens when it is the only move (a
+    degree-1 dead end), exactly as the weighted sampler would.
+
+    The first transition has no meaningful prev (prev = the start vertex:
+    no neighbor can be class 2, and every neighbor is class 0 by
+    adjacency-to-prev), so step 1 degrades to the first-order argmin —
+    node2vec's uniform first step.
+
+    Scale shape vs ``random_walks``: one extra hash-join per step — the
+    candidate set probes the deduplicated adjacency on (prev, dst) to
+    classify; frontier-sized, not |E|-sized, on the probe side.
+    """
+    spark = edges.sparkSession
+    if checkpoint is None:
+        checkpoint = RetainedCheckpointer()
+    both = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    with _no_aqe(spark):
+        both = checkpoint(both.distinct(), -1)  # dedup: the class marker must not fan out
+        marker = both.select(
+            F.col("src").alias("m_src"), F.col("dst").alias("m_dst"), F.lit(True).alias("m_hit")
+        )
+        cur = checkpoint(
+            start_vertices.select(
+                F.col("vid").cast("long").alias("walk_id"),
+                F.lit(0).alias("step"),
+                F.col("vid").cast("long").alias("prev"),
+                F.col("vid").cast("long").alias("vid"),
+            ).distinct(),
+            0,
+        )
+        out = cur.drop("prev")
+        for t in range(1, walk_length + 1):
+            t0 = time.time()
+            cand = both.join(cur.withColumnRenamed("vid", "src"), "src").select(
+                "walk_id",
+                F.col("src").alias("new_prev"),
+                "prev",
+                F.col("dst").alias("vid"),
+                _step_hash(F.col("walk_id"), t, F.col("dst")).alias("h"),
+            )
+            cand = cand.join(
+                marker,
+                (cand["prev"] == marker["m_src"]) & (cand["vid"] == marker["m_dst"]),
+                "left",
+            ).select(
+                "walk_id",
+                "new_prev",
+                "vid",
+                "h",
+                F.when(F.col("vid") == F.col("prev"), F.lit(2))
+                .when(F.col("m_hit").isNotNull(), F.lit(0))
+                .otherwise(F.lit(1))
+                .alias("cls"),
+            )
+            nxt = (
+                cand.groupBy("walk_id")
+                .agg(F.min(F.struct("cls", "h", "vid", "new_prev")).alias("w"))
+                .select(
+                    "walk_id",
+                    F.lit(t).alias("step"),
+                    F.col("w.new_prev").alias("prev"),
+                    F.col("w.vid").alias("vid"),
+                )
+            )
+            nxt = checkpoint(nxt, t)
+            n_live = nxt.count()
+            if on_superstep is not None:
+                on_superstep(t, n_live, time.time() - t0)
+            if n_live == 0:
+                break
+            out = checkpoint(out.unionByName(nxt.drop("prev")), t)
+            cur = nxt
+    return out.select("walk_id", F.col("step").cast("int").alias("step"), "vid")
+
+
 def maximal_independent_set(
     edges: DataFrame,
     vertices: DataFrame | None = None,

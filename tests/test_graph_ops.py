@@ -992,6 +992,61 @@ def test_random_walks_match_oracle(spark, pairs, seeds, length):
     assert got == _walks_oracle(pairs, seeds, length)
 
 
+def _biased_walks_oracle(pairs, seeds, walk_length):
+    nbr = {}
+    for a, b in pairs:
+        nbr.setdefault(a, set()).add(b)
+        nbr.setdefault(b, set()).add(a)
+    rows = set()
+    for s in seeds:
+        prev, v = s, s
+        rows.add((s, 0, s))
+        for t in range(1, walk_length + 1):
+            ns = nbr.get(v)
+            if not ns:
+                break
+            def key(u):
+                cls = 2 if u == prev else (0 if u in nbr.get(prev, ()) else 1)
+                return (cls, _walk_hash(s, t, u), u)
+            prev, v = v, min(ns, key=key)
+            rows.add((s, t, v))
+    return rows
+
+
+@pytest.mark.parametrize("pairs,seeds,length",
+                         [(HOUSE, [0, 3], 6), (CLIQUE5_PLUS_PATH + [(10, 11)], [0, 7, 10], 5),
+                          (_random_graph(61, 50, 100), [0, 1, 2, 3], 8)],
+                         ids=["house", "deadend", "random"])
+def test_biased_walks_match_oracle(spark, pairs, seeds, length):
+    from elektra_spark.operators.walks import biased_walks
+
+    edges = edges_from_pairs(spark, pairs)
+    sdf = spark.createDataFrame([(v,) for v in seeds], "vid long")
+    got = {(r["walk_id"], r["step"], r["vid"])
+           for r in biased_walks(edges, sdf, walk_length=length).collect()}
+    assert got == _biased_walks_oracle(pairs, seeds, length)
+
+
+def test_biased_walks_second_order_semantics(spark):
+    """Structural node2vec contract on a triangle + tail: step 2 must close
+    the triangle (class-0 candidate beats any hash), and a degree-1 dead
+    end still backtracks (class 2 chosen when it is the only move)."""
+    from elektra_spark.operators.walks import biased_walks
+
+    pairs = [(0, 1), (1, 2), (0, 2), (2, 3), (10, 11)]
+    edges = edges_from_pairs(spark, pairs)
+    sdf = spark.createDataFrame([(0,), (10,)], "vid long")
+    got = {(r["walk_id"], r["step"]): r["vid"]
+           for r in biased_walks(edges, sdf, walk_length=2).collect()}
+    first = got[(0, 1)]
+    assert first in (1, 2)
+    # from (prev=0, v=first) the other triangle vertex is prev-adjacent
+    # (class 0); backtrack to 0 is class 2; for v=2 the tail vertex 3 is
+    # class 1 — the triangle edge must win regardless of hash values
+    assert got[(0, 2)] == (2 if first == 1 else 1)
+    assert got[(10, 1)] == 11 and got[(10, 2)] == 10  # forced backtrack
+
+
 def _mis_oracle(pairs, verts, max_rounds=64):
     nbr = {v: set() for v in verts}
     for a, b in pairs:

@@ -640,6 +640,94 @@ def test_decontaminate_flags_overlap(spark):
     assert got[3] == (3, True)               # exact copy shares all 3 windows
 
 
+def test_bloom_decontaminate_superset_of_exact(spark, sf_dir):
+    """One-sided-error contract of the Bloom path vs the exact semi-join
+    path on real corpus data: per doc n_bloom_hits >= n_shared, and every
+    exactly-contaminated doc is Bloom-contaminated (no false negatives —
+    the property that makes Bloom filtering safe: it only over-drops)."""
+    from elektra_spark.dedup.bloom import bloom_decontaminate
+    from elektra_spark.dedup.ngram import decontaminate
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    ev = docs.filter(F.col("doc_id") % 25 == 0)
+    exact = {r["doc_id"]: r for r in decontaminate(docs, ev, n=3).collect()}
+    bloom = {r["doc_id"]: r for r in bloom_decontaminate(docs, ev, n=3).collect()}
+    assert set(exact) == set(bloom)  # same training-doc universe
+    assert any(r["contaminated"] for r in exact.values())  # non-vacuous
+    for did, er in exact.items():
+        br = bloom[did]
+        assert br["n_bloom_hits"] >= er["n_shared"], did
+        if er["contaminated"]:
+            assert br["bloom_contaminated"], did
+
+
+def test_bloom_bitmap_matches_bit_relation(spark):
+    """The packed uint64 bitmap must encode exactly the distinct-bit
+    relation it was built from (the broadcast side is a pure re-encoding,
+    no membership drift)."""
+    import numpy as np
+
+    from elektra_spark.dedup.bloom import BLOOM_M_BITS, _bitmap_array, bloom_bits
+
+    ev = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta"), (1, "one two three four")],
+        "doc_id long, text string",
+    )
+    bits_df = bloom_bits(ev, n=3)
+    want = sorted(r["bit"] for r in bits_df.collect())
+    arr = _bitmap_array(bits_df, BLOOM_M_BITS)
+    got = sorted(int(w * 64 + b) for w in range(len(arr)) for b in range(64) if (arr[w] >> np.uint64(b)) & np.uint64(1))
+    assert got == want
+
+
+def test_bigram_lm_scores_match_python_oracle(spark):
+    """Independent pure-Python replay of the add-one bigram model (counts,
+    smoothing, CE, PPL) — the engine must match to 1e-6 on every doc,
+    including the no-bigram NULL case and the unseen-everything 1/V case."""
+    import math
+    from collections import Counter
+
+    from elektra_spark.text.lm import bigram_lm_scores
+
+    rows = [
+        (0, "the cat sat on the mat"),          # LM doc (0 % 5 == 0)
+        (5, "the cat ran on the mat"),          # LM doc
+        (1, "the cat sat"),                      # in-domain
+        (2, "quantum flux harmonics resonate"),  # fully OOV → every P = 1/V
+        (3, "solo"),                             # no bigram → NULLs
+        (4, None),                               # NULL text → no bigram
+    ]
+    docs = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in bigram_lm_scores(docs, docs.filter(F.col("doc_id") % 5 == 0)).collect()}
+
+    lm_texts = [t for i, t in rows if i % 5 == 0]
+    c12 = Counter()
+    for t in lm_texts:
+        w = t.split()
+        for a, b in zip(w, w[1:]):
+            c12[(a, b)] += 1
+    c1 = Counter()
+    for (a, _), c in c12.items():
+        c1[a] += c
+    V = len({w for t in lm_texts for w in t.split()}) + 1
+
+    for did, text in rows:
+        r = got[did]
+        w = (text or "").split()
+        pairs = list(zip(w, w[1:]))
+        assert r["n_bigrams"] == len(pairs), did
+        if not pairs:
+            assert r["cross_entropy"] is None and r["perplexity"] is None, did
+            continue
+        ce = -sum(math.log((c12[p] + 1) / (c1[p[0]] + V)) for p in pairs) / len(pairs)
+        assert abs(r["cross_entropy"] - round(ce, 6)) <= 1e-9, (did, r["cross_entropy"], ce)
+        assert abs(r["perplexity"] - round(math.exp(ce), 6)) <= 1e-9, did
+    # sanity of the filter direction: the in-domain doc is far less
+    # perplexing than the fully-OOV one
+    assert got[1]["perplexity"] < got[2]["perplexity"]
+    assert got[2]["perplexity"] == round(float(V), 6)  # uniform 1/V exactly
+
+
 def test_repetition_profile_extremes(spark):
     from elektra_spark.text.analysis import repetition_profile
 
