@@ -1117,6 +1117,68 @@ def _tool_sequences_sql() -> str:
   SELECT seq, count(*)::BIGINT AS n_convs FROM s GROUP BY seq"""
 
 
+def q_wl_structure_transcripts(spark, sf_dir):
+    """Conversation-structure fingerprinting via 1-WL color refinement
+    (operators/wl.py structure_fingerprint): WL_ROUNDS rounds of
+    Weisfeiler–Leman re-coloring over each conversation's reply chain with
+    (role, tool) initial colors, then one combinable
+    (Σ hash48(final color), n_turns) fingerprint per conversation plus how
+    many conversations share it — structural dedup that catches templated /
+    scripted transcripts whose texts differ but whose interaction shape is
+    identical, invisible to the text-level dedup family. Every round hash
+    is md5 both engines evaluate byte-identically, so the DuckDB twin
+    reproduces each color and each fingerprint string-for-string."""
+    from elektra_spark.operators.wl import structure_fingerprint
+
+    return structure_fingerprint(_transcripts(spark, 300), rounds=WL_SQL_ROUNDS)
+
+
+WL_SQL_ROUNDS = 3  # unrolled WL refinement depth shared by engine and twin
+
+
+def _wl_structure_sql() -> str:
+    """Twin of q_wl_structure_transcripts: identical initial colors
+    (md5('role:tool')), WL_SQL_ROUNDS unrolled refinement rounds — each
+    re-colors with md5(color || '|' || sorted comma-joined neighbor colors)
+    over the symmetrized reply-chain adjacency — then the identical
+    48-bit-slice sum + count fingerprint and the shared-structure count."""
+    fx = _transcript_fixture(300)
+    parts = [
+        f"""WITH tt AS MATERIALIZED (
+    SELECT conv_id, turn_idx, conv_id || '#' || turn_idx AS vid,
+           md5(role || ':' || coalesce(tool, '')) AS color
+    FROM read_parquet('{fx}')),
+  ew AS (SELECT t1.vid AS src, t2.vid AS dst
+         FROM tt t1 JOIN tt t2
+           ON t2.conv_id = t1.conv_id AND t2.turn_idx = t1.turn_idx + 1),
+  bw AS MATERIALIZED (SELECT src, dst FROM ew UNION SELECT dst, src FROM ew),
+  c0 AS MATERIALIZED (SELECT vid, color FROM tt)"""
+    ]
+    for r in range(1, WL_SQL_ROUNDS + 1):
+        parts.append(
+            f""",
+  c{r} AS MATERIALIZED (
+    SELECT v.vid, md5(v.color || '|' || coalesce(nb.nbs, '')) AS color
+    FROM c{r - 1} v LEFT JOIN (
+      SELECT b.dst AS vid, string_agg(c.color, ',' ORDER BY c.color) AS nbs
+      FROM bw b JOIN c{r - 1} c ON c.vid = b.src GROUP BY b.dst
+    ) nb ON nb.vid = v.vid)"""
+        )
+    parts.append(
+        f""",
+  fp AS (SELECT tt.conv_id, count(*)::BIGINT AS n_turns,
+                sum(('0x' || substr(md5(c.color), 1, 12))::BIGINT) AS csum
+         FROM tt JOIN c{WL_SQL_ROUNDS} c ON c.vid = tt.vid GROUP BY tt.conv_id),
+  fp2 AS (SELECT conv_id, n_turns,
+                 md5(csum::VARCHAR || ':' || n_turns::VARCHAR) AS wl_fp
+          FROM fp)
+  SELECT fp2.conv_id, fp2.n_turns, fp2.wl_fp, s.n_same_structure
+  FROM fp2 JOIN (SELECT wl_fp, count(*)::BIGINT AS n_same_structure
+                 FROM fp2 GROUP BY wl_fp) s USING (wl_fp)"""
+    )
+    return "".join(parts)
+
+
 def q_temporal_reach_transcript(spark, sf_dir):
     """Temporal earliest-arrival reachability (operators/temporal.py): which
     turns/tools could a seed set's information have reached through
@@ -4787,6 +4849,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_salsa": q_transcript_salsa,
         "transcript_turn_gaps": q_transcript_turn_gaps,
         "tool_sequences": q_tool_sequences,
+        "wl_structure_transcripts": q_wl_structure_transcripts,
         "transcript_katz": q_transcript_katz,
         "transcript_betweenness": q_transcript_betweenness,
         "transcript_eigenvector": q_transcript_eigenvector,
@@ -5055,6 +5118,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_salsa": _transcript_salsa_sql(),
         "transcript_turn_gaps": _transcript_turn_gaps_sql(),
         "tool_sequences": _tool_sequences_sql(),
+        "wl_structure_transcripts": _wl_structure_sql(),
         "transcript_katz": _transcript_katz_sql(),
         "transcript_betweenness": _transcript_betweenness_sql(),
         "transcript_eigenvector": _transcript_eigenvector_sql(),

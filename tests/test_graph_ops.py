@@ -1893,3 +1893,85 @@ def test_influence_rejects_bad_p(spark):
         live_arcs(arcs, 0)
     with pytest.raises(ValueError):
         live_arcs(arcs, 1001)
+
+
+# ----------------------------------------------------- 1-WL refinement
+
+def _wl_oracle(pairs, init, rounds):
+    """Independent python 1-WL: md5(color || '|' || sorted ','-joined
+    neighbor colors) per round — the same contract wl.py promises."""
+    import hashlib
+
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    adj = {}
+    for a, b in pairs:
+        if a == b:
+            continue
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    colors = {v: md5(str(c)) for v, c in init.items()}
+    for _ in range(rounds):
+        colors = {
+            v: md5(colors[v] + "|" + ",".join(sorted(colors[n] for n in adj.get(v, ()))))
+            for v in colors
+        }
+    return colors
+
+
+def test_wl_colors_match_python_oracle(spark):
+    from elektra_spark.operators.wl import wl_colors
+
+    pairs = _random_graph(7, 40, 90)
+    vids = sorted({v for e in pairs for v in e})
+    init = {v: f"c{v % 3}" for v in vids}
+    edges = edges_from_pairs(spark, pairs)
+    verts = spark.createDataFrame([(v, init[v]) for v in vids], "vid long, color string")
+    got = {r["vid"]: r["color"] for r in wl_colors(edges, verts, rounds=3).collect()}
+    assert got == _wl_oracle(pairs, init, 3)
+
+
+def test_wl_sum_mode_refines_path_vs_star(spark):
+    """agg='sum' still separates a path-of-4 center from a star-of-4 center
+    (same degree multiset at distance 0/1 for leaves, different at round 2)."""
+    from elektra_spark.operators.wl import wl_colors
+
+    path = [(0, 1), (1, 2), (2, 3)]
+    star = [(10, 11), (10, 12), (10, 13)]
+    edges = edges_from_pairs(spark, path + star)
+    vids = [0, 1, 2, 3, 10, 11, 12, 13]
+    verts = spark.createDataFrame([(v, "x") for v in vids], "vid long, color string")
+    got = {r["vid"]: r["color"] for r in wl_colors(edges, verts, rounds=2, agg="sum").collect()}
+    # path interior vertices (1,2) must differ from the star center (10)
+    assert got[1] != got[10] and got[2] != got[10]
+    # star leaves are mutually structurally identical
+    assert got[11] == got[12] == got[13]
+    # path endpoints are a symmetric pair
+    assert got[0] == got[3]
+
+
+def test_structure_fingerprint_groups_identical_shapes(spark):
+    """Conversations with the same (role, tool) sequence share a fingerprint
+    even with different texts/timestamps; any structural edit separates."""
+    import datetime
+
+    from elektra_spark.operators.wl import structure_fingerprint
+
+    ts = datetime.datetime(2026, 1, 1)
+    rows = []
+    seqs = {
+        "a": [("user", None), ("assistant", "bash"), ("user", None)],
+        "b": [("user", None), ("assistant", "bash"), ("user", None)],   # == a
+        "c": [("user", None), ("assistant", "read"), ("user", None)],   # tool differs
+        "d": [("user", None), ("assistant", "bash")],                   # shorter
+    }
+    for cid, seq in seqs.items():
+        for i, (role, tool) in enumerate(seq):
+            rows.append((cid, i, role, f"text {cid} {i}", tool, ts + datetime.timedelta(seconds=i)))
+    t = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    got = {r["conv_id"]: r for r in structure_fingerprint(t, rounds=3).collect()}
+    assert got["a"]["wl_fp"] == got["b"]["wl_fp"]
+    assert got["a"]["n_same_structure"] == 2 and got["b"]["n_same_structure"] == 2
+    assert len({got[c]["wl_fp"] for c in "acd"}) == 3
+    assert got["c"]["n_same_structure"] == 1 and got["d"]["n_same_structure"] == 1
