@@ -917,6 +917,20 @@ def q_matching_transcript(spark, sf_dir):
     return maximal_matching(_transcript_graph(spark).edges)
 
 
+def q_coarsen_transcript(spark, sf_dir):
+    """Multilevel coarsening step (operators/matching.py contract_matching):
+    contract every matched pair of the deterministic maximal matching to
+    its lower endpoint and re-aggregate edge multiplicities — the METIS /
+    Louvain scale primitive (Karypis & Kumar 1998) that shrinks a 10^12-edge
+    graph geometrically while preserving cut weights exactly. Two left
+    joins through the disjoint-pair representative table + one combinable
+    groupBy; the DuckDB twin shares the matching round chain verbatim and
+    applies the identical contraction."""
+    from elektra_spark.operators.matching import coarsen
+
+    return coarsen(_transcript_graph(spark).edges, levels=1)
+
+
 def _msf_weight_col() -> F.Column:
     """Deterministic distinct-ish edge weight: 12-hex md5 slice of
     "w:src:dst" (< 2^48, exact BIGINT in both engines); the operator's
@@ -3452,12 +3466,9 @@ def _matching_hash_sql(r: int) -> str:
     return f"('0x' || substr(md5({key}), 1, 12))::BIGINT"
 
 
-def _matching_sql() -> str:
-    """Twin of q_matching_transcript: MATCHING_SQL_ROUNDS unrolled rounds —
-    per-round re-hashed md5 edge priorities, an edge wins iff it is the
-    strict (h, src, dst) minimum among alive edges at BOTH endpoints,
-    winners' vertices retire every incident edge. Rounds past the
-    alive-empty fixpoint are no-ops."""
+def _matching_chain_sql() -> tuple[str, str]:
+    """(CTE chain, winners-union SQL) of the unrolled matching rounds —
+    shared by the matching twin and the coarsening twin."""
     parts = [
         "WITH "
         + _transcript_tables_sql(300).lstrip()
@@ -3484,9 +3495,36 @@ def _matching_sql() -> str:
       AND a.dst NOT IN (SELECT vid FROM mv{r}))"""
         )
         wins.append(f"SELECT src, dst FROM win{r}")
-    parts.append(f"""
-  SELECT src, dst FROM ({" UNION ALL ".join(wins)}) q""")
-    return "".join(parts)
+    return "".join(parts), " UNION ALL ".join(wins)
+
+
+def _matching_sql() -> str:
+    """Twin of q_matching_transcript: MATCHING_SQL_ROUNDS unrolled rounds —
+    per-round re-hashed md5 edge priorities, an edge wins iff it is the
+    strict (h, src, dst) minimum among alive edges at BOTH endpoints,
+    winners' vertices retire every incident edge. Rounds past the
+    alive-empty fixpoint are no-ops."""
+    chain, wins = _matching_chain_sql()
+    return f"""{chain}
+  SELECT src, dst FROM ({wins}) q"""
+
+
+def _coarsen_sql() -> str:
+    """Twin of q_coarsen_transcript: the identical matching chain, then
+    every fine edge maps its endpoints through the (matched dst → src)
+    representative table, intra-pair self-loops drop, and the coarse edge
+    weight is the count of merged fine edges."""
+    chain, wins = _matching_chain_sql()
+    return f"""{chain},
+  m AS ({wins}),
+  rep AS (SELECT dst AS vid, src AS rep FROM m),
+  ce AS (SELECT least(coalesce(rs.rep, e.src), coalesce(rd.rep, e.dst)) AS src,
+                greatest(coalesce(rs.rep, e.src), coalesce(rd.rep, e.dst)) AS dst
+         FROM edges e
+         LEFT JOIN rep rs ON rs.vid = e.src
+         LEFT JOIN rep rd ON rd.vid = e.dst)
+  SELECT src, dst, count(*)::BIGINT AS weight
+  FROM ce WHERE src <> dst GROUP BY src, dst"""
 
 
 def _temporal_edges_ctes() -> str:
@@ -4873,6 +4911,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_copurchase": q_diameter_copurchase,
         "mis_copurchase": q_mis_copurchase,
         "matching_transcript": q_matching_transcript,
+        "coarsen_transcript": q_coarsen_transcript,
         "msf_transcript": q_msf_transcript,
         "single_linkage_transcript": q_single_linkage_transcript,
         "temporal_reach_transcript": q_temporal_reach_transcript,
@@ -5142,6 +5181,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "diameter_copurchase": _diameter_sql(),
         "mis_copurchase": _mis_sql(),
         "matching_transcript": _matching_sql(),
+        "coarsen_transcript": _coarsen_sql(),
         "msf_transcript": _msf_sql(),
         "single_linkage_transcript": _single_linkage_sql(),
         "rich_club_copurchase": f"""

@@ -108,3 +108,84 @@ def maximal_matching(
         else:
             raise RuntimeError(f"matching did not finish in {max_rounds} rounds")
     return matched if matched is not None else e.limit(0)
+
+
+def contract_matching(edges: DataFrame, matching: DataFrame) -> DataFrame:
+    """→ (src, dst, weight): the coarse graph obtained by contracting every
+    matched pair to its lower endpoint — ONE level of the multilevel
+    coarsening scheme behind METIS/Louvain-style partitioners (Karypis &
+    Kumar 1998). ``weight`` counts the distinct fine edges merged into each
+    coarse edge, so iterating (match → contract) preserves cut weights
+    exactly — the invariant multilevel partitioning relies on.
+
+    Plan shape: two hash joins mapping endpoints through the (vid → rep)
+    table (matching is a set of disjoint pairs, so rep is a plain column
+    expression — no fixpoint), then one combinable groupBy(src, dst) count.
+    Intra-pair edges become self-loops and are dropped. The vertex count
+    shrinks by exactly |matching| per level; on bounded-degree graphs the
+    matching is a constant fraction of vertices, so levels are O(log n).
+    """
+    e = (
+        edges.select(
+            F.least("src", "dst").cast("long").alias("src"),
+            F.greatest("src", "dst").cast("long").alias("dst"),
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+    )
+    rep = matching.select(
+        F.col("dst").cast("long").alias("vid"), F.col("src").cast("long").alias("rep")
+    )
+    rs = rep.withColumnRenamed("vid", "src").withColumnRenamed("rep", "rs")
+    rd = rep.withColumnRenamed("vid", "dst").withColumnRenamed("rep", "rd")
+    mapped = (
+        e.join(rs, "src", "left")
+        .join(rd, "dst", "left")
+        .select(
+            F.coalesce("rs", F.col("src")).alias("a"),
+            F.coalesce("rd", F.col("dst")).alias("b"),
+        )
+    )
+    return (
+        mapped.select(F.least("a", "b").alias("src"), F.greatest("a", "b").alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .groupBy("src", "dst")
+        .agg(F.count("*").alias("weight"))
+    )
+
+
+def coarsen(
+    edges: DataFrame,
+    levels: int = 1,
+    checkpoint: CheckpointFn | None = None,
+) -> DataFrame:
+    """→ (src, dst, weight): ``levels`` rounds of (maximal matching →
+    contract). Level 1 weights count fine edges; deeper levels sum the
+    weights of the edges they merge (exact cut preservation)."""
+    if checkpoint is None:
+        checkpoint = RetainedCheckpointer()
+    coarse = contract_matching(edges, maximal_matching(edges, checkpoint=checkpoint))
+    for lvl in range(1, levels):
+        coarse = checkpoint(coarse, -lvl)
+        m = maximal_matching(coarse.select("src", "dst"), checkpoint=checkpoint)
+        rep = m.select(F.col("dst").alias("vid"), F.col("src").alias("rep"))
+        rs = rep.withColumnRenamed("vid", "src").withColumnRenamed("rep", "rs")
+        rd = rep.withColumnRenamed("vid", "dst").withColumnRenamed("rep", "rd")
+        coarse = (
+            coarse.join(rs, "src", "left")
+            .join(rd, "dst", "left")
+            .select(
+                F.coalesce("rs", F.col("src")).alias("a"),
+                F.coalesce("rd", F.col("dst")).alias("b"),
+                "weight",
+            )
+            .select(
+                F.least("a", "b").alias("src"),
+                F.greatest("a", "b").alias("dst"),
+                "weight",
+            )
+            .filter(F.col("src") != F.col("dst"))
+            .groupBy("src", "dst")
+            .agg(F.sum("weight").alias("weight"))
+        )
+    return coarse

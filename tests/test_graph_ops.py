@@ -1975,3 +1975,44 @@ def test_structure_fingerprint_groups_identical_shapes(spark):
     assert got["a"]["n_same_structure"] == 2 and got["b"]["n_same_structure"] == 2
     assert len({got[c]["wl_fp"] for c in "acd"}) == 3
     assert got["c"]["n_same_structure"] == 1 and got["d"]["n_same_structure"] == 1
+
+
+# ----------------------------------------------------- multilevel coarsening
+
+def test_contract_matching_invariants(spark):
+    """Coarse graph of (match → contract): vertex count shrinks by exactly
+    |matching|, total weight counts the surviving inter-group fine edges,
+    and the contraction equals a python contraction of the same matching."""
+    from elektra_spark.operators.matching import contract_matching, maximal_matching
+
+    pairs = _random_graph(23, 60, 150)
+    edges = edges_from_pairs(spark, pairs)
+    m = [(r["src"], r["dst"]) for r in maximal_matching(edges).collect()]
+    got = {
+        (r["src"], r["dst"]): r["weight"]
+        for r in contract_matching(edges, spark.createDataFrame(m, "src long, dst long")).collect()
+    }
+    rep = {d: s for s, d in m}
+    want = {}
+    for a, b in pairs:
+        ca, cb = rep.get(a, a), rep.get(b, b)
+        if ca != cb:
+            k = (min(ca, cb), max(ca, cb))
+            want[k] = want.get(k, 0) + 1
+    assert got == want
+    # every matched dst was contracted away
+    assert not {v for e in got for v in e} & {d for _, d in m}
+
+
+def test_coarsen_levels_shrink_and_preserve_weight(spark):
+    from elektra_spark.operators.matching import coarsen
+
+    pairs = _random_graph(31, 80, 240)
+    edges = edges_from_pairs(spark, pairs)
+    l1 = coarsen(edges, levels=1).collect()
+    l2 = coarsen(edges, levels=2).collect()
+    v1 = {v for r in l1 for v in (r["src"], r["dst"])}
+    v2 = {v for r in l2 for v in (r["src"], r["dst"])}
+    assert len(v2) < len(v1) < len({v for e in pairs for v in e})
+    # weight only leaves the graph through self-loop (intra-group) drops
+    assert sum(r["weight"] for r in l2) <= sum(r["weight"] for r in l1) <= len(pairs)
