@@ -917,6 +917,64 @@ def q_matching_transcript(spark, sf_dir):
     return maximal_matching(_transcript_graph(spark).edges)
 
 
+SEEDED_LPA_SQL_ROUNDS = 4  # unrolled seeded-LPA supersteps shared with the twin
+
+
+def q_seeded_lpa_transcript(spark, sf_dir):
+    """Semi-supervised label propagation (operators/lpa.py
+    seeded_label_propagation): tool-actor hub vertices are CLAMPED anchors
+    labeled by their own vid; every turn takes the synchronous
+    frequency-then-min-label vote of its labeled neighbors, ring by ring —
+    which turns does each tool's influence cover through the reply
+    structure. Turns never reached in SEEDED_LPA_SQL_ROUNDS rounds report
+    -1. The DuckDB twin unrolls the identical clamp/vote/carry schedule."""
+    from elektra_spark.operators.lpa import seeded_label_propagation
+
+    g = _transcript_graph(spark)
+    seeds = g.vertices.filter(F.col("kind") == "tool").select(
+        "vid", F.col("vid").alias("label")
+    )
+    return seeded_label_propagation(
+        g.edges, seeds, vertices=g.vertices, rounds=SEEDED_LPA_SQL_ROUNDS
+    )
+
+
+def _seeded_lpa_sql() -> str:
+    """Twin of q_seeded_lpa_transcript: SEEDED_LPA_SQL_ROUNDS unrolled
+    rounds — seeds re-asserted each round, non-seeds take the (cnt DESC,
+    label ASC) vote of labeled neighbors else carry their previous label,
+    never-labeled vertices report -1."""
+    parts = [
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + """,
+  sd AS (SELECT vid, vid AS label FROM tool_v),
+  l0 AS (SELECT vid, label FROM sd)"""
+    ]
+    for r in range(1, SEEDED_LPA_SQL_ROUNDS + 1):
+        parts.append(
+            f""",
+  v{r} AS (SELECT b.dst AS vid, l.label, count(*) AS cnt
+           FROM b JOIN l{r - 1} l ON l.vid = b.src GROUP BY b.dst, l.label),
+  w{r} AS (SELECT vid, label FROM (
+    SELECT vid, label, row_number() OVER (PARTITION BY vid ORDER BY cnt DESC, label) AS rn
+    FROM v{r}) WHERE rn = 1),
+  l{r} AS MATERIALIZED (
+    SELECT vid, label FROM sd
+    UNION ALL
+    SELECT coalesce(w.vid, o.vid) AS vid, coalesce(w.label, o.label) AS label
+    FROM (SELECT vid, label FROM w{r} WHERE vid NOT IN (SELECT vid FROM sd)) w
+    FULL JOIN (SELECT vid, label FROM l{r - 1} WHERE vid NOT IN (SELECT vid FROM sd)) o
+      ON o.vid = w.vid)"""
+        )
+    parts.append(
+        f"""
+  SELECT verts.vid, coalesce(l.label, -1) AS label
+  FROM verts LEFT JOIN l{SEEDED_LPA_SQL_ROUNDS} l ON l.vid = verts.vid"""
+    )
+    return "".join(parts)
+
+
 def q_coarsen_transcript(spark, sf_dir):
     """Multilevel coarsening step (operators/matching.py contract_matching):
     contract every matched pair of the deterministic maximal matching to
@@ -4912,6 +4970,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_copurchase": q_mis_copurchase,
         "matching_transcript": q_matching_transcript,
         "coarsen_transcript": q_coarsen_transcript,
+        "seeded_lpa_transcript": q_seeded_lpa_transcript,
         "msf_transcript": q_msf_transcript,
         "single_linkage_transcript": q_single_linkage_transcript,
         "temporal_reach_transcript": q_temporal_reach_transcript,
@@ -5182,6 +5241,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "mis_copurchase": _mis_sql(),
         "matching_transcript": _matching_sql(),
         "coarsen_transcript": _coarsen_sql(),
+        "seeded_lpa_transcript": _seeded_lpa_sql(),
         "msf_transcript": _msf_sql(),
         "single_linkage_transcript": _single_linkage_sql(),
         "rich_club_copurchase": f"""

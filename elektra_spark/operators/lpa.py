@@ -189,3 +189,68 @@ def conductance(edges: DataFrame, labels: DataFrame) -> DataFrame:
             .alias("conductance"),
         )
     )
+
+
+def seeded_label_propagation(
+    edges: DataFrame,
+    seeds: DataFrame,
+    vertices: DataFrame | None = None,
+    rounds: int = 5,
+    checkpoint: CheckpointFn | None = None,
+    on_superstep: SuperstepHook | None = None,
+    unlabeled: int = -1,
+) -> DataFrame:
+    """→ (vid, label): semi-supervised label propagation — ``seeds``
+    (vid, label) stay CLAMPED to their given labels; every other vertex
+    takes the synchronous frequency-then-min-label vote of its currently
+    labeled neighbors, keeps its previous label when no labeled neighbor
+    exists this round, and reports ``unlabeled`` if never reached.
+
+    The community-detection sibling with ground truth: at transcript scale
+    the anchors are known taxonomy points (tool actors, curated
+    conversations) and the question is which turns each anchor's influence
+    covers. Same two-level combinable vote as :func:`label_propagation`;
+    the labeled working set starts at |seeds| and grows by one BFS ring per
+    round, so early supersteps shuffle frontier-sized relations, not |V|.
+    """
+    both = edges.select("src", "dst").union(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    if vertices is not None:
+        universe = vertices.select("vid")
+    else:
+        universe = (
+            both.select(F.col("src").alias("vid"))
+            .union(seeds.select("vid"))
+            .distinct()
+        )
+    if checkpoint is None:
+        checkpoint = EphemeralCheckpointer()
+    with _no_aqe(edges.sparkSession):
+        both = checkpoint(both, -1)
+        sd = checkpoint(seeds.select("vid", "label"), 0)
+        labels = sd
+        for step in range(rounds):
+            t0 = time.time()
+            votes = (
+                both.join(labels, both.src == labels.vid)
+                .select(F.col("dst").alias("v"), "label")
+                .groupBy("v", "label")
+                .agg(F.count("*").alias("cnt"))
+            )
+            winner = (
+                votes.groupBy("v")
+                .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("w"))
+                .select(F.col("v").alias("vid"), (-F.col("w.neg")).alias("new_label"))
+            )
+            old_ns = labels.join(sd.select("vid"), "vid", "left_anti")
+            win_ns = winner.join(sd.select("vid"), "vid", "left_anti")
+            ns = old_ns.join(win_ns, "vid", "full").select(
+                "vid", F.coalesce("new_label", F.col("label")).alias("label")
+            )
+            labels = checkpoint(sd.unionByName(ns), step + 1)
+            if on_superstep is not None:
+                on_superstep(step, -1, time.time() - t0)
+    return universe.join(labels, "vid", "left").select(
+        "vid", F.coalesce("label", F.lit(unlabeled)).alias("label")
+    )

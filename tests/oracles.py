@@ -124,6 +124,39 @@ def lpa_oracle(edges, vids=None, rounds=5):
     return labels
 
 
+def seeded_lpa_oracle(edges, seeds, vids=None, rounds=5, unlabeled=-1):
+    """Semi-supervised LPA: `seeds` (vid → label) stay clamped; every other
+    vertex takes the synchronous frequency-then-min-label vote of its
+    currently *labeled* neighbors, carries its previous label when no
+    labeled neighbor exists this round, and reports `unlabeled` if never
+    reached. Mirrors operators/lpa.py seeded_label_propagation."""
+    universe = set(int(v) for v in (vids or []))
+    adj: dict[int, list[int]] = {}
+    for u, v in edges:
+        u, v = int(u), int(v)
+        universe.update((u, v))
+        adj.setdefault(u, []).append(v)
+        adj.setdefault(v, []).append(u)
+    seeds = {int(v): int(l) for v, l in seeds.items()}
+    universe.update(seeds)
+    labels = dict(seeds)
+    for _ in range(rounds):
+        new = dict(seeds)
+        for v in universe:
+            if v in seeds:
+                continue
+            counts: dict[int, int] = {}
+            for u in adj.get(v, []):
+                if u in labels:
+                    counts[labels[u]] = counts.get(labels[u], 0) + 1
+            if counts:
+                new[v] = max(counts.items(), key=lambda kv: (kv[1], -kv[0]))[0]
+            elif v in labels:
+                new[v] = labels[v]
+        labels = new
+    return {v: labels.get(v, unlabeled) for v in universe}
+
+
 def triangle_count_oracle(edges) -> int:
     """Exact triangle count via adjacency-set intersection (each triangle is
     counted once per edge → divide by 3)."""

@@ -31,6 +31,28 @@ def test_lpa_matches_oracle(spark, pairs, rounds):
     assert got == lpa_oracle(pairs, rounds=rounds)
 
 
+@pytest.mark.parametrize(
+    "pairs,seeds,rounds",
+    [
+        (HOUSE, {0: 100, 3: 200}, 3),
+        (CLIQUE5_PLUS_PATH, {0: 7}, 2),  # path tail 7 unreached in 2 rounds → -1
+        (_random_graph(17, 60, 90), {1: 10, 2: 20, 3: 30}, 4),
+    ],
+    ids=["house", "clique-short", "random"],
+)
+def test_seeded_lpa_matches_oracle(spark, pairs, seeds, rounds):
+    from elektra_spark.operators.lpa import seeded_label_propagation
+
+    from .oracles import seeded_lpa_oracle
+
+    edges = edges_from_pairs(spark, pairs)
+    sd = spark.createDataFrame(list(seeds.items()), "vid long, label long")
+    got = {r["vid"]: r["label"] for r in seeded_label_propagation(edges, sd, rounds=rounds).collect()}
+    want = seeded_lpa_oracle(pairs, seeds, rounds=rounds)
+    assert got == want
+    assert -1 in got.values() or all(v != -1 for v in want.values())
+
+
 @pytest.mark.parametrize("pairs", [HOUSE, CLIQUE5_PLUS_PATH, SPANNING_K5ISH, _random_graph(11, 80, 200)],
                          ids=["house", "clique5path", "k5ish", "random"])
 def test_triangle_count(spark, pairs):
