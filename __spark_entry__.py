@@ -2348,6 +2348,23 @@ def q_ann_ivf_docs(spark, sf_dir):
     return ivf_topk(emb, queries, centroids, k=5, nprobe=IVF_NPROBE)
 
 
+KMEANS_K = 5
+KMEANS_ITERS = 3  # Lloyd update rounds; init = the k lowest-vec_id vectors
+KMEANS_DIM = 64  # embeddings fixture dimensionality (all sf dirs)
+
+
+def q_kmeans_embeddings(spark, sf_dir):
+    """Distributed Lloyd k-means over the FULL embeddings table
+    (sim/kmeans.py): centroid updates are exact int64 sums of 2^20-quantized
+    vectors (order-independent — reproducible under any partitioning), the
+    k×d sum matrix collects to the driver, S/n is one IEEE division. The
+    DuckDB twin re-derives the whole trajectory independently in SQL — no
+    shared literals, unlike the IVF row — and still matches bit-for-bit."""
+    from elektra_spark.sim.kmeans import kmeans_assign
+
+    return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=KMEANS_K, iters=KMEANS_ITERS)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup-by-embedding): SRP-bucketed
     self-join + exact cosine threshold. The oracle reproduces the same
@@ -5039,6 +5056,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_docs": q_ann_lsh_docs,
         "ann_lsh_multiprobe_docs": q_ann_lsh_multiprobe_docs,
         "ann_ivf_docs": q_ann_ivf_docs,
+        "kmeans_embeddings": q_kmeans_embeddings,
         "semdedup_docs": q_semdedup_docs,
         "curation_manifest_docs": q_curation_manifest_docs,
         "pq_codes_docs": q_pq_codes_docs,
@@ -5057,8 +5075,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 def oracle_sql() -> dict[str, str]:
     from elektra_spark.dedup.simhash import simhash_sql
+    from elektra_spark.sim.kmeans import kmeans_sql
 
     oracles = _static_oracles(simhash_sql)
+    oracles["kmeans_embeddings"] = kmeans_sql(k=KMEANS_K, iters=KMEANS_ITERS, dim=KMEANS_DIM)
     try:
         # trains the IVF quantizer from the sf0.01 parquet; isolated so a
         # missing test-data mount degrades only this entry (to the driver's

@@ -1100,3 +1100,68 @@ def test_strip_boilerplate_rejects_min_docs_below_2(spark):
 
     with pytest.raises(ValueError):
         strip_boilerplate(_lines_df(spark, [(1, 0, "x")]), min_docs=1)
+
+
+# ---------------------------------------------------------------- k-means
+
+
+def _np_lloyd(x, k, iters):
+    """Independent NumPy replay of the exact-integer Lloyd contract:
+    2^20 quantization, init = k lowest-id rows, exact int sums, S/n
+    division, |x|^2 - 2x.c + |c|^2 distance with first-min tie-break."""
+    import numpy as np
+
+    q = 1 << 20
+    xq = np.round(x.astype(np.float64) * q).astype(np.int64)
+    xd = xq.astype(np.float64)
+    cents = xd[:k].copy()
+    for _ in range(iters + 1):
+        d2 = (xd * xd).sum(axis=1, keepdims=True) - 2.0 * xd @ cents.T + (cents * cents).sum(axis=1)
+        assign = np.argmin(d2, axis=1)  # first minimum = lowest cluster id
+        new = cents.copy()
+        for j in range(k):
+            m = xq[assign == j]
+            if len(m):
+                new[j] = m.sum(axis=0, dtype=np.int64) / len(m)
+        cents = new
+    return assign
+
+
+def test_kmeans_matches_numpy_oracle(spark, sf_dir):
+    """Cluster ASSIGNMENTS (integer outcome of the trajectory) match an
+    independent NumPy Lloyd under the same quantized-exact contract. The
+    float distance folds differ (BLAS matmul vs sequential fold) so only
+    the discrete outcome is compared — the bit-level float contract is
+    pinned by the DuckDB twin in the contract gate instead."""
+    import numpy as np
+
+    from elektra_spark.sim.kmeans import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = kmeans_assign(emb, k=4, iters=2).orderBy("vec_id").collect()
+    rows = sorted(emb.collect(), key=lambda r: r.vec_id)
+    x = np.array([r.embedding for r in rows])
+    want = _np_lloyd(x, k=4, iters=2)
+    assert [r.cluster for r in got] == list(want)
+    # non-vacuous: more than one cluster populated, distances sane
+    assert len({r.cluster for r in got}) > 1
+    assert all(r.dist2 >= 0 for r in got)
+
+
+def test_kmeans_partition_invariance(spark, sf_dir):
+    """The headline property of the exact-integer update: re-partitioning the
+    input (different combine order) changes NOTHING, to the last bit."""
+    from elektra_spark.sim.kmeans import kmeans_assign
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    a = kmeans_assign(emb, k=3, iters=2).orderBy("vec_id").collect()
+    b = kmeans_assign(emb.repartition(13), k=3, iters=2).orderBy("vec_id").collect()
+    assert [(r.vec_id, r.cluster, r.dist2) for r in a] == [(r.vec_id, r.cluster, r.dist2) for r in b]
+
+
+def test_kmeans_rejects_small_corpus(spark):
+    from elektra_spark.sim.kmeans import kmeans_assign
+
+    df = spark.createDataFrame([(0, [0.1, 0.2]), (1, [0.3, 0.4])], "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError):
+        kmeans_assign(df, k=5, iters=1).collect()
