@@ -2022,6 +2022,21 @@ def q_tfidf_docs(spark, sf_dir):
     return tfidf_top_terms(_t(spark, sf_dir, "documents"), k=TFIDF_K)
 
 
+BM25_QUERY = ["hash", "join", "vector", "stream"]  # non-vacuous df spread at sf0.01
+
+
+def q_bm25_docs(spark, sf_dir):
+    """BM25 ranked retrieval (text/bm25.py): Okapi idf/tf saturation with the
+    Lucene-default idf form, tokenizer shared with tfidf. Per-(doc,term)
+    weights are quantized round(w·1e6)::bigint so the per-doc sum over query
+    terms is an exact integer — rank order is a total order on ints, no
+    float-boundary risk; the twin replays the identical fixed-shape
+    expression."""
+    from elektra_spark.text.bm25 import bm25_scores
+
+    return bm25_scores(_t(spark, sf_dir, "documents"), BM25_QUERY)
+
+
 def q_token_stats_docs(spark, sf_dir):
     """Token counting for pipeline budgeting: whitespace tokens plus the
     BPE-ish subword estimate (GPT-2-style pre-tokenization + ceil(L/4)
@@ -5043,6 +5058,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cms_docs": q_token_cms_docs,
         "token_cms_stream": q_token_cms_stream,
         "tfidf_docs": q_tfidf_docs,
+        "bm25_docs": q_bm25_docs,
         "lang_stats_docs": q_lang_stats_docs,
         "corpus_filter_docs": q_corpus_filter_docs,
         "corpus_sample_docs": q_corpus_sample_docs,
@@ -5079,6 +5095,9 @@ def oracle_sql() -> dict[str, str]:
 
     oracles = _static_oracles(simhash_sql)
     oracles["kmeans_embeddings"] = kmeans_sql(k=KMEANS_K, iters=KMEANS_ITERS, dim=KMEANS_DIM)
+    from elektra_spark.text.bm25 import bm25_sql
+
+    oracles["bm25_docs"] = bm25_sql(BM25_QUERY)
     try:
         # trains the IVF quantizer from the sf0.01 parquet; isolated so a
         # missing test-data mount degrades only this entry (to the driver's

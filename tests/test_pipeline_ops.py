@@ -1165,3 +1165,58 @@ def test_kmeans_rejects_small_corpus(spark):
     df = spark.createDataFrame([(0, [0.1, 0.2]), (1, [0.3, 0.4])], "vec_id long, embedding array<float>")
     with pytest.raises(ValueError):
         kmeans_assign(df, k=5, iters=1).collect()
+
+
+# ---------------------------------------------------------------- BM25
+
+
+def test_bm25_matches_python_oracle(spark):
+    """BM25 on a hand-built corpus vs a direct Python replay of the formula
+    (Okapi idf ln((N-df+.5)/(df+.5)+1), k1=1.2 b=0.75, 1e6 quantization)."""
+    import math
+
+    from elektra_spark.text.bm25 import bm25_scores
+
+    corpus = {
+        1: "cat dog cat fish",
+        2: "dog dog dog bird bird",
+        3: "fish fish fish fish cat",
+        4: "tree rock tree rock tree rock",
+    }
+    df = spark.createDataFrame(list(corpus.items()), "doc_id long, text string")
+    got = {r.doc_id: r for r in bm25_scores(df, ["cat", "fish"]).collect()}
+
+    toks = {d: [t for t in txt.split() if len(t) >= 3] for d, txt in corpus.items()}
+    n = len(corpus)
+    avgdl = sum(len(t) for t in toks.values()) / n
+    dfreq = {q: sum(1 for t in toks.values() if q in t) for q in ["cat", "fish"]}
+    want = {}
+    for d, t in toks.items():
+        s = 0
+        hits = 0
+        for q in ["cat", "fish"]:
+            tf = t.count(q)
+            if not tf:
+                continue
+            hits += 1
+            idf = math.log((n - dfreq[q] + 0.5) / (dfreq[q] + 0.5) + 1.0)
+            dl = len(t)
+            w = idf * (tf * 2.2) / (tf + 1.2 * (0.25 + 0.75 * dl / avgdl))
+            s += round(w * 1_000_000)
+        if hits:
+            want[d] = (hits, s / 1_000_000)
+    assert set(got) == set(want) == {1, 3}
+    for d, (hits, score) in want.items():
+        assert (got[d].n_hit, got[d].score) == (hits, score)
+    # doc 3 (fish-heavy, tf saturation) outranks doc 1 (one of each)
+    assert got[3].rank == 1
+
+
+def test_bm25_rejects_bad_query(spark):
+    from elektra_spark.text.bm25 import bm25_scores
+
+    df = spark.createDataFrame([(1, "x")], "doc_id long, text string")
+    with pytest.raises(ValueError):
+        bm25_scores(df, [])
+    with pytest.raises(ValueError):
+        bm25_scores(df, ["cat", "cat"])
