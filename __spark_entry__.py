@@ -533,6 +533,17 @@ def q_four_cycles_copurchase(spark, sf_dir):
     return four_cycle_count(_copurchase_graph(spark, sf_dir))
 
 
+def q_four_cliques_copurchase(spark, sf_dir):
+    """Exact K4 count (triangles.py four_clique_count): degree-ordered DAG
+    orientation gives each 4-clique one topological labeling — oriented
+    triangle + one out-extension + two semi-join closure probes, all
+    integer-exact. The twin enumerates under vid-canonical order (six edge
+    predicates); equality of the two enumerations is itself the check."""
+    from elektra_spark.operators.triangles import four_clique_count
+
+    return four_clique_count(_copurchase_graph(spark, sf_dir))
+
+
 def q_copurchase_weighted(spark, sf_dir):
     """First-class weighted bipartite projection (operators/projection.py):
     the co-purchase pattern with co-occurrence weights, a binding
@@ -4961,6 +4972,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cc_doc_lang_chain": q_cc_doc_lang_chain,
         "triangles_copurchase": q_triangles_copurchase,
         "four_cycles_copurchase": q_four_cycles_copurchase,
+        "four_cliques_copurchase": q_four_cliques_copurchase,
         "copurchase_weighted": q_copurchase_weighted,
         "triangles_per_vertex_copurchase": q_triangles_per_vertex_copurchase,
         # Euler-tour sequence surface (SURVEY.md §2.3 rows 31-35/38/39 + §2.2 row 29)
@@ -5205,6 +5217,16 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
   mm AS (SELECT count(*) AS v FROM e)
   SELECT (((SELECT v FROM s1) - (SELECT v FROM s2) + 2 * (SELECT v FROM mm)) / 8)::BIGINT
          AS n_four_cycles
+  """,
+        "four_cliques_copurchase": f"""
+  WITH e AS MATERIALIZED ({_COPURCHASE_SQL})
+  SELECT count(*)::BIGINT AS n_four_cliques
+  FROM e e1
+  JOIN e e2 ON e2.src = e1.src AND e2.dst > e1.dst
+  JOIN e e3 ON e3.src = e1.dst AND e3.dst = e2.dst
+  JOIN e e4 ON e4.src = e1.src AND e4.dst > e2.dst
+  JOIN e e5 ON e5.src = e1.dst AND e5.dst = e4.dst
+  JOIN e e6 ON e6.src = e2.dst AND e6.dst = e4.dst
   """,
         "triangles_per_vertex_copurchase": f"""
   WITH e AS ({_COPURCHASE_SQL}),

@@ -103,6 +103,37 @@ def four_cycle_count(edges: DataFrame) -> DataFrame:
     )
 
 
+def four_clique_count(edges: DataFrame) -> DataFrame:
+    """→ single-row (n_four_cliques: long) — exact K4 count.
+
+    Same degree-ordering discipline as :func:`triangle_count`, one level
+    deeper: in the (degree, vid)-oriented DAG every 4-clique has exactly one
+    topological labeling a→b→c→d, so it is enumerated once — as the oriented
+    triangle (a,b,c) extended by c's out-arc to d and closed by the two
+    semi-join membership probes (a,d), (b,d).
+
+    Plan: the triangle enumeration is the O(m^1.5) wedge join; the extension
+    multiplies by c's out-degree, which degree-ordering bounds by O(√m) —
+    hubs sit at the HIGH end of the order, so they are probe targets, never
+    fan-out generators. Every join keys on arc endpoints (co-partitionable);
+    the probes are left-semi (no row-width growth). Integer aggregate — the
+    DuckDB twin enumerates the same cliques under vid-canonical order and
+    must agree exactly.
+    """
+    arcs = _oriented_arcs(edges)
+    tri = (
+        arcs.select(F.col("a"), F.col("b"))
+        .join(arcs.select(F.col("a").alias("b"), F.col("b").alias("c")), "b")
+        .join(arcs.select(F.col("a"), F.col("b").alias("c")), ["a", "c"], "left_semi")
+    )
+    quad = (
+        tri.join(arcs.select(F.col("a").alias("c"), F.col("b").alias("d")), "c")
+        .join(arcs.select(F.col("a"), F.col("b").alias("d")), ["a", "d"], "left_semi")
+        .join(arcs.select(F.col("a").alias("b"), F.col("b").alias("d")), ["b", "d"], "left_semi")
+    )
+    return quad.agg(F.count(F.lit(1)).cast("long").alias("n_four_cliques"))
+
+
 def local_clustering_coefficient(edges: DataFrame) -> DataFrame:
     """→ (vid, degree, n_triangles, coeff): Watts–Strogatz local clustering
     coefficient ``2·T(v) / (d(v)·(d(v)−1))`` per vertex, 0 when ``d < 2``.

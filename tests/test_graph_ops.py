@@ -2038,3 +2038,34 @@ def test_coarsen_levels_shrink_and_preserve_weight(spark):
     assert len(v2) < len(v1) < len({v for e in pairs for v in e})
     # weight only leaves the graph through self-loop (intra-group) drops
     assert sum(r["weight"] for r in l2) <= sum(r["weight"] for r in l1) <= len(pairs)
+
+
+def _k4_brute(pairs):
+    from itertools import combinations
+
+    es = {(min(a, b), max(a, b)) for a, b in pairs}
+    vs = sorted({v for e in es for v in e})
+    return sum(
+        1
+        for q in combinations(vs, 4)
+        if all((min(a, b), max(a, b)) in es for a, b in combinations(q, 2))
+    )
+
+
+@pytest.mark.parametrize(
+    "pairs,want",
+    [
+        ([(a, b) for a in range(4) for b in range(a + 1, 4)], 1),  # K4 itself
+        ([(a, b) for a in range(5) for b in range(a + 1, 5)], 5),  # K5: C(5,4)
+        ([(0, 1), (1, 2), (2, 3), (3, 0)], 0),  # C4: no chords, no clique
+        (_random_graph(43, 30, 170), None),  # dense enough for real K4s
+    ],
+    ids=["k4", "k5", "c4", "random"],
+)
+def test_four_clique_count(spark, pairs, want):
+    from elektra_spark.operators.triangles import four_clique_count
+
+    got = four_clique_count(edges_from_pairs(spark, pairs)).collect()[0]["n_four_cliques"]
+    assert got == _k4_brute(pairs)
+    if want is not None:
+        assert got == want
