@@ -1557,6 +1557,24 @@ def q_influence_transcript(spark, sf_dir):
     )
 
 
+ABSORB_ROUNDS = 8  # hitting-probability horizon, part of the operator contract
+
+
+def q_transcript_absorption(spark, sf_dir):
+    """Absorbing random-walk hitting probabilities (operators/absorption.py)
+    on the n=300 flow digraph: tool-actor hubs absorbing, h = P(uniform walk
+    from each turn performs a tool call within ABSORB_ROUNDS transitions).
+    Non-absorbing out-degree is ≤ 2 on this graph (next turn + at most one
+    call), and two-term IEEE addition is commutative bit-for-bit, so the
+    whole trajectory is exact — the unrolled twin matches without epsilon."""
+    from elektra_spark.ingest.edges import derive_digraph
+    from elektra_spark.operators.absorption import absorption_probability
+
+    g = derive_digraph(_transcripts(spark, 300))
+    absorbing = g.vertices.filter(F.col("kind") == "tool").select("vid")
+    return absorption_probability(g.edges, absorbing, g.vertices.select("vid"), rounds=ABSORB_ROUNDS)
+
+
 def q_kcore_copurchase(spark, sf_dir):
     """k-core extraction (operators/kcore.py) on the copurchase projection:
     synchronous degree-peel to the fixpoint, returning surviving vertices
@@ -3083,6 +3101,36 @@ def _transcript_digraph_cte(n_conversations: int) -> str:
           WHERE turns.turn_idx < turns.conv_len - 1),
   de AS MATERIALIZED (SELECT DISTINCT src, dst FROM de0 WHERE src <> dst),
   verts AS MATERIALIZED (SELECT vid FROM turns UNION ALL SELECT vid FROM tool_v)"""
+
+
+def _transcript_absorption_sql() -> str:
+    """Twin of q_transcript_absorption: the identical backward recursion
+    unrolled over the derived flow digraph — tool vertices pinned to 1.0,
+    turns get sum(successor h)/outdeg (≤ 2 terms → commutative-exact)."""
+    chain = []
+    for i in range(1, ABSORB_ROUNDS + 1):
+        chain.append(
+            f""",
+  h{i} AS MATERIALIZED (SELECT v.vid,
+      CASE WHEN tv.vid IS NOT NULL THEN 1.0
+           ELSE coalesce(s.s / outd.deg, 0.0) END AS h
+      FROM verts v
+      LEFT JOIN (SELECT a.src AS vid, sum(p.h) AS s
+                 FROM de a JOIN h{i - 1} p ON p.vid = a.dst GROUP BY a.src) s ON s.vid = v.vid
+      LEFT JOIN outd ON outd.vid = v.vid
+      LEFT JOIN tool_v tv ON tv.vid = v.vid)"""
+        )
+    return (
+        "WITH"
+        + _transcript_digraph_cte(300)
+        + """,
+  outd AS MATERIALIZED (SELECT src AS vid, count(*) AS deg FROM de GROUP BY src),
+  h0 AS (SELECT v.vid, CASE WHEN tv.vid IS NOT NULL THEN 1.0 ELSE 0.0 END AS h
+         FROM verts v LEFT JOIN tool_v tv ON tv.vid = v.vid)"""
+        + "".join(chain)
+        + f"""
+  SELECT vid, round(h, 6) AS h FROM h{ABSORB_ROUNDS}"""
+    )
 
 
 def _transcript_scc_sql() -> str:
@@ -5030,6 +5078,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_widest": q_transcript_widest,
         "transcript_bipartite": q_transcript_bipartite,
         "transcript_scc": q_transcript_scc,
+        "transcript_absorption": q_transcript_absorption,
         "motifs_transcript": q_motifs_transcript,
         "influence_transcript": q_influence_transcript,
         "partition_advisor_transcript": q_partition_advisor_transcript,
@@ -5345,6 +5394,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_widest": _transcript_widest_sql(),
         "transcript_bipartite": _transcript_bipartite_sql(),
         "transcript_scc": _transcript_scc_sql(),
+        "transcript_absorption": _transcript_absorption_sql(),
         "motifs_transcript": _motifs_sql(),
         "influence_transcript": _influence_sql(),
         "partition_advisor_transcript": _partition_advisor_sql(),

@@ -2069,3 +2069,70 @@ def test_four_clique_count(spark, pairs, want):
     assert got == _k4_brute(pairs)
     if want is not None:
         assert got == want
+
+
+def _absorb_oracle(arcs, absorbing, verts, rounds):
+    out = {}
+    for s, d in arcs:
+        out.setdefault(s, []).append(d)
+    h = {v: (1.0 if v in absorbing else 0.0) for v in verts}
+    for _ in range(rounds):
+        nh = {}
+        for v in verts:
+            if v in absorbing:
+                nh[v] = 1.0
+            elif out.get(v):
+                nh[v] = sum(h[u] for u in out[v]) / len(out[v])
+            else:
+                nh[v] = 0.0
+        h = nh
+    return {v: round(p, 6) for v, p in h.items()}
+
+
+def test_absorption_matches_python_oracle(spark):
+    """Directed diamond + cycle + dangling branch vs a direct replay."""
+    from elektra_spark.operators.absorption import absorption_probability
+
+    # 0→1→9(abs), 0→2→3→0 (cycle back), 4→5 dangling, 6 isolated, 9 abs
+    arcs = [(0, 1), (0, 2), (1, 9), (2, 3), (3, 0), (4, 5), (6, 7)]
+    verts = list(range(10))
+    absorbing = {9}
+    adf = spark.createDataFrame(arcs, "src long, dst long")
+    vdf = spark.createDataFrame([(v,) for v in verts], "vid long")
+    absdf = spark.createDataFrame([(9,)], "vid long")
+    for rounds in (1, 3, 6):
+        got = {
+            r["vid"]: r["h"]
+            for r in absorption_probability(adf, absdf, vdf, rounds=rounds).collect()
+        }
+        assert got == _absorb_oracle(arcs, absorbing, verts, rounds)
+    # sanity: absorbing pinned to 1, unreachable stays 0, cycle vertex in (0,1)
+    assert got[9] == 1.0 and got[4] == 0.0 and 0 < got[0] < 1
+
+
+def test_absorption_monotone_in_horizon(spark):
+    """Hitting probability is nondecreasing in the horizon."""
+    from elektra_spark.operators.absorption import absorption_probability
+
+    arcs = [(i, i + 1) for i in range(6)] + [(2, 6), (6, 2)]
+    adf = spark.createDataFrame(arcs, "src long, dst long")
+    vdf = spark.createDataFrame([(v,) for v in range(7)], "vid long")
+    absdf = spark.createDataFrame([(5,)], "vid long")
+    prev = None
+    for rounds in (1, 2, 4, 8):
+        cur = {
+            r["vid"]: r["h"]
+            for r in absorption_probability(adf, absdf, vdf, rounds=rounds).collect()
+        }
+        if prev is not None:
+            assert all(cur[v] >= prev[v] for v in cur)
+        prev = cur
+
+
+def test_absorption_rejects_zero_rounds(spark):
+    from elektra_spark.operators.absorption import absorption_probability
+
+    df = spark.createDataFrame([(0, 1)], "src long, dst long")
+    v = spark.createDataFrame([(0,), (1,)], "vid long")
+    with pytest.raises(ValueError):
+        absorption_probability(df, v.limit(1), v, rounds=0)
