@@ -2066,6 +2066,26 @@ def q_bm25_docs(spark, sf_dir):
     return bm25_scores(_t(spark, sf_dir, "documents"), BM25_QUERY)
 
 
+AES_K = 40  # weighted-sample size (sf0.01: 40 of 500 docs — a real cut)
+
+
+def q_weighted_sample_docs(spark, sf_dir):
+    """Efraimidis–Spirakis weighted sampling without replacement
+    (text/sampling.py weighted_sample_topk): keep the AES_K docs maximizing
+    ln(u)/w with u = md5-uniform of doc_id and w = ws_tokens + 1 — i.e. a
+    deterministic token-proportional corpus draw (longer docs
+    proportionally likelier, every re-run picks the same set). Key rounded
+    1e-9 before ranking; twin replays md5 slice, u denominator and rounding."""
+    from elektra_spark.text.analysis import token_count
+    from elektra_spark.text.sampling import weighted_sample_topk
+
+    docs = _t(spark, sf_dir, "documents")
+    w = token_count(F.coalesce(F.col("text"), F.lit(""))) + F.lit(1)
+    return weighted_sample_topk(docs, k=AES_K, weight_col=w).select(
+        "doc_id", "sel_weight", "sel_key", "rank"
+    )
+
+
 def q_token_stats_docs(spark, sf_dir):
     """Token counting for pipeline budgeting: whitespace tokens plus the
     BPE-ish subword estimate (GPT-2-style pre-tokenization + ceil(L/4)
@@ -5120,6 +5140,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "token_cms_stream": q_token_cms_stream,
         "tfidf_docs": q_tfidf_docs,
         "bm25_docs": q_bm25_docs,
+        "weighted_sample_docs": q_weighted_sample_docs,
         "lang_stats_docs": q_lang_stats_docs,
         "corpus_filter_docs": q_corpus_filter_docs,
         "corpus_sample_docs": q_corpus_sample_docs,
@@ -5159,6 +5180,11 @@ def oracle_sql() -> dict[str, str]:
     from elektra_spark.text.bm25 import bm25_sql
 
     oracles["bm25_docs"] = bm25_sql(BM25_QUERY)
+    from elektra_spark.text.sampling import weighted_sample_topk_sql
+
+    oracles["weighted_sample_docs"] = weighted_sample_topk_sql(
+        AES_K, "len(string_split(coalesce(text, ''), ' ')) + 1"
+    )
     try:
         # trains the IVF quantizer from the sf0.01 parquet; isolated so a
         # missing test-data mount degrades only this entry (to the driver's

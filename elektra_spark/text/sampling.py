@@ -98,3 +98,64 @@ def weight_budget_sample(df: DataFrame, strata_col: str, budget, weight_col: str
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return df.withColumn("_cum", F.sum(weight_col).over(w)).filter(F.col("_cum") <= budget).drop("_cum")
+
+
+AES_U_DENOM = float(1 << 48)  # md5 12-hex slice space; u = (slice+1)/2^48 ∈ (0,1]
+
+
+def weighted_sample_topk(df: DataFrame, k: int, weight_col, key_col: str = "doc_id") -> DataFrame:
+    """Efraimidis–Spirakis weighted sampling WITHOUT replacement: keep the k
+    rows maximizing u^(1/w) — equivalently ln(u)/w — where u is the
+    md5-derived uniform of the row key. P[row in sample] is the classic
+    sequential weighted draw; the md5 key makes it a deterministic pure
+    function of the data (same replay contract as hash_sample).
+
+    → original columns + (sel_weight, sel_key, rank), rank 1..k by
+    (sel_key DESC, key ASC). ``sel_key`` is rounded 1e-9 BEFORE ranking so
+    the cut is total-ordered and engine-independent (the tfidf precedent —
+    ln differs in the last ulp across libms).
+
+    Weights must be strictly positive (ln(u) ≤ 0: w→0 would send the key to
+    -inf and never win — silently wrong, so it raises instead).
+
+    At 100 TB: one map-side key computation + a distributed top-k
+    (``orderBy().limit(k)`` → TakeOrdered: per-partition heaps, no global
+    sort/shuffle); the final rank window runs on k rows.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    u_int = F.conv(
+        F.substring(F.md5(F.concat(F.lit("aes:"), F.col(key_col).cast("string"))), 1, 12), 16, 10
+    ).cast("long")
+    u = (u_int + F.lit(1)).cast("double") / F.lit(AES_U_DENOM)
+    w = weight_col.cast("double")
+    key = F.round(F.log(u) / w, 9)
+    top = (
+        df.withColumn("sel_weight", w)
+        .withColumn("sel_key", key)
+        .filter(F.col("sel_weight") > 0)
+        .orderBy(F.col("sel_key").desc(), F.col(key_col))
+        .limit(k)
+    )
+    win = Window.orderBy(F.col("sel_key").desc(), F.col(key_col))
+    return top.withColumn("rank", F.row_number().over(win).cast("long"))
+
+
+def weighted_sample_topk_sql(k: int, weight_sql: str, table: str = "documents", key_col: str = "doc_id") -> str:
+    """DuckDB twin of :func:`weighted_sample_topk` (same md5 slice, same u
+    denominator, same 1e-9 key rounding). ``weight_sql`` must evaluate to the
+    identical strictly-positive weight."""
+    u = (
+        f"((('0x' || substr(md5('aes:' || CAST({key_col} AS VARCHAR)), 1, 12))::BIGINT + 1)"
+        f" / {AES_U_DENOM!r})"
+    )
+    return f"""
+  WITH wt AS (SELECT {key_col}, ({weight_sql})::DOUBLE AS sel_weight FROM {table}),
+  keyed AS (SELECT {key_col}, sel_weight,
+                   round(ln({u}) / sel_weight, 9) AS sel_key
+            FROM wt WHERE sel_weight > 0),
+  rk AS (SELECT {key_col}, sel_weight, sel_key,
+                row_number() OVER (ORDER BY sel_key DESC, {key_col} ASC)::BIGINT AS rank
+         FROM keyed)
+  SELECT * FROM rk WHERE rank <= {k}
+  """

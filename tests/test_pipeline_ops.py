@@ -1220,3 +1220,49 @@ def test_bm25_rejects_bad_query(spark):
         bm25_scores(df, [])
     with pytest.raises(ValueError):
         bm25_scores(df, ["cat", "cat"])
+
+
+# ------------------------------------------------- weighted sampling (A-ES)
+
+
+def test_weighted_sample_matches_python_replay(spark):
+    """Exact replay of the md5 exponential-race keys in Python."""
+    import hashlib
+    import math
+
+    from elektra_spark.text.sampling import weighted_sample_topk
+
+    rows = [(i, (i % 7) + 1) for i in range(100)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample_topk(df, k=10, weight_col=F.col("w")).collect()
+
+    def key(i, w):
+        u_int = int(hashlib.md5(f"aes:{i}".encode()).hexdigest()[:12], 16)
+        return round(math.log((u_int + 1) / float(1 << 48)) / w, 9)
+
+    want = sorted(((key(i, w), i, w) for i, w in rows), key=lambda t: (-t[0], t[1]))[:10]
+    assert [(r.doc_id, r.sel_key, r.rank) for r in sorted(got, key=lambda r: r.rank)] == [
+        (i, k, n + 1) for n, (k, i, _) in enumerate(want)
+    ]
+
+
+def test_weighted_sample_weight_bias(spark):
+    """Heavier rows win more often: weight-1000 rows should dominate a
+    sample drawn against weight-1 rows (deterministic, so an exact check)."""
+    from elektra_spark.text.sampling import weighted_sample_topk
+
+    rows = [(i, 1000 if i < 50 else 1) for i in range(500)]
+    df = spark.createDataFrame(rows, "doc_id long, w long")
+    got = weighted_sample_topk(df, k=30, weight_col=F.col("w")).collect()
+    heavy = sum(1 for r in got if r.doc_id < 50)
+    assert heavy >= 25  # 50 heavy rows hold 100x the weight of 450 light ones
+
+
+def test_weighted_sample_drops_nonpositive_and_rejects_bad_k(spark):
+    from elektra_spark.text.sampling import weighted_sample_topk
+
+    df = spark.createDataFrame([(1, 0), (2, -3), (3, 5)], "doc_id long, w long")
+    got = weighted_sample_topk(df, k=3, weight_col=F.col("w")).collect()
+    assert [r.doc_id for r in got] == [3]
+    with pytest.raises(ValueError):
+        weighted_sample_topk(df, k=0, weight_col=F.col("w"))
