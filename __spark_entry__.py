@@ -2086,6 +2086,47 @@ def q_weighted_sample_docs(spark, sf_dir):
     )
 
 
+RRF_CAP = 100  # per-list depth fed to the fusion
+
+
+def q_hybrid_retrieval_docs(spark, sf_dir):
+    """Hybrid retrieval via reciprocal-rank fusion (sim/fusion.py): the BM25
+    lexical top-RRF_CAP (query BM25_QUERY) fused with the dense cosine
+    top-RRF_CAP against vec_id 0's embedding, rrf = Σ 1/(60+rank). Each
+    contribution is one exact IEEE division and a doc sits in ≤ 2 lists, so
+    the fused scores are commutative-exact; order (rrf DESC, doc_id) on the
+    1e-9-rounded score is total. Twin composes the bm25 twin, the
+    ann-brute-style cosine ranking, and the identical fusion arithmetic."""
+    from elektra_spark.sim.fusion import rrf_fuse
+    from elektra_spark.sim.ivf import _dot
+    from elektra_spark.text.bm25 import bm25_scores
+
+    bm = (
+        bm25_scores(_t(spark, sf_dir, "documents"), BM25_QUERY)
+        .filter(F.col("rank") <= RRF_CAP)
+        .select("doc_id", "rank")
+    )
+    e = _t(spark, sf_dir, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    q = e.filter(F.col("vec_id") == 0).select(F.col("v").alias("qv"))
+    sim = F.round(
+        _dot(F.col("qv"), F.col("v"))
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("v"), F.col("v")))),
+        6,
+    )
+    wd = Window.orderBy(F.col("sim").desc(), F.col("vec_id").asc())
+    dense = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(q))
+        .select("vec_id", sim.alias("sim"))
+        .withColumn("rank", F.row_number().over(wd).cast("long"))
+        .filter(F.col("rank") <= RRF_CAP)
+        .select(F.col("vec_id").alias("doc_id"), "rank")
+    )
+    return rrf_fuse([bm, dense])
+
+
 def q_token_stats_docs(spark, sf_dir):
     """Token counting for pipeline budgeting: whitespace tokens plus the
     BPE-ish subword estimate (GPT-2-style pre-tokenization + ceil(L/4)
@@ -5141,6 +5182,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_docs": q_tfidf_docs,
         "bm25_docs": q_bm25_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "hybrid_retrieval_docs": q_hybrid_retrieval_docs,
         "lang_stats_docs": q_lang_stats_docs,
         "corpus_filter_docs": q_corpus_filter_docs,
         "corpus_sample_docs": q_corpus_sample_docs,
@@ -5185,6 +5227,19 @@ def oracle_sql() -> dict[str, str]:
     oracles["weighted_sample_docs"] = weighted_sample_topk_sql(
         AES_K, "len(string_split(coalesce(text, ''), ' ')) + 1"
     )
+    from elektra_spark.sim.fusion import rrf_fuse_sql
+
+    dense_sql = f"""
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings WHERE vec_id <> 0),
+    s AS (SELECT vec_id, round(list_inner_product(qv, cv)
+            / (sqrt(list_inner_product(qv, qv)) * sqrt(list_inner_product(cv, cv))), 6) AS sim
+          FROM c CROSS JOIN q)
+    SELECT vec_id AS doc_id, rank FROM (
+      SELECT vec_id, row_number() OVER (ORDER BY sim DESC, vec_id ASC)::BIGINT AS rank FROM s)
+    WHERE rank <= {RRF_CAP}"""
+    bm_sql = f"SELECT doc_id, rank FROM ({bm25_sql(BM25_QUERY)}) WHERE rank <= {RRF_CAP}"
+    oracles["hybrid_retrieval_docs"] = rrf_fuse_sql([bm_sql, dense_sql])
     try:
         # trains the IVF quantizer from the sf0.01 parquet; isolated so a
         # missing test-data mount degrades only this entry (to the driver's

@@ -1266,3 +1266,32 @@ def test_weighted_sample_drops_nonpositive_and_rejects_bad_k(spark):
     assert [r.doc_id for r in got] == [3]
     with pytest.raises(ValueError):
         weighted_sample_topk(df, k=0, weight_col=F.col("w"))
+
+
+# -------------------------------------------------------------- RRF fusion
+
+
+def test_rrf_fuse_matches_python(spark):
+    from elektra_spark.sim.fusion import rrf_fuse
+
+    la = [(1, 1), (2, 2), (3, 3)]
+    lb = [(3, 1), (1, 2), (9, 3)]
+    a = spark.createDataFrame(la, "doc_id long, rank long")
+    b = spark.createDataFrame(lb, "doc_id long, rank long")
+    got = {r.doc_id: r for r in rrf_fuse([a, b]).collect()}
+    want = {}
+    for lst in (la, lb):
+        for d, rk in lst:
+            want[d] = want.get(d, 0.0) + 1.0 / (60 + rk)
+    assert {d: round(s, 9) for d, s in want.items()} == {d: r.rrf for d, r in got.items()}
+    # doc 1 (ranks 1+2 → 1/61+1/62) beats doc 3 (ranks 3+1 → 1/63+1/61)
+    assert got[1].rrf > got[3].rrf and got[1].rank < got[3].rank
+    assert got[1].n_lists == 2 and got[9].n_lists == 1
+
+
+def test_rrf_fuse_rejects_single_list(spark):
+    from elektra_spark.sim.fusion import rrf_fuse
+
+    a = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
+    with pytest.raises(ValueError):
+        rrf_fuse([a])
