@@ -928,6 +928,28 @@ def q_matching_transcript(spark, sf_dir):
     return maximal_matching(_transcript_graph(spark).edges)
 
 
+def q_vertex_cover_transcript(spark, sf_dir):
+    """2-approximate minimum vertex cover — the endpoints of the maximal
+    matching (Gavril/Yannakakis: any cover must pick ≥1 endpoint of every
+    matched edge, so |C| = 2|M| ≤ 2·OPT). Pure composition over the
+    oracle-twinned matching row; reported as a per-vertex membership flag.
+    pytest asserts the structural guarantee: every edge is covered and
+    |C| = 2 |M|."""
+    from elektra_spark.operators.matching import maximal_matching
+
+    g = _transcript_graph(spark)
+    m = maximal_matching(g.edges)
+    cover = (
+        m.select(F.col("src").alias("vid"))
+        .union(m.select(F.col("dst").alias("vid")))
+        .distinct()
+        .withColumn("flag", F.lit(True))
+    )
+    return g.vertices.select("vid").join(cover, "vid", "left").select(
+        "vid", F.coalesce("flag", F.lit(False)).alias("in_cover")
+    )
+
+
 SEEDED_LPA_SQL_ROUNDS = 4  # unrolled seeded-LPA supersteps shared with the twin
 
 
@@ -3719,6 +3741,17 @@ def _matching_sql() -> str:
   SELECT src, dst FROM ({wins}) q"""
 
 
+def _vertex_cover_sql() -> str:
+    """Twin of q_vertex_cover_transcript: the identical matching chain, then
+    cover = distinct matched endpoints, flagged over the full vertex set."""
+    chain, wins = _matching_chain_sql()
+    return f"""{chain},
+  m AS ({wins}),
+  cov AS (SELECT src AS vid FROM m UNION SELECT dst FROM m)
+  SELECT v.vid, (cov.vid IS NOT NULL) AS in_cover
+  FROM verts v LEFT JOIN cov ON cov.vid = v.vid"""
+
+
 def _coarsen_sql() -> str:
     """Twin of q_coarsen_transcript: the identical matching chain, then
     every fine edge maps its endpoints through the (matched dst → src)
@@ -5122,6 +5155,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "diameter_copurchase": q_diameter_copurchase,
         "mis_copurchase": q_mis_copurchase,
         "matching_transcript": q_matching_transcript,
+        "vertex_cover_transcript": q_vertex_cover_transcript,
         "coarsen_transcript": q_coarsen_transcript,
         "seeded_lpa_transcript": q_seeded_lpa_transcript,
         "msf_transcript": q_msf_transcript,
@@ -5431,6 +5465,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "diameter_copurchase": _diameter_sql(),
         "mis_copurchase": _mis_sql(),
         "matching_transcript": _matching_sql(),
+        "vertex_cover_transcript": _vertex_cover_sql(),
         "coarsen_transcript": _coarsen_sql(),
         "seeded_lpa_transcript": _seeded_lpa_sql(),
         "msf_transcript": _msf_sql(),

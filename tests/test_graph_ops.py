@@ -2136,3 +2136,17 @@ def test_absorption_rejects_zero_rounds(spark):
     v = spark.createDataFrame([(0,), (1,)], "vid long")
     with pytest.raises(ValueError):
         absorption_probability(df, v.limit(1), v, rounds=0)
+
+
+def test_vertex_cover_guarantee(spark):
+    """Matched-endpoints cover: every edge covered, |C| = 2|M| (the 2-approx
+    certificate), and cover vertices are exactly the matched vertices."""
+    from elektra_spark.operators.matching import maximal_matching
+
+    pairs = _random_graph(17, 40, 90)
+    edges = edges_from_pairs(spark, pairs)
+    m = [(r["src"], r["dst"]) for r in maximal_matching(edges).collect()]
+    cover = {v for e in m for v in e}
+    assert len(cover) == 2 * len(m)  # matching is vertex-disjoint
+    for a, b in pairs:
+        assert a in cover or b in cover, (a, b)
