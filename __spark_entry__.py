@@ -1721,6 +1721,21 @@ def q_near_duplicates_docs(spark, sf_dir):
     )
 
 
+PPJOIN_TAU_PERMILLE = 100  # J ≥ 0.1: 135 pairs at sf0.01, 110 of them below the LSH row's 0.2
+
+
+def q_similarity_join_docs(spark, sf_dir):
+    """EXACT set-similarity join via prefix filtering (dedup/ppjoin.py,
+    PPJoin family): every doc pair with bigram-shingle Jaccard ≥ 0.1,
+    decided in pure integer arithmetic. The complete-dedup counterpart of
+    the probabilistic near_duplicates_docs row; the twin brute-forces all
+    token-sharing pairs — no prefix filter — so the contract checks the
+    pruning against the definition."""
+    from elektra_spark.dedup.ppjoin import similarity_join
+
+    return similarity_join(_t(spark, sf_dir, "documents"), tau_permille=PPJOIN_TAU_PERMILLE)
+
+
 def q_dup_clusters_docs(spark, sf_dir):
     """Duplicate-cluster resolution (dedup/clusters.py): the verified
     near-duplicate pairs of ``near_duplicates_docs`` become an undirected
@@ -5200,6 +5215,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_docs": q_simhash_docs,
         "simhash_near_pairs_docs": q_simhash_near_pairs_docs,
         "near_duplicates_docs": q_near_duplicates_docs,
+        "similarity_join_docs": q_similarity_join_docs,
         "dup_clusters_docs": q_dup_clusters_docs,
         "repeated_ngrams_docs": q_repeated_ngrams_docs,
         "decontaminate_docs": q_decontaminate_docs,
@@ -5274,6 +5290,9 @@ def oracle_sql() -> dict[str, str]:
     WHERE rank <= {RRF_CAP}"""
     bm_sql = f"SELECT doc_id, rank FROM ({bm25_sql(BM25_QUERY)}) WHERE rank <= {RRF_CAP}"
     oracles["hybrid_retrieval_docs"] = rrf_fuse_sql([bm_sql, dense_sql])
+    from elektra_spark.dedup.ppjoin import similarity_join_sql
+
+    oracles["similarity_join_docs"] = similarity_join_sql(PPJOIN_TAU_PERMILLE)
     try:
         # trains the IVF quantizer from the sf0.01 parquet; isolated so a
         # missing test-data mount degrades only this entry (to the driver's

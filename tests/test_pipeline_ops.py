@@ -1295,3 +1295,50 @@ def test_rrf_fuse_rejects_single_list(spark):
     a = spark.createDataFrame([(1, 1)], "doc_id long, rank long")
     with pytest.raises(ValueError):
         rrf_fuse([a])
+
+
+# ---------------------------------------------------- PPJoin similarity join
+
+
+def _jaccard_brute(texts, n, tp):
+    def sh(t):
+        toks = [x for x in t.split(" ") if x]
+        if not toks:
+            return set()
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)}
+
+    sets = {i: sh(t) for i, t in texts.items()}
+    out = {}
+    for a in sets:
+        for b in sets:
+            if a < b and sets[a] and sets[b]:
+                i = len(sets[a] & sets[b])
+                u = len(sets[a] | sets[b])
+                if i * 1000 >= tp * u:
+                    out[(a, b)] = (i, u)
+    return out
+
+
+def test_similarity_join_exact_vs_brute(spark, docs):
+    """The prefix-filtered join returns EXACTLY the brute-force pair set."""
+    from elektra_spark.dedup.ppjoin import similarity_join
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for tp in (100, 300, 500, 900):
+        got = {
+            (r.a, r.b): (r.inter, r.uni)
+            for r in similarity_join(docs, tau_permille=tp).collect()
+        }
+        assert got == _jaccard_brute(texts, 2, tp), tp
+
+
+def test_similarity_join_empty_docs_never_pair(spark):
+    from elektra_spark.dedup.ppjoin import similarity_join
+
+    df = spark.createDataFrame(
+        [(1, ""), (2, ""), (3, "a b c"), (4, "a b c")], "doc_id long, text string"
+    )
+    got = {(r.a, r.b) for r in similarity_join(df, tau_permille=500).collect()}
+    assert got == {(3, 4)}
+    with pytest.raises(ValueError):
+        similarity_join(df, tau_permille=0)
