@@ -2507,6 +2507,45 @@ def q_kmeans_embeddings(spark, sf_dir):
     return kmeans_assign(_t(spark, sf_dir, "embeddings"), k=KMEANS_K, iters=KMEANS_ITERS)
 
 
+FEATPROP_KNN = 3  # neighbors per vector in the propagation graph
+FEATPROP_ROUNDS = 2  # (I+A)^2 — two sum-push rounds
+
+
+def q_feature_prop_embeddings(spark, sf_dir):
+    """Graph feature propagation (operators/featprop.py — the SGC
+    preprocessing primitive): 2^20-quantized embeddings pushed 2 rounds over
+    the symmetrized top-FEATPROP_KNN cosine kNN graph, h' = h + Σ_nbr h in
+    exact int64 (order-free, partition-invariant). Long (vid, dim, h)
+    layout — the 10^12-vertex sharding. Twin recomputes the kNN graph and
+    both rounds in SQL."""
+    from elektra_spark.operators.featprop import propagate_features, quantize_features_long
+    from elektra_spark.sim.ivf import _dot
+
+    emb = _t(spark, sf_dir, "embeddings")
+    e = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    a = e.select(F.col("vec_id").alias("qid"), F.col("v").alias("qv"))
+    c = e.select(F.col("vec_id").alias("nbr"), F.col("v").alias("cv"))
+    sim = F.round(
+        _dot(F.col("qv"), F.col("cv"))
+        / (F.sqrt(_dot(F.col("qv"), F.col("qv"))) * F.sqrt(_dot(F.col("cv"), F.col("cv")))),
+        6,
+    )
+    pairs = (
+        a.crossJoin(c).filter(F.col("qid") != F.col("nbr")).select("qid", "nbr", sim.alias("sim"))
+    )
+    wk = Window.partitionBy("qid").orderBy(F.col("sim").desc(), F.col("nbr").asc())
+    edges = (
+        pairs.withColumn("rank", F.row_number().over(wk))
+        .filter(F.col("rank") <= FEATPROP_KNN)
+        .select(
+            F.least("qid", "nbr").alias("src"), F.greatest("qid", "nbr").alias("dst")
+        )
+        .distinct()
+    )
+    feats = quantize_features_long(emb)
+    return propagate_features(feats, edges, rounds=FEATPROP_ROUNDS)
+
+
 def q_embedding_near_dups(spark, sf_dir):
     """Embedding-cosine near-duplicate pairs (dedup-by-embedding): SRP-bucketed
     self-join + exact cosine threshold. The oracle reproduces the same
@@ -4487,6 +4526,45 @@ def _ann_ivf_sql() -> str:
     return ivf_topk_sql(centroids, k=5, nprobe=IVF_NPROBE)
 
 
+def _feature_prop_sql() -> str:
+    """Twin of q_feature_prop_embeddings: same kNN derivation (cosine
+    rounded 1e-6, rank with nbr tiebreak, canonical symmetrization), same
+    2^20 quantization, FEATPROP_ROUNDS unrolled exact-integer sum-push
+    rounds in long (vid, dim) format."""
+    from elektra_spark.operators.featprop import FEATPROP_Q
+
+    chain = []
+    for i in range(1, FEATPROP_ROUNDS + 1):
+        chain.append(
+            f""",
+  h{i} AS MATERIALIZED (SELECT h.vid, h.dim, (h.h + coalesce(c.s, 0))::BIGINT AS h
+      FROM h{i - 1} h LEFT JOIN (
+        SELECT bd.src AS vid, p.dim, sum(p.h) AS s
+        FROM bd JOIN h{i - 1} p ON p.vid = bd.dst GROUP BY bd.src, p.dim) c
+      ON c.vid = h.vid AND c.dim = h.dim)"""
+        )
+    return (
+        f"""
+  WITH e AS MATERIALIZED (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+  s AS MATERIALIZED (SELECT a.vec_id AS qid, b.vec_id AS nbr,
+         round(list_inner_product(a.v, b.v)
+           / (sqrt(list_inner_product(a.v, a.v)) * sqrt(list_inner_product(b.v, b.v))), 6) AS sim
+       FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+  rk AS (SELECT qid, nbr,
+                row_number() OVER (PARTITION BY qid ORDER BY sim DESC, nbr ASC) AS rank
+         FROM s),
+  ed AS MATERIALIZED (SELECT DISTINCT least(qid, nbr) AS src, greatest(qid, nbr) AS dst
+      FROM rk WHERE rank <= {FEATPROP_KNN}),
+  bd AS (SELECT src, dst FROM ed UNION ALL SELECT dst, src FROM ed),
+  h0 AS MATERIALIZED (SELECT vec_id AS vid, g.dim::INTEGER AS dim,
+             round(v[g.dim] * {float(FEATPROP_Q)!r})::BIGINT AS h
+      FROM e, generate_series(1, {KMEANS_DIM}) g(dim))"""
+        + "".join(chain)
+        + f"""
+  SELECT vid, dim, h FROM h{FEATPROP_ROUNDS}"""
+    )
+
+
 def _ann_topk_brute_sql(k: int = 5) -> str:
     """Same cosines as the ann_topk oracle, but ranked on round(sim, 6) with
     nbr tiebreak — the contract q_ann_topk_brute_docs pins."""
@@ -5247,6 +5325,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_lsh_multiprobe_docs": q_ann_lsh_multiprobe_docs,
         "ann_ivf_docs": q_ann_ivf_docs,
         "kmeans_embeddings": q_kmeans_embeddings,
+        "feature_prop_embeddings": q_feature_prop_embeddings,
         "semdedup_docs": q_semdedup_docs,
         "curation_manifest_docs": q_curation_manifest_docs,
         "pq_codes_docs": q_pq_codes_docs,
@@ -5293,6 +5372,7 @@ def oracle_sql() -> dict[str, str]:
     from elektra_spark.dedup.ppjoin import similarity_join_sql
 
     oracles["similarity_join_docs"] = similarity_join_sql(PPJOIN_TAU_PERMILLE)
+    oracles["feature_prop_embeddings"] = _feature_prop_sql()
     try:
         # trains the IVF quantizer from the sf0.01 parquet; isolated so a
         # missing test-data mount degrades only this entry (to the driver's

@@ -2150,3 +2150,46 @@ def test_vertex_cover_guarantee(spark):
     assert len(cover) == 2 * len(m)  # matching is vertex-disjoint
     for a, b in pairs:
         assert a in cover or b in cover, (a, b)
+
+
+def test_feature_propagation_matches_numpy(spark):
+    """(I+A)^k sum-push vs a dense NumPy replay, exact int equality."""
+    import numpy as np
+
+    from elektra_spark.operators.featprop import propagate_features
+
+    rng = np.random.RandomState(7)
+    n, d = 12, 5
+    x = rng.randint(-1000, 1000, size=(n, d)).astype(np.int64)
+    pairs = _random_graph(9, n, 20)
+    adj = np.zeros((n, n), dtype=np.int64)
+    for a, b in pairs:
+        adj[a, b] = adj[b, a] = 1
+    feats = spark.createDataFrame(
+        [(v, j + 1, int(x[v, j])) for v in range(n) for j in range(d)],
+        "vid long, dim int, h long",
+    )
+    edges = edges_from_pairs(spark, pairs)
+    for rounds in (1, 3):
+        got = {
+            (r.vid, r.dim): r.h
+            for r in propagate_features(feats, edges, rounds=rounds).collect()
+        }
+        m = np.linalg.matrix_power(np.eye(n, dtype=np.int64) + adj, rounds)
+        want = m @ x
+        assert got == {(v, j + 1): int(want[v, j]) for v in range(n) for j in range(d)}
+
+
+def test_feature_propagation_partition_invariance(spark):
+    from elektra_spark.operators.featprop import propagate_features
+
+    pairs = _random_graph(11, 30, 60)
+    feats = spark.createDataFrame(
+        [(v, 1, v * 31 % 97) for v in range(30)], "vid long, dim int, h long"
+    )
+    edges = edges_from_pairs(spark, pairs)
+    a = sorted(propagate_features(feats, edges, rounds=2).collect())
+    b = sorted(
+        propagate_features(feats.repartition(11), edges.repartition(7), rounds=2).collect()
+    )
+    assert a == b
