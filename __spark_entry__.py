@@ -258,6 +258,36 @@ def q_time_travel_orders(spark, sf_dir):
     return cat.read(g._t("labels"), version=post_insert)
 
 
+def q_snapshot_changelog_orders(spark, sf_dir):
+    """Incremental changelog read (tables.py ``changelog`` — Iceberg's CDC
+    surface on the stand-in catalog): replay the q_dynamic_orders
+    insert→delete schedule, then scan the EDGES table's net delta between
+    the initial snapshot and the current one. Emits ('insert', src, dst) for
+    inserted-and-surviving edges and ('delete', ...) for deleted base edges;
+    an edge inserted then deleted inside the window is correctly absent.
+    The twin recomputes both edge sets from the schedule and diffs them."""
+    import shutil
+    import tempfile
+
+    from elektra_spark.dynamic.updates import DynamicGraph
+    from elektra_spark.tables import SnapshotCatalog
+
+    edges, vertices = _customer_order_graph(spark, sf_dir)
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    wh = os.path.join(tempfile.gettempdir(), f"elektra_changelog_{tag}")
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = SnapshotCatalog(spark, wh)
+    g = DynamicGraph.create(cat, edges, vertices=vertices)
+
+    adds, dels = _order_update_batches(spark, sf_dir)
+    g.batch_add_edges(adds.select("src", "dst"))
+    g.batch_delete_edges(dels.select("src", "dst"))
+    v0 = min(s["version"] for s in cat.history(g._t("edges")))
+    return cat.changelog(g._t("edges"), from_version=v0, keys=["src", "dst"]).select(
+        "change", "src", "dst"
+    )
+
+
 def _order_update_batches(spark, sf_dir):
     """q_dynamic_orders' deterministic insert/delete schedule as two
     ``(op, src, dst)`` update batches."""
@@ -2838,6 +2868,23 @@ def _dynamic_orders_sql() -> str:
     )
 
 
+def _snapshot_changelog_sql() -> str:
+    """Twin of q_snapshot_changelog_orders: the schedule's net edge delta
+    from first principles — inserts = the order-chain adds (none pre-exist,
+    none deleted later), deletes = the every-13th-order base edges."""
+    return f"""
+  WITH e0 AS (SELECT o_custkey::BIGINT AS src, ({ORDER_VID_OFFSET} + o_orderkey)::BIGINT AS dst,
+                     o_orderkey AS o FROM orders),
+  adds AS (SELECT DISTINCT ({ORDER_VID_OFFSET} + o1.o_orderkey)::BIGINT AS src,
+                  ({ORDER_VID_OFFSET} + o2.o_orderkey)::BIGINT AS dst
+           FROM orders o1 JOIN orders o2 ON o2.o_orderkey = o1.o_orderkey + 1
+           WHERE o1.o_orderkey % 100 = 0)
+  SELECT 'insert' AS change, src, dst FROM adds
+  UNION ALL
+  SELECT 'delete' AS change, src, dst FROM e0 WHERE o % 13 = 0
+  """
+
+
 def _time_travel_orders_sql() -> str:
     """Twin of q_time_travel_orders: min-vid CC of the PRE-DELETE edge set
     (all original customer-order edges plus the order-chain inserts) — what
@@ -5273,6 +5320,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # batch dynamics + component slices + HDT levels (SURVEY.md §2.1/2.2)
         "dynamic_orders": q_dynamic_orders,
         "time_travel_orders": q_time_travel_orders,
+        "snapshot_changelog_orders": q_snapshot_changelog_orders,
         "streaming_dynamic_orders": q_streaming_dynamic_orders,
         "dynamic_levels_orders": q_dynamic_levels_orders,
         "component_vertices_orders": q_component_vertices_orders,
@@ -5620,6 +5668,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_levels2": _transcript_levels2_sql(),
         "dynamic_orders": _dynamic_orders_sql(),
         "time_travel_orders": _time_travel_orders_sql(),
+        "snapshot_changelog_orders": _snapshot_changelog_sql(),
         # delivery mode (streaming micro-batches vs direct batch calls) must
         # not change the final edge set, so the twin is the same CC query
         "streaming_dynamic_orders": _dynamic_orders_sql(),

@@ -150,6 +150,30 @@ class SnapshotCatalog:
     def current_version(self, name: str) -> int | None:
         return self._load_manifest(name)["current"]
 
+    def changelog(
+        self,
+        name: str,
+        from_version: int,
+        to_version: int | None = None,
+        keys: list[str] | None = None,
+    ) -> DataFrame:
+        """Iceberg-style incremental (CDC) read: the net row-level delta
+        between two snapshots as ('insert'|'delete', keys...) rows — what a
+        changelog scan of a copy-on-write table emits. Computed as two
+        key-set anti-joins (the same plan Iceberg's changelog-scan planner
+        produces for COW commits); a row rewritten in place (same key both
+        sides) is correctly absent from the delta."""
+        a = self.read(name, version=from_version)
+        b = self.read(name, version=to_version)
+        keys = keys or a.columns
+        added = (
+            b.select(*keys).join(a.select(*keys), keys, "left_anti").withColumn("change", F.lit("insert"))
+        )
+        removed = (
+            a.select(*keys).join(b.select(*keys), keys, "left_anti").withColumn("change", F.lit("delete"))
+        )
+        return added.unionByName(removed)
+
     def drop(self, name: str) -> None:
         shutil.rmtree(self._table_dir(name), ignore_errors=True)
 

@@ -109,3 +109,24 @@ def test_lineage_and_metrics_recorded(spark, tmp_path):
     # per-superstep row counts are conserved (every vertex present each step)
     per_step = lin.groupBy("superstep").agg(F.sum("rows").alias("n")).collect()
     assert len({r["n"] for r in per_step}) == 1
+
+
+def test_changelog_net_delta(spark, tmp_path):
+    """CDC changelog: inserts/deletes by key diff; a row deleted and
+    re-inserted (same key) inside the window is absent from the delta."""
+    from elektra_spark.tables import SnapshotCatalog
+
+    cat = SnapshotCatalog(spark, str(tmp_path / "cat"))
+    cat.write("t", spark.createDataFrame([(1, 10), (2, 20), (3, 30)], "k long, v long"))
+    v0 = cat.current_version("t")
+    cat.merge_delete("t", spark.createDataFrame([(2,), (3,)], "k long"), keys=["k"])
+    cat.merge_insert("t", spark.createDataFrame([(3, 99), (4, 40)], "k long, v long"), keys=["k"])
+    got = {(r.change, r.k) for r in cat.changelog("t", from_version=v0, keys=["k"]).collect()}
+    assert got == {("delete", 2), ("insert", 4)}  # k=3 delete+reinsert nets out
+    # explicit to_version: delta to the post-delete snapshot only
+    mid = cat.history("t")[-2]["version"]
+    got_mid = {
+        (r.change, r.k)
+        for r in cat.changelog("t", from_version=v0, to_version=mid, keys=["k"]).collect()
+    }
+    assert got_mid == {("delete", 2), ("delete", 3)}
