@@ -980,6 +980,26 @@ def q_vertex_cover_transcript(spark, sf_dir):
     )
 
 
+SCAN_EPS_PERMILLE = 700  # σ ≥ 0.7: 583 ε-edges / 1162 cores on the n=300 graph
+SCAN_MU = 2  # core = at least one ε-similar neighbor besides itself
+
+
+def q_scan_transcript(spark, sf_dir):
+    """SCAN structural clustering (operators/scan.py, Xu et al. 2007) on the
+    transcript link graph: cores/borders/outliers from integer-exact
+    σ ≥ 0.7 decisions, clusters = min-vid CC of the core ε-subgraph. The
+    community detector that may assign NOTHING — tool hubs structurally
+    match none of their neighbors and drop out as outliers, reply-chain
+    runs survive as clusters. Full SQL twin: σ via wedge counts, core CC
+    via pruned recursive CTE, identical border min-cluster tie-break."""
+    from elektra_spark.operators.scan import scan_clusters
+
+    g = _transcript_graph(spark)
+    return scan_clusters(
+        g.edges, eps_permille=SCAN_EPS_PERMILLE, mu=SCAN_MU, vertices=g.vertices.select("vid")
+    )
+
+
 SEEDED_LPA_SQL_ROUNDS = 4  # unrolled seeded-LPA supersteps shared with the twin
 
 
@@ -3842,6 +3862,52 @@ def _matching_sql() -> str:
   SELECT src, dst FROM ({wins}) q"""
 
 
+def _scan_sql() -> str:
+    """Twin of q_scan_transcript — the whole SCAN pipeline in SQL over the
+    derived link graph: per-edge common-closed-neighbor counts, the integer
+    σ² threshold, ε-degrees, core CC (pruned recursive CTE over the
+    core–core ε-subgraph), border min-cluster assignment."""
+    e2 = SCAN_EPS_PERMILLE * SCAN_EPS_PERMILLE
+    return (
+        "WITH RECURSIVE "
+        + _transcript_tables_sql(300).lstrip()
+        + f""",
+  deg AS MATERIALIZED (SELECT src AS vid, count(*) AS d FROM b GROUP BY src),
+  com AS MATERIALIZED (SELECT e.src, e.dst, count(*) AS c
+      FROM edges e JOIN b b1 ON b1.src = e.src
+      JOIN b b2 ON b2.src = e.dst AND b2.dst = b1.dst
+      GROUP BY e.src, e.dst),
+  sim AS MATERIALIZED (SELECT e.src, e.dst
+      FROM edges e LEFT JOIN com ON com.src = e.src AND com.dst = e.dst
+      JOIN deg ds ON ds.vid = e.src JOIN deg dd ON dd.vid = e.dst
+      WHERE (coalesce(com.c, 0) + 2) * (coalesce(com.c, 0) + 2) * 1000000
+            >= {e2} * (ds.d + 1) * (dd.d + 1)),
+  en AS (SELECT vid, count(*) AS en FROM (
+      SELECT src AS vid FROM sim UNION ALL SELECT dst FROM sim) GROUP BY vid),
+  core AS MATERIALIZED (SELECT vid FROM en WHERE en + 1 >= {SCAN_MU}),
+  cb0 AS MATERIALIZED (SELECT s.src, s.dst FROM sim s
+      JOIN core c1 ON c1.vid = s.src JOIN core c2 ON c2.vid = s.dst),
+  cbb AS (SELECT src, dst FROM cb0 UNION ALL SELECT dst, src FROM cb0),
+  rc(vid, label) AS (
+    SELECT vid, vid FROM core
+    UNION
+    SELECT cbb.dst, rc.label FROM rc JOIN cbb ON cbb.src = rc.vid WHERE rc.label < cbb.dst
+  ),
+  comp AS MATERIALIZED (SELECT vid, min(label) AS component FROM rc GROUP BY vid),
+  halves AS (SELECT src AS vid, dst AS nbr FROM sim UNION ALL SELECT dst, src FROM sim),
+  border AS (SELECT h.vid, min(comp.component) AS bcluster
+      FROM halves h JOIN core cn ON cn.vid = h.nbr JOIN comp ON comp.vid = h.nbr
+      LEFT JOIN core cv ON cv.vid = h.vid
+      WHERE cv.vid IS NULL GROUP BY h.vid)
+  SELECT v.vid,
+         CASE WHEN comp.vid IS NOT NULL THEN 'core'
+              WHEN border.vid IS NOT NULL THEN 'border'
+              ELSE 'outlier' END AS role,
+         coalesce(comp.component, border.bcluster, -1)::BIGINT AS cluster
+  FROM verts v LEFT JOIN comp ON comp.vid = v.vid LEFT JOIN border ON border.vid = v.vid"""
+    )
+
+
 def _vertex_cover_sql() -> str:
     """Twin of q_vertex_cover_transcript: the identical matching chain, then
     cover = distinct matched endpoints, flagged over the full vertex set."""
@@ -5296,6 +5362,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mis_copurchase": q_mis_copurchase,
         "matching_transcript": q_matching_transcript,
         "vertex_cover_transcript": q_vertex_cover_transcript,
+        "scan_transcript": q_scan_transcript,
         "coarsen_transcript": q_coarsen_transcript,
         "seeded_lpa_transcript": q_seeded_lpa_transcript,
         "msf_transcript": q_msf_transcript,
@@ -5613,6 +5680,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "mis_copurchase": _mis_sql(),
         "matching_transcript": _matching_sql(),
         "vertex_cover_transcript": _vertex_cover_sql(),
+        "scan_transcript": _scan_sql(),
         "coarsen_transcript": _coarsen_sql(),
         "seeded_lpa_transcript": _seeded_lpa_sql(),
         "msf_transcript": _msf_sql(),

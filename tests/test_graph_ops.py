@@ -2193,3 +2193,93 @@ def test_feature_propagation_partition_invariance(spark):
         propagate_features(feats.repartition(11), edges.repartition(7), rounds=2).collect()
     )
     assert a == b
+
+
+def _scan_oracle(pairs, eps_pm, mu):
+    import itertools
+
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    vs = sorted({v for e in es for v in e})
+    nbr = {v: set() for v in vs}
+    for a, b in es:
+        nbr[a].add(b)
+        nbr[b].add(a)
+    sim = set()
+    for a, b in es:
+        num = len((nbr[a] | {a}) & (nbr[b] | {b}))
+        if num * num * 1_000_000 >= eps_pm * eps_pm * (len(nbr[a]) + 1) * (len(nbr[b]) + 1):
+            sim.add((a, b))
+    en = {v: 1 for v in vs}
+    for a, b in sim:
+        en[a] += 1
+        en[b] += 1
+    core = {v for v in vs if en[v] >= mu}
+    # CC over core-core sim edges
+    comp = {v: v for v in core}
+
+    def find(x):
+        while comp[x] != x:
+            comp[x] = comp[comp[x]]
+            x = comp[x]
+        return x
+
+    for a, b in sim:
+        if a in core and b in core:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                comp[max(ra, rb)] = min(ra, rb)
+    lab = {v: find(v) for v in core}
+    out = {}
+    for v in vs:
+        if v in core:
+            out[v] = ("core", lab[v])
+        else:
+            cands = [lab[u] for (a, b) in sim for v2, u in ((a, b), (b, a)) if v2 == v and u in core]
+            out[v] = ("border", min(cands)) if cands else ("outlier", -1)
+    return out
+
+
+def test_scan_structure(spark):
+    """Two triangles bridged by a chain + a hub: triangles cluster, the hub
+    is an outlier — checked against a python SCAN oracle and structurally."""
+    from elektra_spark.operators.scan import scan_clusters
+
+    tri_a = [(0, 1), (1, 2), (0, 2)]
+    tri_b = [(3, 4), (4, 5), (3, 5)]
+    bridge = [(2, 6), (6, 3)]
+    # hub touches everything AND ten private leaves — the leaves dilute every
+    # σ(hub, ·) below ε, which is exactly how big tool hubs fall out at scale
+    hub = [(10, v) for v in (0, 1, 2, 3, 4, 5, 6)] + [(10, v) for v in range(20, 30)]
+    pairs = tri_a + tri_b + bridge + hub
+    got = {
+        r.vid: (r.role, r.cluster)
+        for r in scan_clusters(edges_from_pairs(spark, pairs), 700, 2).collect()
+    }
+    assert got == _scan_oracle(pairs, 700, 2)
+    assert got[10] == ("outlier", -1)  # the hub matches nobody
+    roles = {}
+    for v, (role, _) in got.items():
+        roles.setdefault(role, set()).add(v)
+    assert {0, 1, 2} <= roles.get("core", set()) and {3, 4, 5} <= roles.get("core", set())
+    assert got[0][1] != got[3][1]  # the two triangles are separate clusters
+
+
+def test_scan_random_matches_oracle(spark):
+    from elektra_spark.operators.scan import scan_clusters
+
+    pairs = _random_graph(23, 30, 70)
+    got = {
+        r.vid: (r.role, r.cluster)
+        for r in scan_clusters(edges_from_pairs(spark, pairs), 500, 3).collect()
+    }
+    assert got == _scan_oracle(pairs, 500, 3)
+
+
+def test_scan_rejects_bad_params(spark):
+    from elektra_spark.operators.scan import scan_clusters
+
+    e = edges_from_pairs(spark, [(0, 1)])
+    with pytest.raises(ValueError):
+        scan_clusters(e, 0, 2)
+    with pytest.raises(ValueError):
+        scan_clusters(e, 500, 1)
