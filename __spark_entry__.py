@@ -2335,6 +2335,24 @@ def q_lang_stats_docs(spark, sf_dir):
     )
 
 
+def q_length_deciles_docs(spark, sf_dir):
+    """Exact per-language length deciles (type-1 discrete quantile: the
+    value at rank ⌈d·n/10⌉ under the total (n_chars, doc_id) order) — the
+    corpus length profile a packing/budget pass consumes. All integer: no
+    interpolation, no approx-percentile sketch, engine-exact."""
+    docs = _t(spark, sf_dir, "documents").select("lang", "doc_id", "n_chars")
+    w = Window.partitionBy("lang").orderBy(F.col("n_chars").asc(), F.col("doc_id").asc())
+    ranked = docs.withColumn("rk", F.row_number().over(w))
+    n = docs.groupBy("lang").agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+    decs = ranked.sparkSession.range(1, 10).select(F.col("id").cast("long").alias("decile"))
+    return (
+        ranked.join(n, "lang")
+        .crossJoin(F.broadcast(decs))
+        .filter(F.col("rk") == F.floor((F.col("decile") * F.col("n_docs") + 9) / 10))
+        .select("lang", "decile", "n_docs", F.col("n_chars").alias("q_chars"))
+    )
+
+
 def q_corpus_sample_docs(spark, sf_dir):
     """Deterministic corpus re-mix (text/sampling.py): md5-Bernoulli thinning
     at SAMPLE_RATE (zero-shuffle map-side filter) followed by a per-language
@@ -5427,6 +5445,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "weighted_sample_docs": q_weighted_sample_docs,
         "hybrid_retrieval_docs": q_hybrid_retrieval_docs,
         "lang_stats_docs": q_lang_stats_docs,
+        "length_deciles_docs": q_length_deciles_docs,
         "corpus_filter_docs": q_corpus_filter_docs,
         "corpus_sample_docs": q_corpus_sample_docs,
         "corpus_budget_docs": q_corpus_budget_docs,
@@ -5765,6 +5784,16 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "multimodal_features": _multimodal_sql(),
         "wav_features": _wav_features_sql(),
         "bmp_features": _bmp_features_sql(),
+        "length_deciles_docs": """
+  WITH d AS (SELECT lang, doc_id, n_chars FROM documents),
+  rk AS (SELECT lang, doc_id, n_chars,
+                row_number() OVER (PARTITION BY lang ORDER BY n_chars ASC, doc_id ASC) AS rk
+         FROM d),
+  n AS (SELECT lang, count(*)::BIGINT AS n_docs FROM d GROUP BY lang)
+  SELECT rk.lang, g.decile::BIGINT AS decile, n.n_docs, rk.n_chars AS q_chars
+  FROM rk JOIN n USING (lang), generate_series(1, 9) g(decile)
+  WHERE rk.rk = floor((g.decile * n.n_docs + 9) / 10.0)
+  """,
         "lang_stats_docs": """
   SELECT lang, count(*) AS n_docs,
          round(sum(n_chars)::DOUBLE / count(*), 6) AS avg_chars,

@@ -1342,3 +1342,19 @@ def test_similarity_join_empty_docs_never_pair(spark):
     assert got == {(3, 4)}
     with pytest.raises(ValueError):
         similarity_join(df, tau_permille=0)
+
+
+def test_length_deciles_exact(spark):
+    """Type-1 decile definition on a known distribution."""
+    import __spark_entry__ as em
+
+    rows = [(i, "x", "en", "s", 10 * (i + 1)) for i in range(20)]  # 10,20,...,200
+    df = spark.createDataFrame(rows, "doc_id long, text string, lang string, source string, n_chars long")
+    import os
+    import tempfile
+
+    d = tempfile.mkdtemp()
+    df.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    got = {r.decile: r.q_chars for r in em.q_length_deciles_docs(spark, d).collect()}
+    # rank ceil(d*20/10) = 2d → value 10*2d
+    assert got == {d_: 20 * d_ for d_ in range(1, 10)}
