@@ -980,6 +980,24 @@ def q_vertex_cover_transcript(spark, sf_dir):
     )
 
 
+LOUVAIN_ROUNDS = 8  # Luby-mover gain-argmax rounds, part of the operator contract
+
+
+def q_louvain_transcript(spark, sf_dir):
+    """Synchronous Louvain-style modularity moves (operators/louvain.py,
+    Blondel 2008 phase 1): per round every vertex argmaxes the EXACT integer
+    gain numerator 2m·k_{i,c} − k_i·(Σtot_c − k_i·[stay]) over neighbor
+    communities + its own, (score DESC, c ASC) total order — no float
+    modularity anywhere. Moves are applied under the Luby-mover schedule
+    (strict md5 (h,vid) local minimum — movers form an independent set, so
+    every applied move equals the sequential move from the same state and
+    swap oscillation is impossible). LOUVAIN_ROUNDS unrolled in the twin."""
+    from elektra_spark.operators.louvain import louvain_moves
+
+    g = _transcript_graph(spark)
+    return louvain_moves(g.edges, rounds=LOUVAIN_ROUNDS, vertices=g.vertices.select("vid"))
+
+
 SCAN_EPS_PERMILLE = 700  # σ ≥ 0.7: 583 ε-edges / 1162 cores on the n=300 graph
 SCAN_MU = 2  # core = at least one ε-similar neighbor besides itself
 
@@ -3880,6 +3898,58 @@ def _matching_sql() -> str:
   SELECT src, dst FROM ({wins}) q"""
 
 
+def _louvain_sql() -> str:
+    """Twin of q_louvain_transcript: LOUVAIN_ROUNDS unrolled gain-argmax
+    rounds — identical integer score, tie-break, and Luby-mover schedule
+    (same md5 priority + row-comparison form as the MIS twin)."""
+    chain = []
+    for t in range(LOUVAIN_ROUNDS):
+        chain.append(
+            f""",
+  tot{t} AS MATERIALIZED (SELECT l.lab AS c, sum(coalesce(deg.d, 0)) AS tot
+      FROM l{t} l LEFT JOIN deg ON deg.vid = l.vid GROUP BY l.lab),
+  kic{t} AS MATERIALIZED (SELECT b.src AS vid, l.lab AS c, count(*) AS kic
+      FROM b JOIN l{t} l ON l.vid = b.dst GROUP BY b.src, l.lab),
+  cand{t} AS (SELECT vid, c, kic FROM kic{t}
+      UNION ALL
+      SELECT l.vid, l.lab, 0 FROM l{t} l
+      LEFT JOIN kic{t} k ON k.vid = l.vid AND k.c = l.lab WHERE k.vid IS NULL),
+  sc{t} AS MATERIALIZED (SELECT cand.vid, cand.c,
+      (SELECT m2 FROM mm) * cand.kic
+        - coalesce(deg.d, 0) * (tot.tot - CASE WHEN cand.c = l.lab
+                                               THEN coalesce(deg.d, 0) ELSE 0 END) AS score
+      FROM cand{t} cand JOIN l{t} l ON l.vid = cand.vid
+      LEFT JOIN deg ON deg.vid = cand.vid JOIN tot{t} tot ON tot.c = cand.c),
+  bs{t} AS (SELECT vid, c AS best FROM (
+      SELECT vid, c, row_number() OVER (PARTITION BY vid ORDER BY score DESC, c ASC) AS rn
+      FROM sc{t}) WHERE rn = 1),
+  p{t} AS MATERIALIZED (SELECT vid,
+      ('0x' || substr(md5('lmv:{t}:' || CAST(vid AS VARCHAR)), 1, 12))::BIGINT AS h
+      FROM verts),
+  nm{t} AS (SELECT vid, hd, nvid FROM (
+      SELECT ps.vid, pd.h AS hd, b.dst AS nvid,
+             row_number() OVER (PARTITION BY ps.vid ORDER BY pd.h, b.dst) AS rn
+      FROM b JOIN p{t} ps ON b.src = ps.vid JOIN p{t} pd ON b.dst = pd.vid) WHERE rn = 1),
+  mv{t} AS (SELECT p.vid FROM p{t} p LEFT JOIN nm{t} n USING (vid)
+      WHERE n.vid IS NULL OR (p.h, p.vid) < (n.hd, n.nvid)),
+  l{t + 1} AS MATERIALIZED (SELECT l.vid,
+      CASE WHEN mv{t}.vid IS NOT NULL THEN bs{t}.best ELSE l.lab END AS lab
+      FROM l{t} l JOIN bs{t} ON bs{t}.vid = l.vid
+      LEFT JOIN mv{t} ON mv{t}.vid = l.vid)"""
+        )
+    return (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + """,
+  deg AS MATERIALIZED (SELECT src AS vid, count(*) AS d FROM b GROUP BY src),
+  mm AS (SELECT 2 * count(*) AS m2 FROM edges),
+  l0 AS (SELECT vid, vid AS lab FROM verts)"""
+        + "".join(chain)
+        + f"""
+  SELECT vid, lab::BIGINT AS community FROM l{LOUVAIN_ROUNDS}"""
+    )
+
+
 def _scan_sql() -> str:
     """Twin of q_scan_transcript — the whole SCAN pipeline in SQL over the
     derived link graph: per-edge common-closed-neighbor counts, the integer
@@ -5381,6 +5451,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "matching_transcript": q_matching_transcript,
         "vertex_cover_transcript": q_vertex_cover_transcript,
         "scan_transcript": q_scan_transcript,
+        "louvain_transcript": q_louvain_transcript,
         "coarsen_transcript": q_coarsen_transcript,
         "seeded_lpa_transcript": q_seeded_lpa_transcript,
         "msf_transcript": q_msf_transcript,
@@ -5700,6 +5771,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "matching_transcript": _matching_sql(),
         "vertex_cover_transcript": _vertex_cover_sql(),
         "scan_transcript": _scan_sql(),
+        "louvain_transcript": _louvain_sql(),
         "coarsen_transcript": _coarsen_sql(),
         "seeded_lpa_transcript": _seeded_lpa_sql(),
         "msf_transcript": _msf_sql(),

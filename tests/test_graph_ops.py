@@ -2283,3 +2283,70 @@ def test_scan_rejects_bad_params(spark):
         scan_clusters(e, 0, 2)
     with pytest.raises(ValueError):
         scan_clusters(e, 500, 1)
+
+
+def _louvain_oracle(pairs, rounds):
+    import hashlib
+
+    def pri(t, v):
+        return (int(hashlib.md5(f"lmv:{t}:{v}".encode()).hexdigest()[:12], 16), v)
+
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    vs = sorted({v for e in es for v in e})
+    nbr = {v: [] for v in vs}
+    for a, b in es:
+        nbr[a].append(b)
+        nbr[b].append(a)
+    deg = {v: len(nbr[v]) for v in vs}
+    m2 = 2 * len(es)
+    lab = {v: v for v in vs}
+    for t in range(rounds):
+        tot = {}
+        for v in vs:
+            tot[lab[v]] = tot.get(lab[v], 0) + deg[v]
+        new = {}
+        for v in vs:
+            if not all(pri(t, v) < pri(t, u) for u in nbr[v]):
+                new[v] = lab[v]
+                continue
+            kic = {}
+            for u in nbr[v]:
+                kic[lab[u]] = kic.get(lab[u], 0) + 1
+            kic.setdefault(lab[v], 0)
+            new[v] = max(
+                kic.items(),
+                key=lambda it: (
+                    m2 * it[1] - deg[v] * (tot.get(it[0], 0) - (deg[v] if it[0] == lab[v] else 0)),
+                    -it[0],
+                ),
+            )[0]
+        lab = new
+    return lab
+
+
+def test_louvain_matches_python_oracle(spark):
+    from elektra_spark.operators.louvain import louvain_moves
+
+    pairs = _random_graph(31, 30, 70)
+    for rounds in (1, 4):
+        got = {
+            r.vid: r.community
+            for r in louvain_moves(edges_from_pairs(spark, pairs), rounds=rounds).collect()
+        }
+        assert got == _louvain_oracle(pairs, rounds), rounds
+
+
+def test_louvain_two_cliques_separate(spark):
+    """Two K4s joined by one bridge: moves settle into exactly two
+    communities split along the bridge."""
+    from elektra_spark.operators.louvain import louvain_moves
+
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    got = {
+        r.vid: r.community
+        for r in louvain_moves(edges_from_pairs(spark, k4a + k4b + [(3, 10)]), rounds=8).collect()
+    }
+    assert len({got[v] for v in range(4)}) == 1
+    assert len({got[v] for v in range(10, 14)}) == 1
+    assert got[0] != got[10]
