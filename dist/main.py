@@ -25,7 +25,8 @@ def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="elektra-spark")
     p.add_argument(
         "job",
-        choices=["pagerank", "cc", "lpa", "triangles", "forest", "msf", "color", "match", "derive", "stream-updates"],
+        choices=["pagerank", "cc", "lpa", "triangles", "forest", "msf", "color", "match",
+                 "louvain", "scan", "derive", "stream-updates"],
     )
     p.add_argument("--edges", help="edge parquet path (src,dst)")
     p.add_argument("--synth-convs", type=int, help="synthesize transcript graph with N conversations")
@@ -36,6 +37,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--run-id", default=None)
     p.add_argument("--resume", action="store_true", help="continue from the latest committed superstep")
     p.add_argument("--output", help="write result parquet here")
+    p.add_argument("--scan-eps", type=int, default=700, help="scan: sigma threshold in permille")
+    p.add_argument("--scan-mu", type=int, default=2, help="scan: core epsilon-neighborhood minimum")
     # stream-updates: live maintenance of the connectivity tables from a
     # directory of (op, src, dst) parquet drops (streaming/updates.py)
     p.add_argument("--updates-dir", help="stream-updates: directory of update-file drops")
@@ -192,6 +195,14 @@ def main(argv=None) -> int:
         from elektra_spark.operators.matching import maximal_matching
 
         out = maximal_matching(edges, on_superstep=hook)
+    elif args.job == "louvain":
+        from elektra_spark.operators.louvain import louvain_moves
+
+        out = louvain_moves(edges, rounds=args.rounds, vertices=vertices)
+    elif args.job == "scan":
+        from elektra_spark.operators.scan import scan_clusters
+
+        out = scan_clusters(edges, eps_permille=args.scan_eps, mu=args.scan_mu, vertices=vertices)
     else:  # derive
         out = edges
 
