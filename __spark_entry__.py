@@ -258,6 +258,17 @@ def q_time_travel_orders(spark, sf_dir):
     return cat.read(g._t("labels"), version=post_insert)
 
 
+def q_zorder_blocks_orders(spark, sf_dir):
+    """Z-order layout (layout.py — the OPTIMIZE ZORDER BY surface): orders
+    range-binned on (o_custkey, o_orderkey), Morton-interleaved, cut into 64
+    equal-z blocks; the row reports each block's row count and min/max of
+    BOTH dimensions — the data-skipping bounds themselves. All integer-exact
+    (bit interleave + power-of-two block cut)."""
+    from elektra_spark.layout import zorder_blocks
+
+    return zorder_blocks(_t(spark, sf_dir, "orders"), "o_custkey", "o_orderkey")
+
+
 def q_snapshot_changelog_orders(spark, sf_dir):
     """Incremental changelog read (tables.py ``changelog`` — Iceberg's CDC
     surface on the stand-in catalog): replay the q_dynamic_orders
@@ -5477,6 +5488,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_orders": q_dynamic_orders,
         "time_travel_orders": q_time_travel_orders,
         "snapshot_changelog_orders": q_snapshot_changelog_orders,
+        "zorder_blocks_orders": q_zorder_blocks_orders,
         "streaming_dynamic_orders": q_streaming_dynamic_orders,
         "dynamic_levels_orders": q_dynamic_levels_orders,
         "component_vertices_orders": q_component_vertices_orders,
@@ -5578,6 +5590,9 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["similarity_join_docs"] = similarity_join_sql(PPJOIN_TAU_PERMILLE)
     oracles["feature_prop_embeddings"] = _feature_prop_sql()
+    from elektra_spark.layout import zorder_blocks_sql
+
+    oracles["zorder_blocks_orders"] = zorder_blocks_sql("orders", "o_custkey", "o_orderkey")
     try:
         # trains the IVF quantizer from the sf0.01 parquet; isolated so a
         # missing test-data mount degrades only this entry (to the driver's

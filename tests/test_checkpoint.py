@@ -130,3 +130,38 @@ def test_changelog_net_delta(spark, tmp_path):
         for r in cat.changelog("t", from_version=v0, to_version=mid, keys=["k"]).collect()
     }
     assert got_mid == {("delete", 2), ("delete", 3)}
+
+
+def test_zorder_morton_and_skipping(spark):
+    """Morton interleave vs a python bit oracle; block bounds tighter than
+    the unsorted layout's (the point of z-ordering)."""
+    from pyspark.sql import functions as F
+
+    from elektra_spark.layout import interleave_bits, zorder_blocks
+
+    def morton(x, y, bits=8):
+        z = 0
+        for i in range(bits):
+            z |= ((x >> i) & 1) << (2 * i)
+            z |= ((y >> i) & 1) << (2 * i + 1)
+        return z
+
+    pts = [(x, y) for x in range(16) for y in range(16)]
+    df = spark.createDataFrame(pts, "x long, y long")
+    got = {
+        (r.x, r.y): r.z
+        for r in df.select("x", "y", interleave_bits(F.col("x"), F.col("y"), 8).alias("z")).collect()
+    }
+    assert got == {(x, y): morton(x, y) for x, y in pts}
+
+    # skipping: on a 64x64 grid cut into 16 z-blocks, every block's bounding
+    # rectangle is a quadrant-sized window, far below the full range
+    grid = spark.createDataFrame([(x, y) for x in range(64) for y in range(64)], "x long, y long")
+    blocks = zorder_blocks(grid, "x", "y", bits=6, n_blocks=16).collect()
+    assert sum(b.n_rows for b in blocks) == 64 * 64
+    for b in blocks:
+        assert (b.max_x - b.min_x + 1) * (b.max_y - b.min_y + 1) <= 64 * 64 // 16
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        zorder_blocks(grid, "x", "y", bits=0)
