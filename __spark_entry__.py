@@ -2433,6 +2433,33 @@ def q_corpus_sample_stream(spark, sf_dir):
     return spark.createDataFrame(rows, "doc_id long, lang string")
 
 
+def q_weighted_sample_stream(spark, sf_dir):
+    """Streaming expression of the A-ES weighted sampler
+    (streaming/sampling.py streaming_weighted_sample): the top-AES_K
+    exponential-race winners held as a max-k lattice state fed by a
+    file-source stream of the documents table across micro-batches; the
+    drained snapshot must equal the batch draw — the twin is the batch
+    weighted_sample twin projected to (doc_id, sel_key)."""
+    import shutil
+    import tempfile
+
+    from elektra_spark.streaming.sampling import drain_aes_winners, streaming_weighted_sample
+    from elektra_spark.text.analysis import token_count
+
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"elektra_stream_aes_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    src = os.path.join(base, "docs")
+    spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").repartition(2).write.parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id long, text string").option("maxFilesPerTrigger", 1).parquet(src)
+    )
+    w = token_count(F.coalesce(F.col("text"), F.lit(""))) + F.lit(1)
+    winners = streaming_weighted_sample(stream, k=AES_K, weight_col=w, key_col="doc_id")
+    rows = drain_aes_winners(winners, os.path.join(base, "ckpt"))
+    return spark.createDataFrame(rows, "doc_id long, sel_key double")
+
+
 def q_chunk_docs(spark, sf_dir):
     """Document chunking (text/chunking.py): overlapping CHUNK_SIZE-char
     windows every CHUNK_STRIDE chars — flat-map column algebra, zero
@@ -5526,6 +5553,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tfidf_docs": q_tfidf_docs,
         "bm25_docs": q_bm25_docs,
         "weighted_sample_docs": q_weighted_sample_docs,
+        "weighted_sample_stream": q_weighted_sample_stream,
         "hybrid_retrieval_docs": q_hybrid_retrieval_docs,
         "lang_stats_docs": q_lang_stats_docs,
         "length_deciles_docs": q_length_deciles_docs,
@@ -5572,6 +5600,11 @@ def oracle_sql() -> dict[str, str]:
 
     oracles["weighted_sample_docs"] = weighted_sample_topk_sql(
         AES_K, "len(string_split(coalesce(text, ''), ' ')) + 1"
+    )
+    oracles["weighted_sample_stream"] = (
+        "SELECT doc_id, sel_key FROM ("
+        + weighted_sample_topk_sql(AES_K, "len(string_split(coalesce(text, ''), ' ')) + 1")
+        + ")"
     )
     from elektra_spark.sim.fusion import rrf_fuse_sql
 

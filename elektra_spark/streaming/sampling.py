@@ -111,3 +111,95 @@ def drain_quota_winners(winners: DataFrame, checkpoint_dir: str) -> list:
     for _, (_, rows) in sorted(latest.items()):
         out.extend(sorted(rows))
     return out
+
+
+# ---------------------------------------------------------------- A-ES stream
+
+_AES_OUTPUT_SCHEMA = "part string, key long, sk double, seen long"
+_AES_STATE_SCHEMA = "seen long, sks array<double>, ks array<long>"
+
+
+def _merge_aes_winners(key, pdf_iter: Iterator[pd.DataFrame], state: GroupState, k: int):
+    seen, sks, ks = (state.get if state.exists else (0, [], []))
+    pairs = list(zip(sks, ks))
+    for pdf in pdf_iter:
+        seen += len(pdf)
+        pairs.extend(zip(pdf["sk"], pdf["k"]))
+    # top-k by (sel_key DESC, key ASC) — a max-k lattice: commutative,
+    # associative, idempotent, so the final state is micro-batch-split
+    # independent (same argument as the min-k quota state above)
+    pairs = sorted(set((float(s), int(kk)) for s, kk in pairs), key=lambda p: (-p[0], p[1]))[:k]
+    state.update((seen, [s for s, _ in pairs], [kk for _, kk in pairs]))
+    yield pd.DataFrame(
+        {
+            "part": [key[0]] * len(pairs),
+            "key": [kk for _, kk in pairs],
+            "sk": [s for s, _ in pairs],
+            "seen": [seen] * len(pairs),
+        }
+    )
+
+
+def streaming_weighted_sample(stream: DataFrame, k: int, weight_col, key_col: str) -> DataFrame:
+    """Streaming Efraimidis–Spirakis weighted sampling — the streaming
+    expression of :func:`elektra_spark.text.sampling.weighted_sample_topk`:
+    hold the k rows maximizing the md5 exponential-race key ``ln(u)/w`` as a
+    max-k lattice state. The race key is computed JVM-side (the identical
+    codegen'd expression as the batch sampler); rows with non-positive
+    weight are dropped before the state, matching the batch contract.
+
+    One state group here (k entries total); at volume, shard the group key
+    by a hash of ``key_col`` and merge shard winners at drain — top-k of
+    shard top-ks is top-k, the same pre-reduce the quota sampler documents.
+    """
+    from elektra_spark.text.sampling import AES_U_DENOM
+
+    u_int = F.conv(
+        F.substring(F.md5(F.concat(F.lit("aes:"), F.col(key_col).cast("string"))), 1, 12), 16, 10
+    ).cast("long")
+    u = (u_int + F.lit(1)).cast("double") / F.lit(AES_U_DENOM)
+    w = weight_col.cast("double")
+    keyed = (
+        stream.select(
+            F.lit("all").alias("part"),
+            F.col(key_col).cast("long").alias("k"),
+            F.round(F.log(u) / w, 9).alias("sk"),
+            w.alias("w"),
+        )
+        .filter(F.col("w") > 0)
+        .drop("w")
+    )
+    return keyed.groupBy("part").applyInPandasWithState(
+        lambda key, it, state: _merge_aes_winners(key, it, state, k),
+        _AES_OUTPUT_SCHEMA,
+        _AES_STATE_SCHEMA,
+        "update",
+        GroupStateTimeout.NoTimeout,
+    )
+
+
+def drain_aes_winners(winners: DataFrame, checkpoint_dir: str) -> list:
+    """Drain with ``Trigger.AvailableNow``; return the final (key, sel_key)
+    winner list of the latest snapshot, ordered (sel_key DESC, key)."""
+    latest: dict = {}
+
+    def _absorb(batch_df: DataFrame, batch_id: int) -> None:
+        for r in batch_df.collect():
+            cur = latest.get(r["part"])
+            if cur is None or r["seen"] > cur[0]:
+                latest[r["part"]] = (r["seen"], {(r["key"], r["sk"])})
+            elif r["seen"] == cur[0]:
+                cur[1].add((r["key"], r["sk"]))
+
+    q = (
+        winners.writeStream.foreachBatch(_absorb)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    out = []
+    for _, (_, rows) in sorted(latest.items()):
+        out.extend(sorted(rows, key=lambda p: (-p[1], p[0])))
+    return out

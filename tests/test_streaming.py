@@ -314,3 +314,32 @@ def test_streaming_cms_additive_and_replay_safe(spark, tmp_path):
             for r in sketch_from_state(catalog, table).collect()
         )
         assert got == want, split
+
+
+def test_streaming_weighted_sample_matches_batch_and_split_independent(spark, tmp_path):
+    """applyInPandasWithState max-k race state: the drained winners must
+    equal the batch weighted_sample_topk over the union of all
+    micro-batches, for EVERY batch split (top-k is a lattice merge)."""
+    from pyspark.sql import functions as sf
+
+    from elektra_spark.streaming.sampling import drain_aes_winners, streaming_weighted_sample
+    from elektra_spark.text.sampling import weighted_sample_topk
+
+    rows = [(i, (i % 9) + 1) for i in range(150)]
+    batch = spark.createDataFrame(rows, "doc_id long, w long")
+    want = sorted(
+        (r["doc_id"], r["sel_key"])
+        for r in weighted_sample_topk(batch, k=12, weight_col=sf.col("w")).collect()
+    )
+
+    for tag, n_files in (("one", 1), ("five", 5)):
+        src = tmp_path / f"aes_src_{tag}"
+        batch.repartition(n_files).write.parquet(str(src))
+        stream = (
+            spark.readStream.schema("doc_id long, w long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src))
+        )
+        winners = streaming_weighted_sample(stream, k=12, weight_col=sf.col("w"), key_col="doc_id")
+        got = drain_aes_winners(winners, str(tmp_path / f"aes_ckpt_{tag}"))
+        assert sorted(got) == want, tag
