@@ -1531,6 +1531,25 @@ def q_transcript_ppr(spark, sf_dir):
     return r.select("vid", F.round("rank", 8).alias("rank"))
 
 
+SWEEP_MAX_PREFIX = 400  # sweep-curve cap, part of the operator contract
+
+
+def q_sweep_cut_transcript(spark, sf_dir):
+    """ACL sweep cut (operators/sweep.py, Andersen–Chung–Lang 2006): the
+    full conductance curve of the tool-seeded PPR vector over the transcript
+    link graph — rank by ppr/deg, cumulative exact-int vol/cut per prefix,
+    φ = cut/min(vol, 2m−vol) rounded 1e-6, first SWEEP_MAX_PREFIX prefixes.
+    The local-clustering theorem made queryable: the curve's argmin is the
+    provably-low-conductance cluster around the tool hubs. Twin wraps the
+    unrolled PPR chain and replays the identical sweep arithmetic."""
+    from elektra_spark.operators.sweep import sweep_cut
+
+    g = _transcript_graph(spark)
+    return sweep_cut(
+        g.edges, q_transcript_ppr(spark, sf_dir), max_prefix=SWEEP_MAX_PREFIX
+    )
+
+
 def q_transcript_bipartite(spark, sf_dir):
     """Per-component bipartiteness (operators/bipartite.py): a component is
     bipartite iff its double cover (vid × parity) splits in two — one run of
@@ -2364,6 +2383,37 @@ def q_lang_stats_docs(spark, sf_dir):
     )
 
 
+VOCAB_STEPS = [50, 100, 150, 200, 300, 400, 500]  # doc-count checkpoints (sf0.01: 500 docs)
+
+
+def q_vocab_growth_docs(spark, sf_dir):
+    """Heaps-law vocabulary growth: distinct-token vocabulary size after the
+    first N documents (doc_id order), for the VOCAB_STEPS checkpoints —
+    the curve that sizes a tokenizer/vocab budget. Exact integers; the
+    Spark plan computes each token's FIRST doc (one aggregation) and then
+    one count per checkpoint, instead of re-scanning per step."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.filter(
+                    F.split(F.lower(F.coalesce(F.col("text"), F.lit(""))), "[^a-z]+"),
+                    lambda t: F.length(t) >= 1,
+                )
+            )
+        ).alias("tok"),
+    )
+    first = toks.groupBy("tok").agg(F.min("doc_id").alias("first_doc"))
+    steps = docs.sparkSession.createDataFrame([(n,) for n in VOCAB_STEPS], "n_docs long")
+    return (
+        first.crossJoin(F.broadcast(steps))
+        .filter(F.col("first_doc") < F.col("n_docs"))
+        .groupBy("n_docs")
+        .agg(F.count(F.lit(1)).cast("long").alias("vocab"))
+    )
+
+
 def q_length_deciles_docs(spark, sf_dir):
     """Exact per-language length deciles (type-1 discrete quantile: the
     value at rank ⌈d·n/10⌉ under the total (n_chars, doc_id) order) — the
@@ -3178,6 +3228,38 @@ def _transcript_ppr_sql() -> str:
         + _transcript_tables_sql(300).lstrip()
         + _ppr_chain(PPR_ITERS, PR_DAMPING)
         + f"\n  SELECT vid, round(rank, 8) AS rank FROM r{PPR_ITERS}"
+    )
+
+
+def _sweep_cut_sql() -> str:
+    """Twin of q_sweep_cut_transcript: the unrolled PPR chain inlined (CTE
+    names shared — DuckDB rejects shadowed WITH aliases), then the identical
+    sweep — ratio order, cumulative int vol/internal, φ at 1e-6."""
+    return (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + _ppr_chain(PPR_ITERS, PR_DAMPING)
+        + f""",
+  ppr AS MATERIALIZED (SELECT vid, round(rank, 8) AS rank FROM r{PPR_ITERS}),
+  m2 AS (SELECT sum(deg) AS m2 FROM deg),
+  sup AS (SELECT p.vid, p.rank / deg.deg AS ratio, deg.deg AS d
+          FROM ppr p JOIN deg ON deg.vid = p.vid WHERE p.rank > 0),
+  rk AS MATERIALIZED (SELECT vid, d, k FROM (
+      SELECT vid, d, row_number() OVER (ORDER BY ratio DESC, vid ASC) AS k FROM sup)
+      WHERE k <= {SWEEP_MAX_PREFIX}),
+  vol AS (SELECT vid, k, d,
+                 sum(d) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vol
+          FROM rk),
+  km AS (SELECT greatest(r1.k, r2.k) AS km, count(*) AS closed
+         FROM edges e JOIN rk r1 ON r1.vid = e.src JOIN rk r2 ON r2.vid = e.dst
+         GROUP BY greatest(r1.k, r2.k)),
+  cur AS (SELECT v.k, v.vid, v.vol,
+                 v.vol - 2 * sum(coalesce(km.closed, 0))
+                     OVER (ORDER BY v.k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cut
+          FROM vol v LEFT JOIN km ON km.km = v.k)
+  SELECT k, vid, vol::BIGINT AS vol, cut::BIGINT AS cut,
+         round(cut::DOUBLE / least(vol, (SELECT m2 FROM m2) - vol), 6) AS conductance
+  FROM cur WHERE vol < (SELECT m2 FROM m2)"""
     )
 
 
@@ -5468,6 +5550,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_betweenness": q_transcript_betweenness,
         "transcript_eigenvector": q_transcript_eigenvector,
         "transcript_ppr": q_transcript_ppr,
+        "sweep_cut_transcript": q_sweep_cut_transcript,
         "transcript_wpr": q_transcript_wpr,
         "transcript_sssp": q_transcript_sssp,
         "clustering_coeff_copurchase": q_clustering_coeff_copurchase,
@@ -5557,6 +5640,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "hybrid_retrieval_docs": q_hybrid_retrieval_docs,
         "lang_stats_docs": q_lang_stats_docs,
         "length_deciles_docs": q_length_deciles_docs,
+        "vocab_growth_docs": q_vocab_growth_docs,
         "corpus_filter_docs": q_corpus_filter_docs,
         "corpus_sample_docs": q_corpus_sample_docs,
         "corpus_budget_docs": q_corpus_budget_docs,
@@ -5798,6 +5882,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_betweenness": _transcript_betweenness_sql(),
         "transcript_eigenvector": _transcript_eigenvector_sql(),
         "transcript_ppr": _transcript_ppr_sql(),
+        "sweep_cut_transcript": _sweep_cut_sql(),
         "transcript_wpr": _transcript_wpr_sql(),
         "transcript_sssp": _transcript_sssp_sql(),
         "clustering_coeff_copurchase": _clustering_coeff_sql(),
@@ -5904,6 +5989,15 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "multimodal_features": _multimodal_sql(),
         "wav_features": _wav_features_sql(),
         "bmp_features": _bmp_features_sql(),
+        "vocab_growth_docs": f"""
+  WITH toks AS (SELECT doc_id, t.tok
+    FROM documents, unnest(list_distinct(list_filter(
+      string_split_regex(lower(coalesce(text, '')), '[^a-z]+'), x -> len(x) >= 1))) AS t(tok)),
+  first AS (SELECT tok, min(doc_id) AS first_doc FROM toks GROUP BY tok)
+  SELECT g.n_docs::BIGINT AS n_docs, count(*)::BIGINT AS vocab
+  FROM first, (VALUES {",".join(f"({n})" for n in VOCAB_STEPS)}) g(n_docs)
+  WHERE first.first_doc < g.n_docs GROUP BY g.n_docs
+  """,
         "length_deciles_docs": """
   WITH d AS (SELECT lang, doc_id, n_chars FROM documents),
   rk AS (SELECT lang, doc_id, n_chars,

@@ -2350,3 +2350,43 @@ def test_louvain_two_cliques_separate(spark):
     assert len({got[v] for v in range(4)}) == 1
     assert len({got[v] for v in range(10, 14)}) == 1
     assert got[0] != got[10]
+
+
+def test_sweep_cut_finds_planted_cluster(spark):
+    """Two dense cliques joined by one bridge, scores seeded in clique A:
+    the sweep curve's minimum-conductance prefix is exactly clique A."""
+    from elektra_spark.operators.sweep import sweep_cut
+
+    ka = [(a, b) for a in range(6) for b in range(a + 1, 6)]
+    kb = [(a, b) for a in range(10, 16) for b in range(a + 1, 16)]
+    pairs = ka + kb + [(5, 10)]
+    edges = edges_from_pairs(spark, pairs)
+    # a PPR-shaped score: high inside clique A, tiny outside
+    scores = spark.createDataFrame(
+        [(v, 1.0 - v * 0.01) for v in range(6)] + [(v, 0.001) for v in range(10, 16)],
+        "vid long, rank double",
+    )
+    curve = sweep_cut(edges, scores).collect()
+    best = min(curve, key=lambda r: (r.conductance, r.k))
+    members = {r.vid for r in curve if r.k <= best.k}
+    assert members == set(range(6))
+    assert best.cut == 1  # only the bridge crosses
+    # python oracle for the whole curve
+    deg = {}
+    for a, b in pairs:
+        deg[a] = deg.get(a, 0) + 1
+        deg[b] = deg.get(b, 0) + 1
+    m2 = sum(deg.values())
+    order = sorted(
+        [(1.0 - v * 0.01, v) for v in range(6)] + [(0.001, v) for v in range(10, 16)],
+        key=lambda t: (-t[0] / deg[t[1]], t[1]),
+    )
+    pref = []
+    for r in sorted(curve, key=lambda r: r.k):
+        pref.append(order[r.k - 1][1])
+        s = set(pref)
+        vol = sum(deg[v] for v in s)
+        internal = sum(1 for a, b in pairs if a in s and b in s)
+        cut = vol - 2 * internal
+        assert (r.vid, r.vol, r.cut) == (pref[-1], vol, cut), r.k
+        assert r.conductance == round(cut / min(vol, m2 - vol), 6)
