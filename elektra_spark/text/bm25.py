@@ -19,13 +19,17 @@ last-ulp drift however the terms arrive. The reported score divides back by
 Plan shape at 100 TB: the query-term ``IN`` filter pushes into the exploded
 term stream, so the tf aggregation only shuffles (doc, hit-term) pairs; the
 doc-length aggregation is map-side combinable on doc_id; N / avgdl / df are
-broadcast-sized relations. One wide shuffle total (on doc_id).
+broadcast-sized relations. The global rank is a hierarchical
+range-partitioned prefix count (text/packing.py prefix_sum) — no
+single-partition window anywhere.
 """
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+from .packing import prefix_sum
 
 W_SCALE = 1_000_000  # weight quantization: exact-int per-doc term sums
 
@@ -77,12 +81,19 @@ def bm25_scores(
     scored = per_term.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_hit"), F.sum("w_int").alias("s_int")
     )
-    win = Window.orderBy(F.col("s_int").desc(), F.col("doc_id").asc())
-    return scored.select(
+    # global dense rank WITHOUT a single-partition window: a hierarchical
+    # range-partitioned prefix count over the unique (−s_int, doc_id) key —
+    # the same two-level scan the sequence packer uses. rank = prefix + 1.
+    ranked = prefix_sum(
+        scored.withColumn("_neg", -F.col("s_int")).withColumn("_one", F.lit(1)),
+        ["_neg", "doc_id"],
+        "_one",
+    )
+    return ranked.select(
         "doc_id",
         "n_hit",
         (F.col("s_int").cast("double") / F.lit(float(W_SCALE))).alias("score"),
-        F.row_number().over(win).cast("long").alias("rank"),
+        (F.col("_prefix") + 1).cast("long").alias("rank"),
     )
 
 

@@ -30,23 +30,25 @@ from pyspark.sql import functions as F
 
 def prefix_sum(
     df: DataFrame,
-    order_col: str,
+    order_col: str | list[str],
     val_col: str,
     num_partitions: int | None = None,
 ) -> DataFrame:
     """Exact exclusive prefix sum of ``val_col`` under ``order_col`` order →
     input columns plus ``_prefix``. Hierarchical two-level scan; the order
-    key must be unique (document ids are)."""
+    key (a column or a composite list — compared lexicographically) must be
+    unique (document ids are)."""
     spark = df.sparkSession
+    order_cols = [order_col] if isinstance(order_col, str) else list(order_col)
     parts = num_partitions or spark.sparkContext.defaultParallelism
     ranged = (
-        df.repartitionByRange(parts, order_col)
+        df.repartitionByRange(parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
     w = (
         Window.partitionBy("_pid")
-        .orderBy(order_col)
+        .orderBy(*order_cols)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     local = ranged.withColumn(
