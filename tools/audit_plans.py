@@ -466,6 +466,53 @@ def main():
     ]
     sections.append(("Euler-tour taller parents (per-level carry columns)", p, checks))
 
+    # k-means assignment: with broadcast centroid literals, assigning the
+    # full table must be ONE narrow map over the scan — no exchange at all
+    from elektra_spark.sim.kmeans import _assign, lloyd_centroids, quantize_vectors
+
+    emb = spark.read.parquet(f"{SF_DIR}/embeddings.parquet")
+    cents = lloyd_centroids(emb, k=4, iters=1)
+    p = fmt(_assign(quantize_vectors(emb), cents))
+    live = p.split("== Physical Plan ==")[-1]
+    checks = [
+        "assignment is map-side only: zero Exchange nodes (centroids are literals)"
+        if "Exchange" not in live
+        else "FAIL: k-means assignment plan shuffles",
+        "single parquet scan feeds the distance argmin"
+        if len(re.findall(r"\(\d+\) Scan parquet", live)) == 1
+        else "FAIL: assignment re-scans the table",
+    ]
+    sections.append(("k-means assignment (broadcast centroid literals)", p, checks))
+
+    # PPJoin prefix filter: the vocabulary-frequency relation must broadcast
+    # (never shuffle the exploded big side against it)
+    from elektra_spark.dedup.ppjoin import similarity_join
+
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet")
+    p = fmt(similarity_join(docs, tau_permille=100))
+    live = p.split("== Physical Plan ==")[-1]
+    n_bc = len(re.findall(r"BroadcastHashJoin", live))
+    checks = [
+        f"token-frequency relation broadcasts (BroadcastHashJoin ×{n_bc} ≥ 1)"
+        if n_bc >= 1
+        else "FAIL: frequency join shuffles the exploded side",
+    ]
+    sections.append(("PPJoin similarity join (prefix filter)", p, checks))
+
+    # BM25 ranking: the global rank must be the hierarchical prefix count —
+    # every Window in the plan is partitioned (no single-partition sort)
+    from elektra_spark.text.bm25 import bm25_scores
+
+    p = fmt(bm25_scores(docs, ["hash", "join"]))
+    live = p.split("== Physical Plan ==")[-1]
+    bad_win = re.search(r"Exchange SinglePartition", live)
+    checks = [
+        "no single-partition exchange: rank rides the range-partitioned prefix count"
+        if not bad_win
+        else "FAIL: bm25 rank collapses to one partition",
+    ]
+    sections.append(("BM25 ranking (hierarchical prefix count)", p, checks))
+
     with open("PLANS.md", "w") as f:
         f.write("# Physical plan audit (generated by tools/audit_plans.py)\n")
         f.write("\nProperties asserted for 100 TB readiness; regenerate after planner-affecting changes.\n")
