@@ -1695,6 +1695,46 @@ def q_transcript_absorption(spark, sf_dir):
     return absorption_probability(g.edges, absorbing, g.vertices.select("vid"), rounds=ABSORB_ROUNDS)
 
 
+RMAT_EDGES = 10_000
+RMAT_SCALE = 12  # 4096-vertex id space
+HILL_K = 100  # Hill-estimator tail size
+
+
+def q_rmat_edges(spark, sf_dir):
+    """R-MAT synthetic graph source (ingest/rmat.py, Chakrabarti 2004 — the
+    Graph500 generator): every edge a pure function of its index via md5
+    quadrant draws, so 10^12 edges materialize map-side from spark.range
+    with zero input IO and zero shuffle. The twin re-synthesizes the
+    identical edge list in SQL."""
+    from elektra_spark.ingest.rmat import rmat_edges
+
+    return rmat_edges(spark, n_edges=RMAT_EDGES, scale=RMAT_SCALE)
+
+
+def q_rmat_degree_hill(spark, sf_dir):
+    """Hill power-law tail estimator over the R-MAT out-degree distribution:
+    α̂ = [ (1/k) Σ_{i≤k} ln(d_i/d_k) ]⁻¹ on the top-HILL_K degrees under the
+    total (degree DESC, src ASC) order — the generator's skew knob made
+    measurable (and the degree-profile op a graph engine ships)."""
+    from elektra_spark.ingest.rmat import rmat_edges
+
+    e = rmat_edges(spark, n_edges=RMAT_EDGES, scale=RMAT_SCALE)
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    w = Window.orderBy(F.col("d").desc(), F.col("src").asc())
+    top = deg.withColumn("rk", F.row_number().over(w)).filter(F.col("rk") <= HILL_K)
+    dk = top.filter(F.col("rk") == HILL_K).select(F.col("d").alias("dk"))
+    return (
+        top.crossJoin(F.broadcast(dk))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("k"),
+            F.min("dk").cast("long").alias("d_k"),
+            F.round(
+                F.count(F.lit(1)) / F.sum(F.log(F.col("d").cast("double") / F.col("dk"))), 6
+            ).alias("alpha"),
+        )
+    )
+
+
 def q_kcore_copurchase(spark, sf_dir):
     """k-core extraction (operators/kcore.py) on the copurchase projection:
     synchronous degree-peel to the fixpoint, returning surviving vertices
@@ -5539,6 +5579,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "component_edge_slice_orders": q_component_edge_slice_orders,
         "degree_histogram_parts": q_degree_histogram_parts,
         "kcore_copurchase": q_kcore_copurchase,
+        "rmat_edges": q_rmat_edges,
+        "rmat_degree_hill": q_rmat_degree_hill,
         "coreness_copurchase": q_coreness_copurchase,
         "transcript_bfs": q_transcript_bfs,
         "transcript_hits": q_transcript_hits,
@@ -5710,6 +5752,20 @@ def oracle_sql() -> dict[str, str]:
     from elektra_spark.layout import zorder_blocks_sql
 
     oracles["zorder_blocks_orders"] = zorder_blocks_sql("orders", "o_custkey", "o_orderkey")
+    from elektra_spark.ingest.rmat import rmat_edges_sql
+
+    oracles["rmat_edges"] = rmat_edges_sql(RMAT_EDGES, RMAT_SCALE)
+    oracles["rmat_degree_hill"] = f"""
+  WITH e AS MATERIALIZED ({rmat_edges_sql(RMAT_EDGES, RMAT_SCALE)}),
+  deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),
+  top AS (SELECT src, d FROM (
+      SELECT src, d, row_number() OVER (ORDER BY d DESC, src ASC) AS rk FROM deg)
+      WHERE rk <= {HILL_K}),
+  dk AS (SELECT min(d) AS dk FROM (
+      SELECT d, row_number() OVER (ORDER BY d DESC, src ASC) AS rk FROM deg) WHERE rk = {HILL_K})
+  SELECT count(*)::BIGINT AS k, (SELECT dk FROM dk)::BIGINT AS d_k,
+         round(count(*) / sum(ln(d::DOUBLE / (SELECT dk FROM dk))), 6) AS alpha
+  FROM top"""
     try:
         # trains the IVF quantizer from the sf0.01 parquet; isolated so a
         # missing test-data mount degrades only this entry (to the driver's

@@ -102,3 +102,40 @@ def test_turn_gap_profile_and_tool_sequences(spark):
 
     seqs = {r["seq"]: r["n_convs"] for r in tool_sequences(df).collect()}
     assert seqs == {"search>browse": 1}  # conv b (no tools) excluded
+
+
+def test_rmat_generator_properties(spark):
+    """Deterministic, partition-invariant, skewed toward low ids (a=0.57),
+    ids bounded by 2^scale."""
+    import hashlib
+
+    from pyspark.sql import functions as F
+
+    from elektra_spark.ingest.rmat import rmat_edges
+
+    e = rmat_edges(spark, n_edges=500, scale=8).orderBy("edge_id").collect()
+    assert len(e) == 500
+    assert all(0 <= r.src < 256 and 0 <= r.dst < 256 for r in e)
+
+    # python replay of edge 7
+    src = dst = 0
+    for level in range(8):
+        r = int(hashlib.md5(f"rmat:42:7:{level}".encode()).hexdigest()[:12], 16) % 1000
+        src = src * 2 + (0 if r < 760 else 1)
+        dst = dst * 2 + (0 if r < 570 else 1 if r < 760 else 0 if r < 950 else 1)
+    assert (e[7].src, e[7].dst) == (src, dst)
+
+    # skew: the low-id half holds well over half the edges
+    low = sum(1 for r in e if r.src < 128)
+    assert low > 300
+
+    # partition invariance
+    e2 = rmat_edges(spark, n_edges=500, scale=8).repartition(13).orderBy("edge_id").collect()
+    assert [(r.src, r.dst) for r in e2] == [(r.src, r.dst) for r in e]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        rmat_edges(spark, 10, scale=0)
+    with _pytest.raises(ValueError):
+        rmat_edges(spark, 10, scale=8, a=900, b=200)
