@@ -269,6 +269,37 @@ def q_zorder_blocks_orders(spark, sf_dir):
     return zorder_blocks(_t(spark, sf_dir, "orders"), "o_custkey", "o_orderkey")
 
 
+def q_ivm_orders_agg(spark, sf_dir):
+    """Incremental view maintenance (ivm.py): a per-status (count, revenue)
+    view materialized once, then maintained under a delete batch (every
+    13th order, sign −1) and an insert batch (every 100th order re-filed
+    as status 'P', sign +1) by folding view-shaped deltas — the base table
+    is never rescanned after materialization. Prices quantized to exact
+    integer cents so delta algebra is exact; the twin recomputes the view
+    from the final row set directly, which is precisely the IVM correctness
+    statement."""
+    from elektra_spark.ivm import apply_delta, delta_rows, sum_agg
+    from elektra_spark.tables import SnapshotCatalog
+    import shutil
+    import tempfile
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = {"sum_cents": F.round(F.col("o_totalprice") * 100).cast("long")}
+    keys = ["o_orderstatus"]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    wh = os.path.join(tempfile.gettempdir(), f"elektra_ivm_{tag}")
+    shutil.rmtree(wh, ignore_errors=True)
+    cat = SnapshotCatalog(spark, wh)
+    cat.write("orders_by_status", sum_agg(orders, keys, cents), operation="materialize")
+
+    deletes = orders.filter(F.col("o_orderkey") % 13 == 0)
+    inserts = orders.filter(F.col("o_orderkey") % 100 == 0).withColumn(
+        "o_orderstatus", F.lit("P")
+    )
+    apply_delta(cat, "orders_by_status", delta_rows(deletes, keys, cents, sign=-1), keys)
+    return apply_delta(cat, "orders_by_status", delta_rows(inserts, keys, cents, sign=1), keys)
+
+
 def q_snapshot_changelog_orders(spark, sf_dir):
     """Incremental changelog read (tables.py ``changelog`` — Iceberg's CDC
     surface on the stand-in catalog): replay the q_dynamic_orders
@@ -3052,6 +3083,20 @@ def _dynamic_orders_sql() -> str:
     )
 
 
+def _ivm_orders_sql() -> str:
+    """Twin of q_ivm_orders_agg: the view recomputed from the FINAL row set
+    (base minus deletes plus re-filed inserts) — equality with the
+    delta-maintained table is the IVM correctness statement."""
+    return """
+  WITH cents AS (SELECT o_orderstatus AS s, round(o_totalprice * 100)::BIGINT AS c,
+                        o_orderkey AS o FROM orders),
+  finalrows AS (SELECT s, c FROM cents WHERE o % 13 <> 0
+                UNION ALL SELECT 'P', c FROM cents WHERE o % 100 = 0)
+  SELECT s AS o_orderstatus, count(*)::BIGINT AS n_rows, sum(c)::BIGINT AS sum_cents
+  FROM finalrows GROUP BY s
+  """
+
+
 def _snapshot_changelog_sql() -> str:
     """Twin of q_snapshot_changelog_orders: the schedule's net edge delta
     from first principles — inserts = the order-chain adds (none pre-exist,
@@ -5640,6 +5685,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dynamic_orders": q_dynamic_orders,
         "time_travel_orders": q_time_travel_orders,
         "snapshot_changelog_orders": q_snapshot_changelog_orders,
+        "ivm_orders_agg": q_ivm_orders_agg,
         "zorder_blocks_orders": q_zorder_blocks_orders,
         "streaming_dynamic_orders": q_streaming_dynamic_orders,
         "dynamic_levels_orders": q_dynamic_levels_orders,
@@ -6017,6 +6063,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "dynamic_orders": _dynamic_orders_sql(),
         "time_travel_orders": _time_travel_orders_sql(),
         "snapshot_changelog_orders": _snapshot_changelog_sql(),
+        "ivm_orders_agg": _ivm_orders_sql(),
         # delivery mode (streaming micro-batches vs direct batch calls) must
         # not change the final edge set, so the twin is the same CC query
         "streaming_dynamic_orders": _dynamic_orders_sql(),

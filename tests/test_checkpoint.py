@@ -165,3 +165,48 @@ def test_zorder_morton_and_skipping(spark):
 
     with _pytest.raises(ValueError):
         zorder_blocks(grid, "x", "y", bits=0)
+
+
+def test_ivm_delta_equals_recompute(spark, tmp_path):
+    """Random insert/delete schedule: the delta-maintained view equals a
+    fresh recompute after every commit; emptied groups disappear."""
+    import random
+
+    from pyspark.sql import functions as F
+
+    from elektra_spark.ivm import apply_delta, delta_rows, sum_agg
+    from elektra_spark.tables import SnapshotCatalog
+
+    rng = random.Random(5)
+    rows = [(i, "g%d" % (i % 4), rng.randrange(1, 1000)) for i in range(200)]
+    df = spark.createDataFrame(rows, "id long, g string, v long")
+    cat = SnapshotCatalog(spark, str(tmp_path / "ivm"))
+    keys, meas = ["g"], {"sum_v": F.col("v")}
+    cat.write("view", sum_agg(df, keys, meas))
+
+    live = dict((r[0], r) for r in rows)
+    for step in range(3):
+        dels = [live[k] for k in sorted(live) if k % (3 + step) == 0]
+        for d in dels:
+            del live[d[0]]
+        adds = [(1000 + step * 100 + j, "g%d" % (j % 5), j + 7) for j in range(10)]
+        live.update((r[0], r) for r in adds)
+        ddf = spark.createDataFrame(dels, "id long, g string, v long")
+        adf = spark.createDataFrame(adds, "id long, g string, v long")
+        apply_delta(cat, "view", delta_rows(ddf, keys, meas, sign=-1), keys)
+        got = {
+            r.g: (r.n_rows, r.sum_v)
+            for r in apply_delta(cat, "view", delta_rows(adf, keys, meas, sign=1), keys).collect()
+        }
+        want = {}
+        for _, g, v in live.values():
+            n, s = want.get(g, (0, 0))
+            want[g] = (n + 1, s + v)
+        assert got == want, step
+    # delete an entire group: it must vanish from the view
+    g1 = [r for r in live.values() if r[1] == "g1"]
+    gdf = spark.createDataFrame(g1, "id long, g string, v long")
+    final = apply_delta(cat, "view", delta_rows(gdf, keys, meas, sign=-1), keys)
+    assert "g1" not in {r.g for r in final.collect()}
+    # the view history is snapshot-versioned (time-travelable)
+    assert len(cat.history("view")) >= 8
