@@ -1766,6 +1766,25 @@ def q_rmat_degree_hill(spark, sf_dir):
     )
 
 
+DENSEST_EPS_PERMILLE = 100  # Bahmani peel slack: threshold 2·1.1·density
+DENSEST_SQL_ROUNDS = 6  # the R-MAT instance empties at round 5 (pinned by pytest); round 5 is a no-op
+
+
+def q_densest_rmat(spark, sf_dir):
+    """Parallel densest subgraph (operators/densest.py — Bahmani, Kumar,
+    Vazirani, VLDB 2012) on the R-MAT graph: batch-peel every vertex with
+    deg ≤ 2(1+ε)·density per round, keep the densest surviving round. All
+    decisions are integer comparisons (deg·n·1000 vs 2200·m; best round by
+    cross-multiplied densities). The R-MAT hub core is a REAL answer: round
+    2's 80-vertex core at density 13.7 vs 4.2 for the whole graph. Twin
+    unrolls DENSEST_SQL_ROUNDS rounds."""
+    from elektra_spark.ingest.rmat import rmat_edges
+    from elektra_spark.operators.densest import densest_subgraph
+
+    e = rmat_edges(spark, n_edges=RMAT_EDGES, scale=RMAT_SCALE)
+    return densest_subgraph(e.select("src", "dst"), eps_permille=DENSEST_EPS_PERMILLE)
+
+
 def q_kcore_copurchase(spark, sf_dir):
     """k-core extraction (operators/kcore.py) on the copurchase projection:
     synchronous degree-peel to the fixpoint, returning surviving vertices
@@ -3080,6 +3099,53 @@ def _dynamic_orders_sql() -> str:
   b AS MATERIALIZED (SELECT src, dst FROM edges UNION ALL SELECT dst, src FROM edges)"""
         + _TRANSCRIPT_CC_RECURSIVE
         + "\n  SELECT vid, component FROM cc"
+    )
+
+
+def _densest_rmat_sql() -> str:
+    """Twin of q_densest_rmat: the R-MAT edge list re-synthesized, then
+    DENSEST_SQL_ROUNDS unrolled Bahmani peel rounds with the identical
+    integer threshold, exact cross-multiplied best-round argmax, and the
+    same isolated-vertex handling."""
+    from elektra_spark.ingest.rmat import rmat_edges_sql
+
+    coef = 2 * (1000 + DENSEST_EPS_PERMILLE)
+    parts = [
+        f"""
+  WITH raw AS MATERIALIZED ({rmat_edges_sql(RMAT_EDGES, RMAT_SCALE)}),
+  a0 AS MATERIALIZED (SELECT DISTINCT least(src, dst) AS src, greatest(src, dst) AS dst
+      FROM raw WHERE src <> dst),
+  v0 AS MATERIALIZED (SELECT DISTINCT vid FROM (
+      SELECT src AS vid FROM a0 UNION ALL SELECT dst FROM a0))"""
+    ]
+    sched = []
+    removed = []
+    for r in range(DENSEST_SQL_ROUNDS):
+        parts.append(
+            f""",
+  d{r} AS MATERIALIZED (SELECT v.vid, coalesce(c.d, 0) AS d FROM v{r} v LEFT JOIN (
+      SELECT src AS vid, count(*) AS d FROM (
+        SELECT src, dst FROM a{r} UNION ALL SELECT dst, src FROM a{r}) GROUP BY src) c
+      ON c.vid = v.vid),
+  nm{r} AS (SELECT (SELECT count(*) FROM v{r}) AS n, (SELECT count(*) FROM a{r}) AS m),
+  rm{r} AS MATERIALIZED (SELECT vid FROM d{r}, nm{r} WHERE d * n * 1000 <= {coef} * m),
+  v{r + 1} AS MATERIALIZED (SELECT vid FROM v{r} WHERE vid NOT IN (SELECT vid FROM rm{r})),
+  a{r + 1} AS MATERIALIZED (SELECT src, dst FROM a{r}
+      WHERE src NOT IN (SELECT vid FROM rm{r}) AND dst NOT IN (SELECT vid FROM rm{r}))"""
+        )
+        sched.append(f"SELECT {r} AS r, n, m FROM nm{r} WHERE n > 0")
+        removed.append(f"SELECT vid, {r} AS removed_round FROM rm{r}")
+    return (
+        "".join(parts)
+        + f""",
+  sched AS ({" UNION ALL ".join(sched)}),
+  best AS (SELECT r FROM sched s1 WHERE NOT EXISTS (
+      SELECT 1 FROM sched s2
+      WHERE s2.m * s1.n > s1.m * s2.n OR (s2.m * s1.n = s1.m * s2.n AND s2.r < s1.r))),
+  removed AS ({" UNION ALL ".join(removed)})
+  SELECT vid, removed_round::BIGINT AS removed_round,
+         removed_round >= (SELECT r FROM best) AS in_densest
+  FROM removed"""
     )
 
 
@@ -5626,6 +5692,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "kcore_copurchase": q_kcore_copurchase,
         "rmat_edges": q_rmat_edges,
         "rmat_degree_hill": q_rmat_degree_hill,
+        "densest_rmat": q_densest_rmat,
         "coreness_copurchase": q_coreness_copurchase,
         "transcript_bfs": q_transcript_bfs,
         "transcript_hits": q_transcript_hits,
@@ -5801,6 +5868,7 @@ def oracle_sql() -> dict[str, str]:
     from elektra_spark.ingest.rmat import rmat_edges_sql
 
     oracles["rmat_edges"] = rmat_edges_sql(RMAT_EDGES, RMAT_SCALE)
+    oracles["densest_rmat"] = _densest_rmat_sql()
     oracles["rmat_degree_hill"] = f"""
   WITH e AS MATERIALIZED ({rmat_edges_sql(RMAT_EDGES, RMAT_SCALE)}),
   deg AS (SELECT src, count(*) AS d FROM e GROUP BY src),

@@ -2390,3 +2390,60 @@ def test_sweep_cut_finds_planted_cluster(spark):
         cut = vol - 2 * internal
         assert (r.vid, r.vol, r.cut) == (pref[-1], vol, cut), r.k
         assert r.conductance == round(cut / min(vol, m2 - vol), 6)
+
+
+def _densest_oracle(pairs, eps_pm):
+    es = {(min(a, b), max(a, b)) for a, b in pairs if a != b}
+    verts = {v for e in es for v in e}
+    edges = list(es)
+    r, best, sched, removed = 0, (0, 1, -1), [], {}
+    while verts:
+        deg = {}
+        for s, d in edges:
+            deg[s] = deg.get(s, 0) + 1
+            deg[d] = deg.get(d, 0) + 1
+        n, m = len(verts), len(edges)
+        sched.append((r, n, m))
+        if m * best[1] > best[0] * n:
+            best = (m, n, r)
+        rm = {v for v in verts if deg.get(v, 0) * n * 1000 <= 2 * (1000 + eps_pm) * m}
+        for v in rm:
+            removed[v] = r
+        verts -= rm
+        edges = [(s, d) for s, d in edges if s not in rm and d not in rm]
+        r += 1
+        assert r < 64
+    return {v: (rr, rr >= best[2]) for v, rr in removed.items()}
+
+
+def test_densest_subgraph_planted_core(spark):
+    """A K12 planted in a sparse random graph: the peel's best round is the
+    clique (density ~5.5 vs ~1.6 overall) — checked against a python replay
+    and structurally."""
+    from elektra_spark.operators.densest import densest_subgraph
+
+    k12 = [(a, b) for a in range(100, 112) for b in range(a + 1, 112)]
+    sparse = [(a, b) for a, b in _random_graph(53, 80, 120)]
+    pairs = k12 + sparse + [(0, 100)]  # connect the core to the fringe
+    got = {
+        r.vid: (r.removed_round, r.in_densest)
+        for r in densest_subgraph(edges_from_pairs(spark, pairs), eps_permille=100).collect()
+    }
+    assert got == _densest_oracle(pairs, 100)
+    densest = {v for v, (_, ind) in got.items() if ind}
+    assert set(range(100, 112)) <= densest
+    # the dense answer is clique-dominated, not the whole graph
+    assert len(densest) < len(got) / 2
+
+
+def test_densest_subgraph_pins_contract_round_count(spark):
+    """The R-MAT contract instance's peel depth stays within
+    DENSEST_SQL_ROUNDS (the twin's unroll budget)."""
+    import __spark_entry__ as em
+    from elektra_spark.ingest.rmat import rmat_edges
+    from elektra_spark.operators.densest import densest_subgraph
+
+    e = rmat_edges(spark, n_edges=em.RMAT_EDGES, scale=em.RMAT_SCALE)
+    got = densest_subgraph(e.select("src", "dst"), eps_permille=em.DENSEST_EPS_PERMILLE)
+    max_round = got.agg({"removed_round": "max"}).collect()[0][0]
+    assert max_round < em.DENSEST_SQL_ROUNDS
