@@ -1459,6 +1459,33 @@ TOOL_COOC_MIN_W = 2  # tool pairs must co-occur in ≥ 2 conversations
 TOOL_COOC_MAX_CONV_TOOLS = 64  # degenerate-conversation guard (same contract role as PROJ_MAX_BASKET)
 
 
+def q_tool_funnel_transcript(spark, sf_dir):
+    """Tool funnel analysis over the raw transcript payload: for every
+    ordered tool pair (A, B), the number of conversations where A is called
+    and B is called on a strictly later turn (min-turn(A) < max-turn(B)),
+    and the conversion rate against conversations containing A — the
+    product-analytics query a conversation corpus answers. Exact integers +
+    one ratio; broadcast-scale per-conversation extrema."""
+    t = _transcripts(spark, 300).filter(F.col("tool").isNotNull())
+    ext = t.groupBy("conv_id", "tool").agg(
+        F.min("turn_idx").alias("lo"), F.max("turn_idx").alias("hi")
+    )
+    with_a = ext.groupBy("tool").agg(F.countDistinct("conv_id").alias("n_a"))
+    pairs = (
+        ext.select("conv_id", F.col("tool").alias("tool_a"), "lo")
+        .join(ext.select("conv_id", F.col("tool").alias("tool_b"), "hi"), "conv_id")
+        .filter((F.col("tool_a") != F.col("tool_b")) & (F.col("lo") < F.col("hi")))
+        .groupBy("tool_a", "tool_b")
+        .agg(F.countDistinct("conv_id").alias("n_convs"))
+    )
+    return pairs.join(with_a.withColumnRenamed("tool", "tool_a"), "tool_a").select(
+        "tool_a",
+        "tool_b",
+        F.col("n_convs").cast("long").alias("n_convs"),
+        F.round(F.col("n_convs").cast("double") / F.col("n_a"), 6).alias("conversion"),
+    )
+
+
 def q_tool_cooccurrence_transcript(spark, sf_dir):
     """Tool co-usage graph (operators/projection.py project_bipartite over
     the (conv_id, tool) relation): which tools appear together in the same
@@ -5734,6 +5761,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_reach_transcript": q_temporal_reach_transcript,
         "temporal_departure_transcript": q_temporal_departure_transcript,
         "tool_cooccurrence_transcript": q_tool_cooccurrence_transcript,
+        "tool_funnel_transcript": q_tool_funnel_transcript,
         "transitivity_copurchase": q_transitivity_copurchase,
         "rich_club_copurchase": q_rich_club_copurchase,
         "coloring_transcript": q_coloring_transcript,
@@ -5958,6 +5986,19 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
   WITH e AS ({_COPURCHASE_SQL})
   SELECT count(*) AS n_triangles
   FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  """,
+        "tool_funnel_transcript": f"""
+  WITH t AS (SELECT conv_id, turn_idx, tool FROM read_parquet('{_transcript_fixture(300)}')
+             WHERE tool IS NOT NULL),
+  ext AS (SELECT conv_id, tool, min(turn_idx) AS lo, max(turn_idx) AS hi
+          FROM t GROUP BY conv_id, tool),
+  wa AS (SELECT tool, count(DISTINCT conv_id) AS n_a FROM ext GROUP BY tool),
+  pr AS (SELECT a.tool AS tool_a, b.tool AS tool_b, count(DISTINCT a.conv_id) AS n_convs
+         FROM ext a JOIN ext b ON a.conv_id = b.conv_id AND a.tool <> b.tool AND a.lo < b.hi
+         GROUP BY a.tool, b.tool)
+  SELECT pr.tool_a, pr.tool_b, pr.n_convs::BIGINT AS n_convs,
+         round(pr.n_convs::DOUBLE / wa.n_a, 6) AS conversion
+  FROM pr JOIN wa ON wa.tool = pr.tool_a
   """,
         "tool_cooccurrence_transcript": f"""
   WITH r AS (SELECT DISTINCT conv_id AS g, tool AS m

@@ -139,3 +139,33 @@ def test_rmat_generator_properties(spark):
         rmat_edges(spark, 10, scale=0)
     with _pytest.raises(ValueError):
         rmat_edges(spark, 10, scale=8, a=900, b=200)
+
+
+def test_tool_funnel_hand_graph(spark):
+    """Funnel semantics on a hand transcript: A-then-B counted once per
+    conversation; B-before-A-only does not count."""
+    import __spark_entry__ as em
+    from pyspark.sql import functions as F
+
+    rows = [
+        ("c1", 0, "u", "x", "a", None),
+        ("c1", 2, "u", "x", "b", None),
+        ("c2", 0, "u", "x", "b", None),
+        ("c2", 3, "u", "x", "a", None),
+        ("c3", 1, "u", "x", "a", None),
+        ("c3", 2, "u", "x", "a", None),
+        ("c4", 0, "u", "x", "a", None),
+        ("c4", 1, "u", "x", "b", None),
+    ]
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    import unittest.mock as mock
+
+    with mock.patch.object(em, "_transcripts", lambda spark_, n: df):
+        got = {
+            (r.tool_a, r.tool_b): (r.n_convs, r.conversion)
+            for r in em.q_tool_funnel_transcript(spark, "unused").collect()
+        }
+    # a→b in c1 and c4; b→a in c2 only. a appears in c1,c2,c3,c4 (4), b in c1,c2,c4 (3)
+    assert got == {("a", "b"): (2, round(2 / 4, 6)), ("b", "a"): (1, round(1 / 3, 6))}
