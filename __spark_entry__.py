@@ -1951,6 +1951,35 @@ def q_similarity_join_docs(spark, sf_dir):
     return similarity_join(_t(spark, sf_dir, "documents"), tau_permille=PPJOIN_TAU_PERMILLE)
 
 
+RECALL_TAU_PERMILLE = 100  # measure the 0.2-tuned banding at J ≥ 0.1
+
+
+def q_dedup_recall_docs(spark, sf_dir):
+    """Approximation-quality measurement: the LSH near-dup path (8 hashes ×
+    4 bands, tuned for J ≥ 0.2) evaluated against the EXACT prefix-filtered
+    similarity join at J ≥ 0.1 — verified LSH pairs are a subset of the
+    exact pairs by construction (precision 1), so the row reports the
+    interesting number: measured recall of banding below its design point.
+    Both sides of the ratio are oracle-twinned operators composed."""
+    from elektra_spark.dedup.ngram import near_duplicates
+    from elektra_spark.dedup.ppjoin import similarity_join
+
+    docs = _t(spark, sf_dir, "documents")
+    exact = similarity_join(docs, tau_permille=RECALL_TAU_PERMILLE).select("a", "b")
+    lsh = near_duplicates(
+        docs, threshold=RECALL_TAU_PERMILLE / 1000, n_hashes=8, bands=4, shingle_n=2
+    ).select("a", "b")
+    n_exact = exact.count()
+    n_lsh = lsh.count()
+    n_common = lsh.join(exact, ["a", "b"], "left_semi").count()
+    # half-away rounding (SQL round semantics — python round() is banker's)
+    recall = int(n_common / n_exact * 1e6 + 0.5) / 1e6 if n_exact else 0.0
+    return docs.sparkSession.createDataFrame(
+        [(n_exact, n_lsh, n_common, recall)],
+        "n_exact long, n_lsh long, n_common long, recall double",
+    )
+
+
 def q_dup_clusters_docs(spark, sf_dir):
     """Duplicate-cluster resolution (dedup/clusters.py): the verified
     near-duplicate pairs of ``near_duplicates_docs`` become an undirected
@@ -4790,7 +4819,7 @@ def _transcript_roundtrip_sql() -> str:
     return f"SELECT conv_id, turn_idx, TRUE AS text_equal FROM read_parquet('{fx}')"
 
 
-def _near_duplicates_sql(n_hashes: int = 8, bands: int = 4, max_bucket: int = 1000) -> str:
+def _near_duplicates_sql(n_hashes: int = 8, bands: int = 4, max_bucket: int = 1000, threshold: float = 0.2) -> str:
     """DuckDB twin of near_duplicates(threshold=0.2, n_hashes=8, bands=4,
     shingle_n=2): same md5 hash family, band assembly, spam-bucket guard and
     exact shingle-set Jaccard."""
@@ -4832,7 +4861,7 @@ def _near_duplicates_sql(n_hashes: int = 8, bands: int = 4, max_bucket: int = 10
            len(list_intersect(sa.dsh, sb.dsh)) / len(list_distinct(list_concat(sa.dsh, sb.dsh))) AS jaccard
     FROM cand JOIN shd sa ON sa.doc_id = cand.a JOIN shd sb ON sb.doc_id = cand.b
   )
-  SELECT a, b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= 0.2
+  SELECT a, b, round(jaccard, 6) AS jaccard FROM j WHERE jaccard >= {threshold}
   """
 
 
@@ -5803,6 +5832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs_docs": q_simhash_near_pairs_docs,
         "near_duplicates_docs": q_near_duplicates_docs,
         "similarity_join_docs": q_similarity_join_docs,
+        "dedup_recall_docs": q_dedup_recall_docs,
         "dup_clusters_docs": q_dup_clusters_docs,
         "repeated_ngrams_docs": q_repeated_ngrams_docs,
         "decontaminate_docs": q_decontaminate_docs,
@@ -5889,6 +5919,15 @@ def oracle_sql() -> dict[str, str]:
     from elektra_spark.dedup.ppjoin import similarity_join_sql
 
     oracles["similarity_join_docs"] = similarity_join_sql(PPJOIN_TAU_PERMILLE)
+    oracles["dedup_recall_docs"] = f"""
+  WITH exact_pairs AS (SELECT a, b FROM ({similarity_join_sql(RECALL_TAU_PERMILLE)})),
+  lsh_pairs AS (SELECT a, b FROM ({_near_duplicates_sql(threshold=RECALL_TAU_PERMILLE / 1000)}))
+  SELECT (SELECT count(*) FROM exact_pairs)::BIGINT AS n_exact,
+         (SELECT count(*) FROM lsh_pairs)::BIGINT AS n_lsh,
+         (SELECT count(*) FROM lsh_pairs l JOIN exact_pairs e USING (a, b))::BIGINT AS n_common,
+         round((SELECT count(*) FROM lsh_pairs l JOIN exact_pairs e USING (a, b))::DOUBLE
+               / greatest((SELECT count(*) FROM exact_pairs), 1), 6) AS recall
+  """
     oracles["feature_prop_embeddings"] = _feature_prop_sql()
     from elektra_spark.layout import zorder_blocks_sql
 

@@ -1358,3 +1358,18 @@ def test_length_deciles_exact(spark):
     got = {r.decile: r.q_chars for r in em.q_length_deciles_docs(spark, d).collect()}
     # rank ceil(d*20/10) = 2d → value 10*2d
     assert got == {d_: 20 * d_ for d_ in range(1, 10)}
+
+
+def test_lsh_pairs_subset_of_exact(spark, docs):
+    """Verified-LSH pairs ⊆ exact prefix-join pairs at the same threshold
+    (precision 1 by construction — the dedup_recall row's denominator)."""
+    from elektra_spark.dedup.ngram import near_duplicates
+    from elektra_spark.dedup.ppjoin import similarity_join
+
+    exact = {(r.a, r.b) for r in similarity_join(docs, tau_permille=300, shingle_n=1).collect()}
+    lsh = {
+        (r.a, r.b)
+        for r in near_duplicates(docs, threshold=0.3, n_hashes=8, bands=4, shingle_n=1).collect()
+    }
+    assert lsh <= exact
+    assert exact  # non-vacuous on the fixture
