@@ -1589,6 +1589,32 @@ def q_transcript_ppr(spark, sf_dir):
     return r.select("vid", F.round("rank", 8).alias("rank"))
 
 
+APPR_ALPHA_PM = 150  # forward-push teleport, permille
+APPR_EPS_UNITS = 1000  # frontier threshold: push iff r > 1000·deg nanounits
+APPR_ROUNDS = 8  # batch push rounds, part of the operator contract
+
+
+def q_appr_transcript(spark, sf_dir):
+    """Forward-push approximate PPR (operators/appr.py, Andersen–Chung–Lang
+    2006) from the tool-actor seeds: frontier-local diffusion in EXACT int64
+    nanoprobability units — settled/residual masses, the ε·deg frontier
+    test, and the per-round floor remainders are all integers, so the
+    frontier (the thing last-ulp float drift would corrupt) is
+    engine-exact and total mass conserves to the unit (pytest). The
+    O(1/ε)-work sibling of the power-iteration transcript_ppr row."""
+    from elektra_spark.operators.appr import appr_push
+
+    g = _transcript_graph(spark)
+    seeds = g.vertices.filter(F.col("kind") == "tool").select("vid")
+    return appr_push(
+        g.edges,
+        seeds,
+        alpha_permille=APPR_ALPHA_PM,
+        eps_units=APPR_EPS_UNITS,
+        rounds=APPR_ROUNDS,
+    )
+
+
 SWEEP_MAX_PREFIX = 400  # sweep-curve cap, part of the operator contract
 
 
@@ -3435,6 +3461,51 @@ def _transcript_ppr_sql() -> str:
         + _transcript_tables_sql(300).lstrip()
         + _ppr_chain(PPR_ITERS, PR_DAMPING)
         + f"\n  SELECT vid, round(rank, 8) AS rank FROM r{PPR_ITERS}"
+    )
+
+
+def _appr_sql() -> str:
+    """Twin of q_appr_transcript: APPR_ROUNDS unrolled integer push rounds —
+    identical floor arithmetic (ap = (r·α)÷1000, share = (r−ap)÷deg,
+    keep = remainder), identical frontier test and newcomer admission."""
+    from elektra_spark.operators.appr import APPR_UNIT
+
+    a = APPR_ALPHA_PM
+    chain = []
+    for i in range(1, APPR_ROUNDS + 1):
+        chain.append(
+            f""",
+  ac{i} AS (SELECT vid, r, deg FROM s{i - 1} WHERE r > {APPR_EPS_UNITS} * deg AND deg > 0),
+  pu{i} AS MATERIALIZED (SELECT vid,
+      (r * {a}) // 1000 AS alpha_part,
+      (r - (r * {a}) // 1000) // deg AS share,
+      r - (r * {a}) // 1000 - ((r - (r * {a}) // 1000) // deg) * deg AS keep
+      FROM ac{i}),
+  in{i} AS (SELECT b.dst AS vid, sum(pu.share) AS inflow
+      FROM b JOIN pu{i} pu ON pu.vid = b.src GROUP BY b.dst),
+  s{i} AS MATERIALIZED (
+    SELECT s.vid, (s.p + coalesce(pu.alpha_part, 0))::BIGINT AS p,
+           ((CASE WHEN pu.vid IS NOT NULL THEN pu.keep ELSE s.r END)
+             + coalesce(i.inflow, 0))::BIGINT AS r,
+           s.deg
+    FROM s{i - 1} s LEFT JOIN pu{i} pu ON pu.vid = s.vid LEFT JOIN in{i} i ON i.vid = s.vid
+    UNION ALL
+    SELECT i.vid, 0::BIGINT, i.inflow::BIGINT, coalesce(dg.deg, 0)
+    FROM in{i} i LEFT JOIN dg ON dg.vid = i.vid
+    WHERE i.vid NOT IN (SELECT vid FROM s{i - 1}))"""
+        )
+    return (
+        "WITH "
+        + _transcript_tables_sql(300).lstrip()
+        + f""",
+  dg AS MATERIALIZED (SELECT src AS vid, count(*) AS deg FROM b GROUP BY src),
+  ks AS (SELECT count(*) AS k FROM tool_v),
+  s0 AS MATERIALIZED (SELECT t.vid, 0::BIGINT AS p,
+      ({APPR_UNIT} // (SELECT k FROM ks))::BIGINT AS r, coalesce(dg.deg, 0) AS deg
+      FROM tool_v t LEFT JOIN dg ON dg.vid = t.vid)"""
+        + "".join(chain)
+        + f"""
+  SELECT vid, p AS p_units, r AS r_units FROM s{APPR_ROUNDS} WHERE p + r > 0"""
     )
 
 
@@ -5761,6 +5832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_eigenvector": q_transcript_eigenvector,
         "transcript_ppr": q_transcript_ppr,
         "sweep_cut_transcript": q_sweep_cut_transcript,
+        "appr_transcript": q_appr_transcript,
         "transcript_wpr": q_transcript_wpr,
         "transcript_sssp": q_transcript_sssp,
         "clustering_coeff_copurchase": q_clustering_coeff_copurchase,
@@ -6133,6 +6205,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_eigenvector": _transcript_eigenvector_sql(),
         "transcript_ppr": _transcript_ppr_sql(),
         "sweep_cut_transcript": _sweep_cut_sql(),
+        "appr_transcript": _appr_sql(),
         "transcript_wpr": _transcript_wpr_sql(),
         "transcript_sssp": _transcript_sssp_sql(),
         "clustering_coeff_copurchase": _clustering_coeff_sql(),

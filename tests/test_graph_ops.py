@@ -2447,3 +2447,49 @@ def test_densest_subgraph_pins_contract_round_count(spark):
     got = densest_subgraph(e.select("src", "dst"), eps_permille=em.DENSEST_EPS_PERMILLE)
     max_round = got.agg({"removed_round": "max"}).collect()[0][0]
     assert max_round < em.DENSEST_SQL_ROUNDS
+
+
+def test_appr_mass_conservation_and_locality(spark):
+    """Integer forward push: total p+r mass equals the initial seed units
+    EXACTLY (floor remainders never leak), support stays local on a long
+    chain, and the settled vector correlates with seed proximity."""
+    from elektra_spark.operators.appr import APPR_UNIT, appr_push
+
+    chain = [(i, i + 1) for i in range(200)]
+    edges = edges_from_pairs(spark, chain)
+    seeds = spark.createDataFrame([(100,)], "vid long")
+    got = appr_push(edges, seeds, alpha_permille=150, eps_units=1000, rounds=8).collect()
+    total = sum(r.p_units + r.r_units for r in got)
+    assert total == APPR_UNIT  # exact conservation, to the unit
+    touched = {r.vid for r in got}
+    assert touched <= set(range(92, 109))  # 8 rounds → ≤ 8 hops from seed
+    p = {r.vid: r.p_units for r in got}
+    assert p[100] > p.get(99, 0) > p.get(97, 0)
+
+
+def test_appr_partition_invariance(spark):
+    from elektra_spark.operators.appr import appr_push
+
+    pairs = _random_graph(61, 50, 120)
+    edges = edges_from_pairs(spark, pairs)
+    seeds = spark.createDataFrame([(0,), (7,)], "vid long")
+    a = sorted(
+        (r.vid, r.p_units, r.r_units)
+        for r in appr_push(edges, seeds, rounds=5).collect()
+    )
+    b = sorted(
+        (r.vid, r.p_units, r.r_units)
+        for r in appr_push(edges.repartition(11), seeds, rounds=5).collect()
+    )
+    assert a == b
+
+
+def test_appr_rejects_bad_params(spark):
+    from elektra_spark.operators.appr import appr_push
+
+    e = edges_from_pairs(spark, [(0, 1)])
+    s = spark.createDataFrame([(0,)], "vid long")
+    with pytest.raises(ValueError):
+        appr_push(e, s, alpha_permille=0)
+    with pytest.raises(ValueError):
+        appr_push(e, s.filter("vid > 5"))
