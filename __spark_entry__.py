@@ -1615,6 +1615,23 @@ def q_appr_transcript(spark, sf_dir):
     )
 
 
+def q_appr_sweep_transcript(spark, sf_dir):
+    """The COMPLETE ACL local-clustering pipeline: integer forward-push PPR
+    (q_appr_transcript) feeding the sweep cut — rank by settled-mass/deg,
+    conductance curve, first SWEEP_MAX_PREFIX prefixes. With integer
+    p_units the order key divides two exact ints, so even the sweep
+    permutation is float-free. This is the theorem end-to-end: push from
+    the tool hubs, sweep, and the argmin prefix is the provably
+    low-conductance cluster around them."""
+    from elektra_spark.operators.sweep import sweep_cut
+
+    g = _transcript_graph(spark)
+    scores = q_appr_transcript(spark, sf_dir).select(
+        "vid", F.col("p_units").cast("double").alias("rank")
+    )
+    return sweep_cut(g.edges, scores, max_prefix=SWEEP_MAX_PREFIX)
+
+
 SWEEP_MAX_PREFIX = 400  # sweep-curve cap, part of the operator contract
 
 
@@ -3464,10 +3481,11 @@ def _transcript_ppr_sql() -> str:
     )
 
 
-def _appr_sql() -> str:
-    """Twin of q_appr_transcript: APPR_ROUNDS unrolled integer push rounds —
-    identical floor arithmetic (ap = (r·α)÷1000, share = (r−ap)÷deg,
-    keep = remainder), identical frontier test and newcomer admission."""
+def _appr_chain_sql() -> str:
+    """APPR_ROUNDS unrolled integer push rounds — identical floor arithmetic
+    (ap = (r·α)÷1000, share = (r−ap)÷deg, keep = remainder), identical
+    frontier test and newcomer admission. Ends with CTE s{APPR_ROUNDS};
+    shared by the appr and appr-sweep twins."""
     from elektra_spark.operators.appr import APPR_UNIT
 
     a = APPR_ALPHA_PM
@@ -3504,8 +3522,44 @@ def _appr_sql() -> str:
       ({APPR_UNIT} // (SELECT k FROM ks))::BIGINT AS r, coalesce(dg.deg, 0) AS deg
       FROM tool_v t LEFT JOIN dg ON dg.vid = t.vid)"""
         + "".join(chain)
+    )
+
+
+def _appr_sql() -> str:
+    """Twin of q_appr_transcript — the unrolled integer push chain."""
+    return (
+        _appr_chain_sql()
         + f"""
   SELECT vid, p AS p_units, r AS r_units FROM s{APPR_ROUNDS} WHERE p + r > 0"""
+    )
+
+
+def _appr_sweep_sql() -> str:
+    """Twin of q_appr_sweep_transcript: the push chain, then the sweep over
+    settled mass — ratio p::DOUBLE/deg (two exact ints), identical
+    cumulative vol/cut arithmetic as the PPR sweep twin."""
+    return (
+        _appr_chain_sql()
+        + f""",
+  m2s AS (SELECT sum(deg) AS m2 FROM dg),
+  sup2 AS (SELECT s.vid, s.p::DOUBLE / dg.deg AS ratio, dg.deg AS d
+           FROM s{APPR_ROUNDS} s JOIN dg ON dg.vid = s.vid WHERE s.p > 0),
+  rk2 AS MATERIALIZED (SELECT vid, d, k FROM (
+      SELECT vid, d, row_number() OVER (ORDER BY ratio DESC, vid ASC) AS k FROM sup2)
+      WHERE k <= {SWEEP_MAX_PREFIX}),
+  vol2 AS (SELECT vid, k, d,
+                  sum(d) OVER (ORDER BY k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS vol
+           FROM rk2),
+  km2 AS (SELECT greatest(r1.k, r2.k) AS km, count(*) AS closed
+          FROM edges e JOIN rk2 r1 ON r1.vid = e.src JOIN rk2 r2 ON r2.vid = e.dst
+          GROUP BY greatest(r1.k, r2.k)),
+  cur2 AS (SELECT v.k, v.vid, v.vol,
+                  v.vol - 2 * sum(coalesce(km2.closed, 0))
+                      OVER (ORDER BY v.k ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cut
+           FROM vol2 v LEFT JOIN km2 ON km2.km = v.k)
+  SELECT k, vid, vol::BIGINT AS vol, cut::BIGINT AS cut,
+         round(cut::DOUBLE / least(vol, (SELECT m2 FROM m2s) - vol), 6) AS conductance
+  FROM cur2 WHERE vol < (SELECT m2 FROM m2s)"""
     )
 
 
@@ -5833,6 +5887,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "transcript_ppr": q_transcript_ppr,
         "sweep_cut_transcript": q_sweep_cut_transcript,
         "appr_transcript": q_appr_transcript,
+        "appr_sweep_transcript": q_appr_sweep_transcript,
         "transcript_wpr": q_transcript_wpr,
         "transcript_sssp": q_transcript_sssp,
         "clustering_coeff_copurchase": q_clustering_coeff_copurchase,
@@ -6206,6 +6261,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "transcript_ppr": _transcript_ppr_sql(),
         "sweep_cut_transcript": _sweep_cut_sql(),
         "appr_transcript": _appr_sql(),
+        "appr_sweep_transcript": _appr_sweep_sql(),
         "transcript_wpr": _transcript_wpr_sql(),
         "transcript_sssp": _transcript_sssp_sql(),
         "clustering_coeff_copurchase": _clustering_coeff_sql(),
