@@ -26,7 +26,7 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument(
         "job",
         choices=["pagerank", "cc", "lpa", "triangles", "forest", "msf", "color", "match",
-                 "louvain", "scan", "derive", "stream-updates"],
+                 "louvain", "scan", "appr", "densest", "derive", "stream-updates"],
     )
     p.add_argument("--edges", help="edge parquet path (src,dst)")
     p.add_argument("--synth-convs", type=int, help="synthesize transcript graph with N conversations")
@@ -203,6 +203,18 @@ def main(argv=None) -> int:
         from elektra_spark.operators.scan import scan_clusters
 
         out = scan_clusters(edges, eps_permille=args.scan_eps, mu=args.scan_mu, vertices=vertices)
+    elif args.job == "appr":
+        from pyspark.sql import functions as F
+
+        from elektra_spark.operators.appr import appr_push
+
+        # default seed set: the smallest vid (override with a vertices table at the API level)
+        seeds = edges.select(F.least("src", "dst").alias("vid")).agg(F.min("vid").alias("vid"))
+        out = appr_push(edges, seeds, rounds=args.rounds)
+    elif args.job == "densest":
+        from elektra_spark.operators.densest import densest_subgraph
+
+        out = densest_subgraph(edges)
     else:  # derive
         out = edges
 
