@@ -1994,6 +1994,20 @@ def q_similarity_join_docs(spark, sf_dir):
     return similarity_join(_t(spark, sf_dir, "documents"), tau_permille=PPJOIN_TAU_PERMILLE)
 
 
+CONTAIN_TAU_PERMILLE = 500  # b contains a when half of a's shingles appear in b
+
+
+def q_containment_join_docs(spark, sf_dir):
+    """EXACT containment join (dedup/ppjoin.py containment_join): ordered
+    pairs where ≥ 50% of a's bigram shingles appear in b — the asymmetric
+    dedup measure Jaccard misses (short doc swallowed by a long one).
+    Prefix filter on the contained side; integer decisions; brute-force
+    twin with no prefix filter."""
+    from elektra_spark.dedup.ppjoin import containment_join
+
+    return containment_join(_t(spark, sf_dir, "documents"), tau_permille=CONTAIN_TAU_PERMILLE)
+
+
 RECALL_TAU_PERMILLE = 100  # measure the 0.2-tuned banding at J ≥ 0.1
 
 
@@ -5960,6 +5974,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "near_duplicates_docs": q_near_duplicates_docs,
         "similarity_join_docs": q_similarity_join_docs,
         "dedup_recall_docs": q_dedup_recall_docs,
+        "containment_join_docs": q_containment_join_docs,
         "dup_clusters_docs": q_dup_clusters_docs,
         "repeated_ngrams_docs": q_repeated_ngrams_docs,
         "decontaminate_docs": q_decontaminate_docs,
@@ -6046,6 +6061,9 @@ def oracle_sql() -> dict[str, str]:
     from elektra_spark.dedup.ppjoin import similarity_join_sql
 
     oracles["similarity_join_docs"] = similarity_join_sql(PPJOIN_TAU_PERMILLE)
+    from elektra_spark.dedup.ppjoin import containment_join_sql
+
+    oracles["containment_join_docs"] = containment_join_sql(CONTAIN_TAU_PERMILLE)
     oracles["dedup_recall_docs"] = f"""
   WITH exact_pairs AS (SELECT a, b FROM ({similarity_join_sql(RECALL_TAU_PERMILLE)})),
   lsh_pairs AS (SELECT a, b FROM ({_near_duplicates_sql(threshold=RECALL_TAU_PERMILLE / 1000)}))

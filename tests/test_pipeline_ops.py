@@ -1373,3 +1373,47 @@ def test_lsh_pairs_subset_of_exact(spark, docs):
     }
     assert lsh <= exact
     assert exact  # non-vacuous on the fixture
+
+
+def test_containment_join_exact_vs_brute(spark, docs):
+    """Prefix-filtered containment ≡ brute force; directional semantics."""
+    from elektra_spark.dedup.ppjoin import containment_join
+
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+
+    def sh(t, n=2):
+        toks = [x for x in t.split(" ") if x]
+        if not toks:
+            return set()
+        return {" ".join(toks[i : i + n]) for i in range(max(len(toks) - n, 0) + 1)}
+
+    sets = {i: sh(t) for i, t in texts.items()}
+    for tp in (300, 500, 800):
+        got = {
+            (r.a, r.b): r.inter
+            for r in containment_join(docs, tau_permille=tp).collect()
+        }
+        want = {
+            (a, b): len(sets[a] & sets[b])
+            for a in sets
+            for b in sets
+            if a != b and sets[a] and len(sets[a] & sets[b]) * 1000 >= tp * len(sets[a])
+        }
+        assert got == want, tp
+
+
+def test_containment_asymmetric(spark):
+    """A short doc inside a long one: containment a→b high, b→a low —
+    and Jaccard misses the pair entirely."""
+    from elektra_spark.dedup.ppjoin import containment_join, similarity_join
+
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta"),
+         (2, "alpha beta gamma delta " + " ".join(f"w{i}" for i in range(40)))],
+        "doc_id long, text string",
+    )
+    cont = {(r.a, r.b): r.containment for r in containment_join(df, tau_permille=900).collect()}
+    assert (1, 2) in cont and cont[(1, 2)] >= 0.9
+    assert (2, 1) not in cont
+    jac = similarity_join(df, tau_permille=500).collect()
+    assert jac == []  # union-dominated: Jaccard blind to the swallow
