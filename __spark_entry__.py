@@ -300,6 +300,48 @@ def q_ivm_orders_agg(spark, sf_dir):
     return apply_delta(cat, "orders_by_status", delta_rows(inserts, keys, cents, sign=1), keys)
 
 
+def q_ivm_orders_stream(spark, sf_dir):
+    """Streaming IVM (ivm.py apply_delta_stream): the SAME delete/insert
+    delta schedule as q_ivm_orders_agg, but delivered as two parquet drops
+    consumed by a file-source stream — each micro-batch folds into the
+    materialized view exactly once (applied-batch ledger; replays no-op).
+    View-shaped deltas are a commutative monoid, so the drained view equals
+    the batch IVM result and the recompute twin, however the input splits."""
+    import shutil
+    import tempfile
+
+    from elektra_spark.ivm import apply_delta_stream, delta_rows, sum_agg
+    from elektra_spark.tables import SnapshotCatalog
+
+    orders = _t(spark, sf_dir, "orders")
+    cents = {"sum_cents": F.round(F.col("o_totalprice") * 100).cast("long")}
+    keys = ["o_orderstatus"]
+    tag = os.path.basename(sf_dir.rstrip("/"))
+    base = os.path.join(tempfile.gettempdir(), f"elektra_ivm_stream_{tag}")
+    shutil.rmtree(base, ignore_errors=True)
+    cat = SnapshotCatalog(spark, os.path.join(base, "wh"))
+    cat.write("orders_by_status", sum_agg(orders, keys, cents), operation="materialize")
+
+    src = os.path.join(base, "deltas")
+    deletes = delta_rows(orders.filter(F.col("o_orderkey") % 13 == 0), keys, cents, sign=-1)
+    inserts = delta_rows(
+        orders.filter(F.col("o_orderkey") % 100 == 0).withColumn("o_orderstatus", F.lit("P")),
+        keys,
+        cents,
+        sign=1,
+    )
+    deletes.write.parquet(os.path.join(src, "d0"))
+    inserts.write.parquet(os.path.join(src, "d1"))
+    stream = (
+        spark.readStream.schema("o_orderstatus string, n_rows long, sum_cents long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(os.path.join(src, "*"))
+    )
+    q = apply_delta_stream(cat, "orders_by_status", stream, keys, os.path.join(base, "ckpt"))
+    q.awaitTermination()
+    return cat.read("orders_by_status")
+
+
 def q_snapshot_changelog_orders(spark, sf_dir):
     """Incremental changelog read (tables.py ``changelog`` — Iceberg's CDC
     surface on the stand-in catalog): replay the q_dynamic_orders
@@ -5951,6 +5993,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "time_travel_orders": q_time_travel_orders,
         "snapshot_changelog_orders": q_snapshot_changelog_orders,
         "ivm_orders_agg": q_ivm_orders_agg,
+        "ivm_orders_stream": q_ivm_orders_stream,
         "zorder_blocks_orders": q_zorder_blocks_orders,
         "streaming_dynamic_orders": q_streaming_dynamic_orders,
         "dynamic_levels_orders": q_dynamic_levels_orders,
@@ -6359,6 +6402,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "time_travel_orders": _time_travel_orders_sql(),
         "snapshot_changelog_orders": _snapshot_changelog_sql(),
         "ivm_orders_agg": _ivm_orders_sql(),
+        "ivm_orders_stream": _ivm_orders_sql(),
         # delivery mode (streaming micro-batches vs direct batch calls) must
         # not change the final edge set, so the twin is the same CC query
         "streaming_dynamic_orders": _dynamic_orders_sql(),

@@ -62,3 +62,44 @@ def apply_delta(cat: SnapshotCatalog, table: str, delta: DataFrame, keys: list[s
     )
     cat.write(table, merged, operation="ivm_delta")
     return cat.read(table)
+
+
+def apply_delta_stream(
+    cat: SnapshotCatalog,
+    table: str,
+    delta_stream: DataFrame,
+    keys: list[str],
+    checkpoint_dir: str,
+    available_now: bool = True,
+):
+    """Maintain the view from a STREAM of view-shaped deltas (Structured
+    Streaming foreachBatch): each micro-batch folds in exactly once.
+
+    Replay safety: foreachBatch is at-least-once, but delta application is
+    NOT idempotent (adding twice double-counts), so applied batch_ids are
+    recorded in a ``<table>__applied`` side table and replayed batches
+    no-op — the same commutative-ledger discipline as the streaming CMS.
+    View-shaped deltas form a commutative monoid (exact integer adds), so
+    the final view is independent of how the input splits into batches.
+    Returns the streaming query."""
+    applied_t = f"{table}__applied"
+
+    def _apply(batch_df: DataFrame, batch_id: int) -> None:
+        spark = batch_df.sparkSession
+        if cat.exists(applied_t):
+            seen = cat.read(applied_t).filter(F.col("batch_id") == batch_id).count()
+            if seen:
+                return
+        apply_delta(cat, table, batch_df, keys)
+        marker = spark.createDataFrame([(int(batch_id),)], "batch_id long")
+        if cat.exists(applied_t):
+            cat.append(applied_t, marker)
+        else:
+            cat.write(applied_t, marker)
+
+    writer = delta_stream.writeStream.foreachBatch(_apply).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -343,3 +343,47 @@ def test_streaming_weighted_sample_matches_batch_and_split_independent(spark, tm
         winners = streaming_weighted_sample(stream, k=12, weight_col=sf.col("w"), key_col="doc_id")
         got = drain_aes_winners(winners, str(tmp_path / f"aes_ckpt_{tag}"))
         assert sorted(got) == want, tag
+
+
+def test_streaming_ivm_split_independent_and_replay_safe(spark, tmp_path):
+    """Delta-stream view maintenance: final view equals batch IVM for every
+    file split, and re-applying an already-ledgered batch is a no-op."""
+    from pyspark.sql import functions as sf
+
+    from elektra_spark.ivm import apply_delta, apply_delta_stream, delta_rows, sum_agg
+    from elektra_spark.tables import SnapshotCatalog
+
+    rows = [(i, "g%d" % (i % 3), (i * 7) % 50 + 1) for i in range(120)]
+    base = spark.createDataFrame(rows, "id long, g string, v long")
+    keys, meas = ["g"], {"sum_v": sf.col("v")}
+    dels = delta_rows(base.filter("id % 4 = 0"), keys, meas, sign=-1)
+    adds = delta_rows(base.filter("id % 9 = 0").withColumn("g", sf.lit("gX")), keys, meas, sign=1)
+
+    # batch reference
+    cat0 = SnapshotCatalog(spark, str(tmp_path / "ref"))
+    cat0.write("view", sum_agg(base, keys, meas))
+    apply_delta(cat0, "view", dels, keys)
+    want = sorted(
+        (r.g, r.n_rows, r.sum_v) for r in apply_delta(cat0, "view", adds, keys).collect()
+    )
+
+    for tag, n_files in (("one", 1), ("three", 3)):
+        cat = SnapshotCatalog(spark, str(tmp_path / f"wh_{tag}"))
+        cat.write("view", sum_agg(base, keys, meas))
+        src = tmp_path / f"src_{tag}"
+        dels.repartition(1).write.parquet(str(src / "d0"))
+        adds.repartition(max(1, n_files - 1)).write.parquet(str(src / "d1"))
+        stream = (
+            spark.readStream.schema("g string, n_rows long, sum_v long")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(str(src / "*"))
+        )
+        q = apply_delta_stream(cat, "view", stream, keys, str(tmp_path / f"ck_{tag}"))
+        q.awaitTermination()
+        got = sorted((r.g, r.n_rows, r.sum_v) for r in cat.read("view").collect())
+        assert got == want, tag
+        # replay safety: re-running the drained stream applies nothing new
+        v_before = cat.current_version("view")
+        q2 = apply_delta_stream(cat, "view", stream, keys, str(tmp_path / f"ck_{tag}"))
+        q2.awaitTermination()
+        assert cat.current_version("view") == v_before
