@@ -1528,6 +1528,36 @@ def q_tool_funnel_transcript(spark, sf_dir):
     )
 
 
+def q_tool_entropy_transcript(spark, sf_dir):
+    """Per-conversation tool-usage Shannon entropy: H = −Σ (c/n)·log2(c/n)
+    over each conversation's tool-call distribution — the
+    workflow-diversity feature (0 = single-tool conversation, high =
+    exploratory). ≤ 8 tool kinds per conversation keeps the float sum in
+    the commutative-few-terms regime; rounded 1e-6."""
+    t = _transcripts(spark, 300).filter(F.col("tool").isNotNull())
+    counts = t.groupBy("conv_id", "tool").agg(F.count(F.lit(1)).alias("c"))
+    tot = counts.groupBy("conv_id").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    h = (
+        counts.join(tot, "conv_id")
+        .select(
+            "conv_id",
+            "n",
+            "n_distinct",
+            (
+                -(F.col("c").cast("double") / F.col("n"))
+                * F.log2(F.col("c").cast("double") / F.col("n"))
+            ).alias("term"),
+        )
+        .groupBy("conv_id", "n", "n_distinct")
+        .agg(F.round(F.sum("term"), 6).alias("entropy"))
+    )
+    return h.select(
+        "conv_id", F.col("n").cast("long").alias("n_calls"), F.col("n_distinct").cast("long").alias("n_tools"), "entropy"
+    )
+
+
 def q_tool_cooccurrence_transcript(spark, sf_dir):
     """Tool co-usage graph (operators/projection.py project_bipartite over
     the (conv_id, tool) relation): which tools appear together in the same
@@ -5974,6 +6004,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "temporal_departure_transcript": q_temporal_departure_transcript,
         "tool_cooccurrence_transcript": q_tool_cooccurrence_transcript,
         "tool_funnel_transcript": q_tool_funnel_transcript,
+        "tool_entropy_transcript": q_tool_entropy_transcript,
         "transitivity_copurchase": q_transitivity_copurchase,
         "rich_club_copurchase": q_rich_club_copurchase,
         "coloring_transcript": q_coloring_transcript,
@@ -6213,6 +6244,16 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
   WITH e AS ({_COPURCHASE_SQL})
   SELECT count(*) AS n_triangles
   FROM e e1 JOIN e e2 ON e1.dst = e2.src JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+  """,
+        "tool_entropy_transcript": f"""
+  WITH t AS (SELECT conv_id, tool FROM read_parquet('{_transcript_fixture(300)}')
+             WHERE tool IS NOT NULL),
+  c AS (SELECT conv_id, tool, count(*) AS c FROM t GROUP BY conv_id, tool),
+  tot AS (SELECT conv_id, sum(c) AS n, count(*) AS n_distinct FROM c GROUP BY conv_id)
+  SELECT c.conv_id, tot.n::BIGINT AS n_calls, tot.n_distinct::BIGINT AS n_tools,
+         round(sum(-(c.c::DOUBLE / tot.n) * log2(c.c::DOUBLE / tot.n)), 6) AS entropy
+  FROM c JOIN tot USING (conv_id)
+  GROUP BY c.conv_id, tot.n, tot.n_distinct
   """,
         "tool_funnel_transcript": f"""
   WITH t AS (SELECT conv_id, turn_idx, tool FROM read_parquet('{_transcript_fixture(300)}')

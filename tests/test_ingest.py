@@ -169,3 +169,26 @@ def test_tool_funnel_hand_graph(spark):
         }
     # a→b in c1 and c4; b→a in c2 only. a appears in c1,c2,c3,c4 (4), b in c1,c2,c4 (3)
     assert got == {("a", "b"): (2, round(2 / 4, 6)), ("b", "a"): (1, round(1 / 3, 6))}
+
+
+def test_tool_entropy_known_distributions(spark):
+    """H=0 for single-tool, H=1 for a 50/50 two-tool conversation."""
+    import math
+    import unittest.mock as mock
+
+    import __spark_entry__ as em
+
+    rows = (
+        [("c1", i, "u", "x", "a", None) for i in range(4)]
+        + [("c2", 0, "u", "x", "a", None), ("c2", 1, "u", "x", "b", None)]
+        + [("c3", i, "u", "x", t, None) for i, t in enumerate(["a", "a", "b", "c"])]
+    )
+    df = spark.createDataFrame(
+        rows, "conv_id string, turn_idx int, role string, text string, tool string, ts timestamp"
+    )
+    with mock.patch.object(em, "_transcripts", lambda s_, n: df):
+        got = {r.conv_id: (r.n_calls, r.n_tools, r.entropy) for r in em.q_tool_entropy_transcript(spark, "x").collect()}
+    assert got["c1"] == (4, 1, 0.0)
+    assert got["c2"] == (2, 2, 1.0)
+    want = -(0.5 * math.log2(0.5) + 0.25 * math.log2(0.25) * 2)
+    assert got["c3"] == (4, 3, round(want, 6))
