@@ -1082,6 +1082,22 @@ def q_louvain_transcript(spark, sf_dir):
     return louvain_moves(g.edges, rounds=LOUVAIN_ROUNDS, vertices=g.vertices.select("vid"))
 
 
+def q_modularity_louvain_transcript(spark, sf_dir):
+    """Newman modularity of the Louvain partition (composition: the
+    gain-argmax moves evaluated by the partition-quality score they
+    optimize) — same exact-integer two-division expression as the LPA
+    modularity row; the twin feeds the unrolled Louvain chain's final
+    labels into the identical aggregates."""
+    from elektra_spark.operators.louvain import louvain_moves
+    from elektra_spark.operators.lpa import modularity
+
+    g = _transcript_graph(spark)
+    labels = louvain_moves(g.edges, rounds=LOUVAIN_ROUNDS, vertices=g.vertices.select("vid")).select(
+        "vid", F.col("community").alias("label")
+    )
+    return modularity(g.edges, labels)
+
+
 SCAN_EPS_PERMILLE = 700  # σ ≥ 0.7: 583 ε-edges / 1162 cores on the n=300 graph
 SCAN_MU = 2  # core = at least one ε-similar neighbor besides itself
 
@@ -4436,10 +4452,11 @@ def _matching_sql() -> str:
   SELECT src, dst FROM ({wins}) q"""
 
 
-def _louvain_sql() -> str:
-    """Twin of q_louvain_transcript: LOUVAIN_ROUNDS unrolled gain-argmax
-    rounds — identical integer score, tie-break, and Luby-mover schedule
-    (same md5 priority + row-comparison form as the MIS twin)."""
+def _louvain_chain_sql() -> str:
+    """LOUVAIN_ROUNDS unrolled gain-argmax rounds — identical integer score,
+    tie-break, and Luby-mover schedule (same md5 priority + row-comparison
+    form as the MIS twin). Ends with CTE l{LOUVAIN_ROUNDS}; shared by the
+    louvain and louvain-modularity twins."""
     chain = []
     for t in range(LOUVAIN_ROUNDS):
         chain.append(
@@ -4483,8 +4500,36 @@ def _louvain_sql() -> str:
   mm AS (SELECT 2 * count(*) AS m2 FROM edges),
   l0 AS (SELECT vid, vid AS lab FROM verts)"""
         + "".join(chain)
+    )
+
+
+def _louvain_sql() -> str:
+    return (
+        _louvain_chain_sql()
         + f"""
   SELECT vid, lab::BIGINT AS community FROM l{LOUVAIN_ROUNDS}"""
+    )
+
+
+def _modularity_louvain_sql() -> str:
+    """Twin of q_modularity_louvain_transcript: the Louvain chain's final
+    partition fed into the identical exact-integer modularity aggregates
+    (fresh CTE names — the chain already owns mm/deg)."""
+    lf = f"l{LOUVAIN_ROUNDS}"
+    return (
+        _louvain_chain_sql()
+        + f""",
+  mq AS (SELECT count(*)::BIGINT AS m FROM edges),
+  elq AS (SELECT ls.lab AS ls, ld.lab AS ld
+          FROM edges e JOIN {lf} ls ON e.src = ls.vid JOIN {lf} ld ON e.dst = ld.vid),
+  intraq AS (SELECT count(*)::BIGINT AS a FROM elq WHERE ls = ld),
+  degq AS (SELECT l.lab, count(*)::BIGINT AS deg_c
+           FROM b JOIN {lf} l ON b.src = l.vid GROUP BY l.lab),
+  sumsq AS (SELECT count(*)::BIGINT AS n_communities, sum(deg_c * deg_c)::BIGINT AS bsum FROM degq)
+  SELECT sumsq.n_communities, intraq.a AS intra_edges,
+         round(intraq.a::DOUBLE / mq.m::DOUBLE
+               - sumsq.bsum::DOUBLE / (4.0 * mq.m * mq.m), 6) AS modularity
+  FROM sumsq, intraq, mq"""
     )
 
 
@@ -5996,6 +6041,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vertex_cover_transcript": q_vertex_cover_transcript,
         "scan_transcript": q_scan_transcript,
         "louvain_transcript": q_louvain_transcript,
+        "modularity_louvain_transcript": q_modularity_louvain_transcript,
         "coarsen_transcript": q_coarsen_transcript,
         "seeded_lpa_transcript": q_seeded_lpa_transcript,
         "msf_transcript": q_msf_transcript,
@@ -6386,6 +6432,7 @@ def _static_oracles(simhash_sql) -> dict[str, str]:
         "vertex_cover_transcript": _vertex_cover_sql(),
         "scan_transcript": _scan_sql(),
         "louvain_transcript": _louvain_sql(),
+        "modularity_louvain_transcript": _modularity_louvain_sql(),
         "coarsen_transcript": _coarsen_sql(),
         "seeded_lpa_transcript": _seeded_lpa_sql(),
         "msf_transcript": _msf_sql(),

@@ -2493,3 +2493,20 @@ def test_appr_rejects_bad_params(spark):
         appr_push(e, s, alpha_permille=0)
     with pytest.raises(ValueError):
         appr_push(e, s.filter("vid > 5"))
+
+
+def test_louvain_modularity_beats_singletons_and_lpa_floor(spark):
+    """The gain-argmax partition scores positive modularity on a
+    community-structured graph (singletons score ≤ 0 by construction)."""
+    from elektra_spark.operators.louvain import louvain_moves
+    from elektra_spark.operators.lpa import modularity
+
+    k4a = [(a, b) for a in range(4) for b in range(a + 1, 4)]
+    k4b = [(a, b) for a in range(10, 14) for b in range(a + 1, 14)]
+    edges = edges_from_pairs(spark, k4a + k4b + [(3, 10)])
+    labels = louvain_moves(edges, rounds=8).select("vid", F.col("community").alias("label"))
+    q = modularity(edges, labels).collect()[0]
+    singles = edges.selectExpr("src as vid").union(edges.selectExpr("dst as vid")).distinct()
+    q0 = modularity(edges, singles.select("vid", F.col("vid").alias("label"))).collect()[0]
+    assert q["modularity"] > 0.3 > q0["modularity"]
+    assert q["n_communities"] == 2
