@@ -117,7 +117,15 @@ def _customer_order_graph(spark, sf_dir):
 
 def _copurchase_graph(spark, sf_dir):
     """Parts co-occurring in an order (distinct, canonical src<dst) — a
-    triangle-rich projection of the order–part bipartite graph."""
+    triangle-rich projection of the order–part bipartite graph.
+
+    The projection (self-join + distinct) is the expensive subtree and every
+    consumer (degrees, both-directions union, wedge joins, anti-joins)
+    references it several times; a lazy ``localCheckpoint`` materializes it
+    once per query instead of re-running the self-join per reference
+    (optimization guide §2.4/§5 — the link-predict plan carried 28 parquet
+    scans of lineitem before this). Lazy, so nothing runs at build time and
+    nothing is shared across queries."""
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.withColumnRenamed("l_partkey", "pa")
     b = li.withColumnRenamed("l_partkey", "pb")
@@ -126,6 +134,7 @@ def _copurchase_graph(spark, sf_dir):
         .filter(F.col("pa") != F.col("pb"))
         .select(F.least("pa", "pb").cast("long").alias("src"), F.greatest("pa", "pb").cast("long").alias("dst"))
         .dropDuplicates(["src", "dst"])
+        .localCheckpoint(eager=False)
     )
 
 
