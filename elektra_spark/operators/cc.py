@@ -196,15 +196,20 @@ def _np_min_labels(s, d, n: int):
 
     Setup builds a local CSR once (neighbor array sorted by target — the
     NumPy analogue of the reference's semisort-then-offsets idiom,
-    connectivity-helpers.h:216-235). Each round is then exactly one label
-    gather over the neighbor array + one segmented ``np.minimum.reduceat``
-    (lbl[t] ← min(lbl[t], min over neighbor labels)), followed by pointer
-    doubling ``lbl ← lbl[lbl]`` to full closure, which collapses whole label
-    chains per round (a path graph converges in one scatter round + O(log n)
-    doubling passes instead of O(n) scatter rounds). Scratch buffers are
-    allocated once and reused — this sandbox page-faults fresh mmap'd pages
-    at ~10 MB/s (see session.apply_malloc_env), so per-round temporaries
-    would dominate the kernel.
+    connectivity-helpers.h:216-235). Each round then gathers neighbor labels
+    and ``np.minimum.reduceat``-combines them into a per-vertex candidate
+    min ``c[t]``, which is hooked **at the root** (``lbl[lbl[t]] ← c[t]``, a
+    scatter-min — FastSV's stochastic hooking; Zhang–Azad–Buluç 2020) as
+    well as at the vertex (``lbl[t] ← c[t]``, aggressive hooking), followed
+    by pointer doubling ``lbl ← lbl[lbl]`` to full closure. Root hooking is
+    what contracts the quotient every round: plain vertex hooking propagates
+    a min one *adjacency* hop per round, so chain-structured partitions
+    (conversation paths) took diameter-many rounds — measured 76 scatter
+    rounds / 0.59 s on one 256k-edge bench partition vs 4 rounds / 0.055 s
+    with root hooking, identical labels. Scratch buffers are allocated once
+    and reused — this sandbox page-faults fresh mmap'd pages at ~10 MB/s
+    (see session.apply_malloc_env), so per-round temporaries would dominate
+    the kernel.
 
     Returns the label array: lbl[i] = min dense index of i's component.
     """
@@ -235,6 +240,10 @@ def _np_min_labels(s, d, n: int):
         np.copyto(old, lbl)
         np.take(lbl, nbrs, out=gath)
         np.minimum.reduceat(gath, starts, out=mins)
+        # stochastic hook: scatter the candidate min into the CURRENT roots
+        # (lbl[uniq] still holds the round-start labels at this point)
+        np.minimum.at(lbl, lbl[uniq], mins)
+        # aggressive hook at the vertex itself
         np.minimum(lbl[uniq], mins, out=mins)
         lbl[uniq] = mins
         while True:
@@ -247,25 +256,48 @@ def _np_min_labels(s, d, n: int):
     return lbl
 
 
-def _local_cc_kernel(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Per-partition min-label union-find: vectorized NumPy, no per-row Python.
+def _np_cols(batches, names):
+    """Concatenate Arrow record batches into one int64 NumPy array per
+    column (one copy each — ``mapInArrow`` feeds Arrow buffers directly,
+    skipping the pandas Block construction ``mapInPandas`` pays twice)."""
+    import numpy as np
+    import pyarrow as pa
+
+    got = list(batches)
+    if not got:
+        return None
+    tab = pa.Table.from_batches(got)
+    if tab.num_rows == 0:
+        return None
+    return [
+        tab.column(n).to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
+        for n in names
+    ]
+
+
+def _local_cc_kernel(batches) -> Iterator:
+    """Per-partition min-label union-find: vectorized NumPy, no per-row
+    Python; Arrow in/out (guide §4 — the pandas wrapping cost ~as much as
+    the union-find itself at 1 core).
 
     Emits (vid, comp) where comp is the min vid of the vertex's component
     *within this partition's subgraph*.
     """
+    import pyarrow as pa
+
+    cols = _np_cols(batches, ["src", "dst"])
+    if cols is None:
+        return
+    src, dst = cols
     import numpy as np
 
-    chunks = list(batches)
-    if not chunks:
-        return
-    src = np.concatenate([c["src"].to_numpy(dtype=np.int64) for c in chunks])
-    dst = np.concatenate([c["dst"].to_numpy(dtype=np.int64) for c in chunks])
-    if len(src) == 0:
-        return
     vids, inv = np.unique(np.concatenate([src, dst]), return_inverse=True)
     s, d = inv[: len(src)], inv[len(src) :]
     lbl = _np_min_labels(s, d, len(vids))
-    yield pd.DataFrame({"vid": vids, "comp": vids[lbl]})
+    yield pa.RecordBatch.from_arrays(
+        [pa.array(vids, pa.int64()), pa.array(vids[lbl], pa.int64())],
+        ["vid", "comp"],
+    )
 
 
 def _min_label_fixpoint(
@@ -340,6 +372,55 @@ def _min_label_loop(
         if changed == 0:
             break
     return labels
+
+
+def _merge_cc_kernel(batches) -> Iterator:
+    """Second-level collapse over the hash(vid)-shuffled (vid, comp) pair
+    table: one vectorized union-find per partition over the bipartite
+    vid–comp label graph, emitting the per-vid seed labels AND the residual
+    quotient links in a single pass.
+
+    Replaces a JVM chain (localCheckpoint of the full pair table → groupBy
+    min seeds → second checkpoint → pair⋈seed join → dropDuplicates) that
+    processed ~|V| rows several times to discover a quotient measured at a
+    few hundred rows on src-clustered input (guide §2.4: fewer passes, one
+    exchange). Rows out: (vid, label, link=false) for every distinct vid —
+    label = min id of its partition-local cluster — plus (comp, root,
+    link=true) for every comp value whose local root differs (the quotient
+    the driver/distributed solve unifies). Correctness: vids are unique to
+    one hash partition, so partitions interact only through shared comp
+    values, and every such comp either IS its cluster min (no link needed)
+    or emits a link to it; the transitive closure over link rows therefore
+    connects exactly the original components.
+    """
+    import numpy as np
+    import pyarrow as pa
+
+    cols = _np_cols(batches, ["vid", "comp"])
+    if cols is None:
+        return
+    vid, comp = cols
+    nodes, inv = np.unique(np.concatenate([vid, comp]), return_inverse=True)
+    lbl = _np_min_labels(inv[: len(vid)], inv[len(vid) :], len(nodes))
+    roots = nodes[lbl]
+    v_idx = inv[: len(vid)]
+    # distinct vids of this partition (a vid can arrive from several source
+    # partitions); one seed row each
+    v_first = np.unique(v_idx)
+    c_idx = np.unique(inv[len(vid) :])
+    c_links = c_idx[roots[c_idx] != nodes[c_idx]]
+    yield pa.RecordBatch.from_arrays(
+        [
+            pa.array(np.concatenate([nodes[v_first], nodes[c_links]]), pa.int64()),
+            pa.array(np.concatenate([roots[v_first], roots[c_links]]), pa.int64()),
+            pa.array(
+                np.concatenate(
+                    [np.zeros(len(v_first), bool), np.ones(len(c_links), bool)]
+                )
+            ),
+        ],
+        ["vid", "label", "link"],
+    )
 
 
 def _driver_union_find(spark, links_pdf: pd.DataFrame) -> DataFrame:
@@ -419,38 +500,32 @@ def connected_components(
         partitioned = edges.select("src", "dst")
         if not pre_partitioned:
             partitioned = partitioned.repartitionByRange(parts, "src")
-        pairs = partitioned.mapInPandas(_local_cc_kernel, "vid long, comp long")
-        # The (vid, local-root) pair table is shuffled by vid exactly once and
-        # checkpointed with that partitioning; the seed table (min local root
-        # per vertex — a declarative, map-side-combinable min, whole-stage
-        # codegen) and the quotient links (a vertex seen by several partitions
-        # links each of its local roots to its seed) are then both derived
-        # from the cached table with **zero further exchanges** — groupBy and
-        # self-join reuse hash(vid). This replaced a collect_set aggregation
-        # + array-column checkpoint, whose ObjectHashAggregate path measured
-        # 0.44 N→4N scaling efficiency vs ~0.9 for this shape (the object agg
-        # is GC-bound and outside codegen). The quotient's size is the number
-        # of cross-partition adjacencies between local components — orders of
-        # magnitude smaller than V for src-clustered input (conversation
-        # boundaries + tool hubs), which is what makes the driver fallback
-        # viable.
+        pairs = partitioned.mapInArrow(_local_cc_kernel, "vid long, comp long")
+        # The (vid, local-root) pair table is shuffled by vid exactly once,
+        # and ONE second-level union-find pass (:func:`_merge_cc_kernel`)
+        # over each hash partition emits both the per-vid seed labels and
+        # the residual quotient links, materialized together. This replaced
+        # a JVM chain (checkpoint the full pair table → groupBy-min seeds →
+        # second checkpoint → pair⋈seed self-join → dropDuplicates) that
+        # re-walked the ~|V|-row pair table several times to find a quotient
+        # measured at a few hundred rows on src-clustered input — the
+        # single-pass shape cut the 1-core collapse phase roughly in half at
+        # the 8.3M-edge bench scale (guide §2.4). The quotient's size is the
+        # number of cross-partition adjacencies between local components —
+        # orders of magnitude smaller than V for src-clustered input
+        # (conversation boundaries + tool hubs), which is what makes the
+        # driver fallback viable.
         t0 = time.time()
-        pairs = checkpoint(pairs.repartition(spark_parts, "vid"), -2)
-        # seeds materialized once (950k-scale, two longs — cheap) so the links
-        # probe and the final resolve don't each re-run the aggregation;
-        # localCheckpoint keeps hash(vid), so the self-join below stays
-        # exchange-free
-        seeds = checkpoint(pairs.groupBy("vid").agg(F.min("comp").alias("label")), -2)
+        tagged = checkpoint(
+            pairs.repartition(spark_parts, "vid").mapInArrow(
+                _merge_cc_kernel, "vid long, label long, link boolean"
+            ),
+            -2,
+        )
+        seeds = tagged.filter(~F.col("link")).select("vid", "label")
         _ph("collapse_repart", t0)
-        links = (
-            # shuffle_hash: both sides are already hash(vid)-partitioned, so
-            # the join inserts no exchange; the hint additionally stops
-            # Catalyst from sort-merging (sorting the multi-million-row pair
-            # table costs more than hashing the seed side)
-            pairs.join(seeds.hint("shuffle_hash"), "vid")
-            .filter(F.col("comp") != F.col("label"))
-            .select(F.col("comp").alias("src"), F.col("label").alias("dst"))
-            .dropDuplicates(["src", "dst"])
+        links = tagged.filter(F.col("link")).select(
+            F.col("vid").alias("src"), F.col("label").alias("dst")
         )
         # one job decides the path AND collects the quotient when small
         t0 = time.time()
