@@ -72,7 +72,8 @@ def lsh_candidate_pairs(
     banded = sig.select(F.col(id_col).alias("id"), *band_cols)
     stacked = banded.select(
         "id", F.explode(F.array(*[F.col(f"band{b}") for b in range(bands)])).alias("band")
-    )
+    ).localCheckpoint(eager=False)  # consumed 3× (bucket sizes + both join sides):
+    # materialize the signature computation once instead of re-hashing per branch
     # spam-bucket guard: drop degenerate buckets wider than max_bucket
     sizes = stacked.groupBy("band").agg(F.count("*").alias("w"))
     ok = stacked.join(sizes.filter(F.col("w") <= max_bucket).select("band"), "band", "left_semi")

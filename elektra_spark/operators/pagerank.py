@@ -205,7 +205,7 @@ def _load_bsp_bucket(side_dir: str, bucket: int, n_slots: int, n_buckets: int):
     stay at rank 0 or the base term would leak mass to ghosts.
 
     Encoding runs ONCE per bucket, inside the parallel init job
-    (:func:`_encode_bsp_bucket` → ``.npy`` side files on tmpfs); workers
+    (:func:`_encode_bsp_edges` → ``.npy`` side files on tmpfs); workers
     then ``np.load(mmap_mode='r')`` the arrays. Memory-mapping is what makes
     task→worker assignment irrelevant: any of the reused Python workers can
     pick up any bucket's task and read the shared page-cache copy zero-cost,
@@ -242,67 +242,85 @@ _BSP_ENC_NAMES = (
 )
 
 
-def _encode_bsp_bucket(side_dir: str, bucket: int, n_slots: int, n_buckets: int):
-    """One-time per-bucket encoding pass (runs inside the parallel init job;
-    see :func:`_load_bsp_bucket` for the layout and the hybrid-cut rules).
-    Writes the encoded arrays as ``.npy`` side files for mmap loading."""
+_BSP_EDGE_ENC = _BSP_ENC_NAMES[:9]  # edge-derived arrays (source-side pass)
+_BSP_MIRROR_ENC = _BSP_ENC_NAMES[9:]  # mirror arrays (target-side pass)
+
+
+def _encode_bsp_edges(side_dir: str, bucket: int, src, dst, deg, n_slots: int, n_buckets: int):
+    """Source-side encoding pass over one bucket's adjacency arrays (see
+    :func:`_load_bsp_bucket` for the layout and the hybrid-cut rules).
+    Writes the nine edge-derived ``.npy`` side files and RETURNS the
+    bucket's mirrored cross edges (global src, global dst, target bucket)
+    for the target-side pass — the fanout classification is computed once
+    here, not re-derived by a parallel SQL rule. The arrays arrive straight
+    from the prep shuffle (guide §2.4: the former flow wrote the bucketed
+    adjacency to parquet and immediately read it back just to get it into
+    this function)."""
     import numpy as np
-    import pyarrow.parquet as pq
 
     lo, hi = _bsp_range(bucket, n_slots, n_buckets)
-    n_owned = hi - lo
-    path = os.path.join(side_dir, f"edges/bucket={bucket}")
-    e32 = lambda: np.empty(0, np.int32)  # noqa: E731
-    if not os.path.isdir(path):
-        inv_owned = np.zeros(n_owned)
-        src_in = dst_in = src_cross = cross_code = e32()
-        ucross_tb = mir_tb = mir_src_local = e32()
-        ucross_dst = np.empty(0, np.int64)
-    else:
-        t = pq.read_table(path, columns=["src", "dst", "deg"])
-        src = t.column("src").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        dst = t.column("dst").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        deg = t.column("deg").to_numpy(zero_copy_only=False).astype(np.float64, copy=False)
-        src_local = (src - lo).astype(np.int32)
-        inv_owned = np.zeros(n_owned)
-        inv_owned[src_local] = 1.0 / deg  # duplicates write the same value
-        in_m = (dst >= lo) & (dst < hi)
-        src_in = src_local[in_m]
-        dst_in = (dst[in_m] - lo).astype(np.int32)
-        c_src = src_local[~in_m]
-        c_dst = dst[~in_m]
-        c_tb = c_dst * n_buckets // n_slots
-        # per-(src, tb) fanout decides combined vs mirrored (must equal the
-        # prep job's SQL rule — same rows, same threshold)
-        pair = c_src.astype(np.int64) * n_buckets + c_tb
-        u_pair, pair_inv, pair_cnt = np.unique(pair, return_inverse=True, return_counts=True)
-        mirrored = pair_cnt[pair_inv] > BSP_MIRROR_K
-        mir_pairs = u_pair[pair_cnt > BSP_MIRROR_K]
-        mir_src_local = (mir_pairs // n_buckets).astype(np.int32)
-        mir_tb = (mir_pairs % n_buckets).astype(np.int32)
-        src_cross = c_src[~mirrored]
-        # combined-cross coding: one output row per distinct (tb, dst)
-        tbdst = c_tb[~mirrored] * (n_slots + 1) + c_dst[~mirrored]
-        u_tbdst, cross_code = np.unique(tbdst, return_inverse=True)
-        cross_code = cross_code.astype(np.int32)
-        ucross_tb = (u_tbdst // (n_slots + 1)).astype(np.int32)
-        ucross_dst = (u_tbdst % (n_slots + 1)).astype(np.int64)
-    # target-side mirror edges: remote high-fanout sources whose dsts are
-    # owned here (written by the prep job, partitioned by target bucket)
-    mpath = os.path.join(side_dir, f"mirror/tb={bucket}")
-    if not os.path.isdir(mpath):
-        u_msrc = np.empty(0, np.int64)
-        m_code = m_dst_local = e32()
-    else:
-        mt = pq.read_table(mpath, columns=["src", "dst"])
-        msrc = mt.column("src").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        mdst = mt.column("dst").to_numpy(zero_copy_only=False).astype(np.int64, copy=False)
-        u_msrc, m_code = np.unique(msrc, return_inverse=True)
-        m_code = m_code.astype(np.int32)
-        m_dst_local = (mdst - lo).astype(np.int32)
+    src_local = (src - lo).astype(np.int32)
+    inv_owned = np.zeros(hi - lo)
+    inv_owned[src_local] = 1.0 / deg  # duplicates write the same value
+    in_m = (dst >= lo) & (dst < hi)
+    src_in = src_local[in_m]
+    dst_in = (dst[in_m] - lo).astype(np.int32)
+    c_src = src_local[~in_m]
+    c_dst = dst[~in_m]
+    c_tb = c_dst * n_buckets // n_slots
+    # per-(src, tb) fanout decides combined vs mirrored
+    pair = c_src.astype(np.int64) * n_buckets + c_tb
+    u_pair, pair_inv, pair_cnt = np.unique(pair, return_inverse=True, return_counts=True)
+    mirrored = pair_cnt[pair_inv] > BSP_MIRROR_K
+    mir_pairs = u_pair[pair_cnt > BSP_MIRROR_K]
+    mir_src_local = (mir_pairs // n_buckets).astype(np.int32)
+    mir_tb = (mir_pairs % n_buckets).astype(np.int32)
+    src_cross = c_src[~mirrored]
+    # combined-cross coding: one output row per distinct (tb, dst)
+    tbdst = c_tb[~mirrored] * (n_slots + 1) + c_dst[~mirrored]
+    u_tbdst, cross_code = np.unique(tbdst, return_inverse=True)
+    cross_code = cross_code.astype(np.int32)
+    ucross_tb = (u_tbdst // (n_slots + 1)).astype(np.int32)
+    ucross_dst = (u_tbdst % (n_slots + 1)).astype(np.int64)
     local = locals()
-    for name in _BSP_ENC_NAMES:
+    for name in _BSP_EDGE_ENC:
         np.save(os.path.join(side_dir, f"enc_{bucket}_{name}.npy"), local[name])
+    return (
+        lo + c_src[mirrored].astype(np.int64),
+        c_dst[mirrored],
+        c_tb[mirrored].astype(np.int32),
+    )
+
+
+def _encode_bsp_mirror(side_dir: str, bucket: int, msrc, mdst, n_slots: int, n_buckets: int):
+    """Target-side encoding pass: remote high-fanout sources whose dsts are
+    owned here, delivered by the prep shuffle keyed on target bucket."""
+    import numpy as np
+
+    lo, _hi = _bsp_range(bucket, n_slots, n_buckets)
+    u_msrc, m_code = np.unique(msrc, return_inverse=True)
+    m_code = m_code.astype(np.int32)
+    m_dst_local = (mdst - lo).astype(np.int32)
+    local = locals()
+    for name in _BSP_MIRROR_ENC:
+        np.save(os.path.join(side_dir, f"enc_{bucket}_{name}.npy"), local[name])
+
+
+def _backfill_bsp_encodes(side_dir: str, bucket: int, n_owned: int) -> None:
+    """Write the empty-default encode files a bucket that received no edges
+    (or no mirror rows) in the prep shuffle never produced — the loader
+    reads all twelve arrays unconditionally."""
+    import numpy as np
+
+    defaults = {
+        "inv_owned": np.zeros(n_owned),
+        "ucross_dst": np.empty(0, np.int64),
+        "u_msrc": np.empty(0, np.int64),
+    }
+    for name in _BSP_ENC_NAMES:
+        path = os.path.join(side_dir, f"enc_{bucket}_{name}.npy")
+        if not os.path.exists(path):
+            np.save(path, defaults.get(name, np.empty(0, np.int32)))
 
 
 def _rw_state(path: str, arr=None, count: int = 0):
@@ -353,6 +371,7 @@ def _pagerank_bsp(
     init_ranks: DataFrame | None,
     prep_dir: str | None = None,
     input_fp: str = "",
+    no_dangling: bool = False,
 ) -> DataFrame:
     """Message-minimal BSP executor for dense-vid graphs (the transcript link
     graph: derive_graph emits dense vids, ingest/edges.py docstring).
@@ -436,36 +455,74 @@ def _pagerank_bsp(
     # exact long integer division (Python's // on the worker side must agree
     # bit-for-bit; float division would mis-bucket boundary vids)
     bucket_of = lambda name: F.expr(f"cast(({name} * {B}) div {n_slots} as int)")  # noqa: E731
+    dang_total = None
     if not prep_ok:
+        # Prep = two chained shuffles straight into the encode kernels
+        # (guide §2.4/§4): the adjacency is shuffled by source bucket into
+        # the source-side encoder, whose mirrored-edge OUTPUT rows are
+        # shuffled by target bucket into the mirror encoder — one job, no
+        # intermediate parquet datasets (the former flow wrote bucketed
+        # edge/mirror/univ datasets and re-read each once), and the
+        # combined-vs-mirrored fanout rule lives in exactly one kernel.
+        def edges_enc_task(key, pdf):
+            b = int(key[0])
+            ms, md, mtb = _encode_bsp_edges(
+                side_dir,
+                b,
+                pdf["src"].to_numpy(np.int64),
+                pdf["dst"].to_numpy(np.int64),
+                pdf["deg"].to_numpy(np.float64),
+                n_slots,
+                B,
+            )
+            return pd.DataFrame({"src": ms, "dst": md, "tb": mtb})
+
+        def mirror_enc_task(key, pdf):
+            b = int(key[0])
+            _encode_bsp_mirror(
+                side_dir, b,
+                pdf["src"].to_numpy(np.int64), pdf["dst"].to_numpy(np.int64),
+                n_slots, B,
+            )
+            return pd.DataFrame({"tb": [b]})
+
         (
             adj_deg.withColumn("bucket", bucket_of("src"))
-            .repartition("bucket")
-            .write.mode("overwrite")
-            .partitionBy("bucket")
-            .parquet(os.path.join(side_dir, "edges"))
+            .groupBy("bucket")
+            .applyInPandas(edges_enc_task, "src long, dst long, tb int")
+            .groupBy("tb")
+            .applyInPandas(mirror_enc_task, "tb int")
+            .collect()
         )
-        # mirror dataset for the hybrid cut (loader docstring): cross edges
-        # whose (source, target-bucket) fanout exceeds BSP_MIRROR_K live
-        # resident at the TARGET; the source ships one value row per superstep
-        # instead of fanout contribution rows. Derived from the just-written
-        # edge dataset (column-pruned re-read, one extra shuffle at prep — the
-        # heavy relation still moves a bounded number of times, all before the
-        # first superstep).
-        ew = spark.read.parquet(os.path.join(side_dir, "edges")).withColumn(
-            "tb", bucket_of("dst")
-        ).filter(F.col("bucket") != F.col("tb"))
-        fan = ew.groupBy("src", "tb").agg(F.count("*").alias("k"))
-        (
-            ew.join(fan.filter(F.col("k") > BSP_MIRROR_K), ["src", "tb"])
-            .select("src", "dst", "tb")
-            .repartition("tb")
-            .write.mode("overwrite")
-            .partitionBy("tb")
-            .parquet(os.path.join(side_dir, "mirror"))
+
+        # membership masks + structural dangling counts in the same pass
+        # (dangling = masked slot with no out-edge; inv_owned was written by
+        # the encode job above). The total is stamped into the prep dir so a
+        # reusing run skips the probe job entirely.
+        def mask_task(key, pdf):
+            b = int(key[0])
+            lo, hi = _bsp_range(b, n_slots, B)
+            mask = np.zeros(hi - lo, dtype=np.uint8)
+            mask[pdf["vid"].to_numpy(np.int64) - lo] = 1
+            mask.tofile(os.path.join(side_dir, f"mask_{b}.bin"))
+            inv_p = os.path.join(side_dir, f"enc_{b}_inv_owned.npy")
+            if os.path.exists(inv_p):
+                inv = np.load(inv_p, mmap_mode="r")
+                nd = int((mask.view(bool) & (inv == 0.0)).sum())
+            else:
+                nd = int(mask.sum())  # no edges in this bucket: all dangling
+            return pd.DataFrame({"bucket": [b], "n_dangling": [nd]})
+
+        dang_total = int(
+            universe.withColumn("bucket", bucket_of("vid"))
+            .groupBy("bucket")
+            .applyInPandas(mask_task, "bucket int, n_dangling long")
+            .agg(F.sum("n_dangling"))
+            .collect()[0][0]
+            or 0
         )
-        universe.withColumn("bucket", bucket_of("vid")).repartition("bucket").write.mode(
-            "overwrite"
-        ).partitionBy("bucket").parquet(os.path.join(side_dir, "univ"))
+        with open(os.path.join(side_dir, "_N_DANGLING"), "w") as df_:
+            df_.write(str(dang_total))
     init_dir = None
     if init_ranks is not None:
         init_dir = os.path.join(side_dir, "init")
@@ -481,16 +538,15 @@ def _pagerank_bsp(
 
         b = int(key[0])
         lo, hi = _bsp_range(b, n_slots, B)
-        if prep_ok:
-            mask = np.fromfile(os.path.join(side_dir, f"mask_{b}.bin"), dtype=np.uint8)
+        # backfill what the prep shuffles never produced for this bucket
+        # (no edges → no encode group, no universe rows → no mask group)
+        _backfill_bsp_encodes(side_dir, b, hi - lo)
+        mpath = os.path.join(side_dir, f"mask_{b}.bin")
+        if os.path.exists(mpath):
+            mask = np.fromfile(mpath, dtype=np.uint8)
         else:
             mask = np.zeros(hi - lo, dtype=np.uint8)
-            upath = os.path.join(side_dir, f"univ/bucket={b}")
-            if os.path.isdir(upath):
-                vids = pq.read_table(upath, columns=["vid"]).column("vid").to_numpy(zero_copy_only=False)
-                mask[vids - lo] = 1
-            mask.tofile(os.path.join(side_dir, f"mask_{b}.bin"))
-            _encode_bsp_bucket(side_dir, b, n_slots, B)
+            mask.tofile(mpath)
         rank = np.zeros(hi - lo)
         if init_dir is not None:
             ipath = os.path.join(init_dir, f"bucket={b}")
@@ -508,21 +564,32 @@ def _pagerank_bsp(
         with open(os.path.join(side_dir, "_PREP_DONE"), "w") as mf:
             mf.write(marker_val)
 
-    # dangling = universe vertices with no outgoing edge; detected structurally
-    # once (inv_deg==0 under the membership mask) by summing per bucket
-    def dangling_probe(key, pdf):
-        b = int(key[0])
-        blk = _load_bsp_bucket(side_dir, b, n_slots, B)
-        mask, inv_owned = blk[2], blk[3]
-        return pd.DataFrame({"bucket": [b], "n_dangling": [int((mask & (inv_owned == 0.0)).sum())]})
+    # dangling = universe vertices with no outgoing edge; a deg-derived
+    # universe proves there are none without a probe job (_prepare), a
+    # fresh prep counted them in mask_task, and a reused prep stamped the
+    # total into _N_DANGLING; only a pre-stamp legacy prep dir still pays
+    # the structural probe job (inv_deg==0 under the membership mask)
+    if no_dangling:
+        has_dangling = False
+    elif dang_total is not None:
+        has_dangling = dang_total > 0
+    elif os.path.exists(os.path.join(side_dir, "_N_DANGLING")):
+        with open(os.path.join(side_dir, "_N_DANGLING")) as df_:
+            has_dangling = int(df_.read()) > 0
+    else:
+        def dangling_probe(key, pdf):
+            b = int(key[0])
+            blk = _load_bsp_bucket(side_dir, b, n_slots, B)
+            mask, inv_owned = blk[2], blk[3]
+            return pd.DataFrame({"bucket": [b], "n_dangling": [int((mask & (inv_owned == 0.0)).sum())]})
 
-    has_dangling = (
-        drv.groupBy("bucket")
-        .applyInPandas(dangling_probe, "bucket int, n_dangling long")
-        .agg(F.sum("n_dangling"))
-        .collect()[0][0]
-        > 0
-    )
+        has_dangling = (
+            drv.groupBy("bucket")
+            .applyInPandas(dangling_probe, "bucket int, n_dangling long")
+            .agg(F.sum("n_dangling"))
+            .collect()[0][0]
+            > 0
+        )
 
     def make_stage_a(step: int):
         p = step % 2
@@ -679,7 +746,15 @@ def _pagerank_bsp(
 
 
 def _prepare(edges: DataFrame, vertices: DataFrame | None, directed: bool):
-    """adjacency with source degrees + full vertex universe."""
+    """adjacency with source degrees + full vertex universe.
+
+    Undirected graphs with no vertex table get the universe as a by-product
+    of the degree aggregation (every endpoint appears as a src of the
+    both-directions relation), sparing the 2|E|-row distinct the generic
+    path pays (guide §2.4). The third return value says so: such a universe
+    provably contains no dangling vertex (every member has an out-edge), so
+    callers skip the dangling machinery without a probe job.
+    """
     if directed:
         adj = edges.select("src", "dst")
     else:
@@ -687,12 +762,16 @@ def _prepare(edges: DataFrame, vertices: DataFrame | None, directed: bool):
             edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
         )
     deg = adj.groupBy("src").agg(F.count("*").alias("deg"))
+    no_dangling = False
     if vertices is not None:
         universe = vertices.select("vid")
-    else:
+    elif directed:
         universe = adj.select(F.col("src").alias("vid")).union(adj.select(F.col("dst").alias("vid"))).distinct()
+    else:
+        universe = deg.select(F.col("src").alias("vid"))
+        no_dangling = True
     adj_deg = adj.join(deg, "src")
-    return adj_deg, deg, universe
+    return adj_deg, deg, universe, no_dangling
 
 
 def pagerank(
@@ -747,17 +826,22 @@ def pagerank(
     spark = edges.sparkSession
     if checkpoint is None:
         checkpoint = EphemeralCheckpointer()
-    adj_deg, deg, universe = _prepare(edges, vertices, directed)
+    adj_deg, deg, universe, no_dangling = _prepare(edges, vertices, directed)
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
 
     side_dir = None
     with _no_aqe(spark):
-        universe = universe.repartition(parts, "vid").persist()
+        # persisted un-repartitioned: the bsp path re-buckets by vid range
+        # and the df path re-keys through its own checkpoint, so a generic
+        # hash(vid) exchange here was a dead shuffle of |V| rows (guide §2.4)
+        universe = universe.persist()
+        # one scan serves every kernel: row count, plus the vid bounds that
+        # decide bsp density and (df) int32 key narrowing
+        row = universe.agg(F.count("*"), F.max("vid"), F.min("vid")).collect()[0]
+        n, max_vid, min_vid = int(row[0]), row[1], row[2]
+        if n == 0:
+            return spark.createDataFrame([], "vid long, rank double")
         if kernel in ("bsp", "auto"):
-            row = universe.agg(F.count("*"), F.max("vid"), F.min("vid")).collect()[0]
-            n, max_vid, min_vid = int(row[0]), row[1], row[2]
-            if n == 0:
-                return spark.createDataFrame([], "vid long, rank double")
             n_slots = int(max_vid) + 1
             dense = min_vid is not None and min_vid >= 0 and n_slots <= 4 * n
             if kernel == "bsp" and not dense:
@@ -794,14 +878,18 @@ def pagerank(
                 out = _pagerank_bsp(
                     spark, adj_deg, universe, n, n_slots, damping, n_iter, buckets,
                     checkpoint, on_superstep, start_step, init_ranks,
-                    prep_dir=bsp_prep_dir, input_fp=input_fp,
+                    prep_dir=bsp_prep_dir, input_fp=input_fp, no_dangling=no_dangling,
                 )
                 universe.unpersist()
                 return out
             kernel = "df"  # auto fallback for sparse vid spaces
-        n = universe.count()
-        if n == 0:
-            return spark.createDataFrame([], "vid long, rank double")
+        # int32 join keys for the df superstep when every vid fits 31 bits
+        # (known from the universe agg above): halves the bytes the
+        # per-superstep rank exchange and contribution aggregation hash and
+        # move (guide §2.3); the result is cast back to long on return
+        narrow = (
+            kernel == "df" and min_vid is not None and min_vid >= 0 and int(max_vid) < 2**31
+        )
         if kernel == "csr":
             # heavy relation written ONCE to bucket-partitioned parquet; the
             # JVM never touches it again — reused Python workers load and
@@ -818,21 +906,58 @@ def pagerank(
                 .parquet(side_dir)
             )
         else:
+            if narrow:
+                adj_deg = adj_deg.select(
+                    F.col("src").cast("int").alias("src"),
+                    F.col("dst").cast("int").alias("dst"),
+                    "deg",
+                )
             # heavy relation: shuffled once, cached with its partitioning
             adj_deg = adj_deg.repartition(parts, "src").persist()
             adj_deg.count()
 
-        # dangling set precomputed once; the per-round scalar is skipped when
-        # structurally empty (undirected graphs: only isolated vertices)
-        dangling = universe.join(deg.select(F.col("src").alias("vid")), "vid", "left_anti").persist()
-        has_dangling = dangling.count() > 0
+        key_t = "int" if narrow else "long"
+        universe_k = universe.select(F.col("vid").cast(key_t).alias("vid")) if narrow else universe
 
-        base = universe.select(F.col("vid").alias("dst"), F.lit(0.0).alias("c"))
+        # dangling set precomputed once; the per-round scalar is skipped when
+        # structurally empty (a deg-derived universe proves it without a job
+        # — _prepare; otherwise undirected graphs have only isolated ones)
+        dangling = None
+        has_dangling = False
+        if not no_dangling:
+            dangling = universe_k.join(
+                deg.select(F.col("src").cast(key_t).alias("vid")), "vid", "left_anti"
+            ).persist()
+            has_dangling = dangling.count() > 0
+
+        # Vertices with no in-edge never appear in the contribution
+        # aggregate; their rank is the closed-form base term each superstep.
+        # They are unioned in as a (usually empty) static set instead of
+        # shipping |V| zero-contribution base rows through every superstep's
+        # aggregation shuffle, which cut the per-superstep aggregate input
+        # from |adj|+|V| to |adj| rows (guide §2.3 — aggregate fewer bytes).
+        # Undirected: in-neighbors are out-neighbors, so zero in-edges means
+        # degree 0 — exactly the dangling set already computed.
+        if directed:
+            no_in = universe_k.join(
+                adj_deg.select(F.col("dst").alias("vid")).distinct(), "vid", "left_anti"
+            ).persist()
+            has_no_in = no_in.count() > 0
+        else:
+            no_in = dangling
+            has_no_in = has_dangling
 
         if init_ranks is not None:
-            ranks = checkpoint(init_ranks.select("vid", "rank").repartition(parts, "vid"), start_step)
+            ranks = checkpoint(
+                init_ranks.select(F.col("vid").cast(key_t).alias("vid"), "rank")
+                .repartition(parts, "vid"),
+                start_step,
+            )
         else:
-            ranks = checkpoint(universe.withColumn("rank", F.lit(1.0 / n)), start_step)
+            ranks = checkpoint(
+                universe_k.withColumn("rank", F.lit(1.0 / n)).repartition(parts, "vid"),
+                start_step,
+            )
 
         for step in range(start_step, start_step + n_iter):
             t0 = time.time()
@@ -847,11 +972,8 @@ def pagerank(
                 partial = adj_deg.join(ranks.hint("shuffle_hash"), adj_deg.src == ranks.vid).select(
                     "dst", (F.col("rank") / F.col("deg")).alias("c")
                 )
-            # base ranks folded into the same aggregation (no outer join):
-            # one shuffle per superstep, partially aggregated map-side
             new_ranks = (
-                partial.union(base)
-                .groupBy("dst")
+                partial.groupBy("dst")
                 .agg(F.sum("c").alias("contrib"))
                 .select(
                     F.col("dst").alias("vid"),
@@ -861,13 +983,22 @@ def pagerank(
                     ).alias("rank"),
                 )
             )
+            if has_no_in:
+                # same arithmetic the formula yields for contrib = 0.0
+                no_in_rank = (1.0 - damping) / n + damping * (dmass / n)
+                new_ranks = new_ranks.unionByName(
+                    no_in.select("vid", F.lit(no_in_rank).alias("rank"))
+                )
             ranks = checkpoint(new_ranks, step + 1)
             if on_superstep is not None:
                 on_superstep(step, -1, time.time() - t0)
         if kernel != "csr":
             adj_deg.unpersist()
         universe.unpersist()
-        dangling.unpersist()
+        if dangling is not None:
+            dangling.unpersist()
+    if narrow:
+        ranks = ranks.select(F.col("vid").cast("long").alias("vid"), "rank")
     return ranks
 
 

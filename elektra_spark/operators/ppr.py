@@ -54,7 +54,7 @@ def personalized_pagerank(
     """→ (vid, rank): proximity to ``seeds`` after exactly ``n_iter``
     supersteps; ranks sum to 1."""
     spark = edges.sparkSession
-    adj_deg, deg, universe = _prepare(edges, vertices, directed)
+    adj_deg, deg, universe, _ = _prepare(edges, vertices, directed)
     seed_ids = seeds.select(F.col("vid").cast("long").alias("vid")).distinct()
 
     if checkpoint is None:

@@ -47,7 +47,9 @@ def triangle_count(edges: DataFrame) -> DataFrame:
     closing = edges.select(F.col("src").alias("v"), F.col("dst").alias("w")).union(
         edges.select(F.col("dst").alias("v"), F.col("src").alias("w"))
     )
-    tri = wedges.join(closing, ["v", "w"], "left_semi")
+    # shuffle_hash with the edge set as build side: a sort-merge join would
+    # sort the O(m^1.5) wedge relation just to probe 2m closing arcs
+    tri = wedges.join(closing.hint("shuffle_hash"), ["v", "w"], "left_semi")
     return tri.agg(F.count("*").cast("long").alias("n_triangles"))
 
 

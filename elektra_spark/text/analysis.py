@@ -139,7 +139,11 @@ def tfidf_top_terms(
         lambda t: F.length(t) >= min_len,
     )
     terms = df.select(F.col(id_col).alias("doc_id"), F.explode(toks).alias("term"))
-    tf = terms.groupBy("doc_id", "term").agg(F.count("*").cast("long").alias("tf"))
+    # consumed twice (corpus DF aggregate + the scored join): materialize the
+    # tokenize+count once instead of re-exploding the corpus per branch
+    tf = terms.groupBy("doc_id", "term").agg(
+        F.count("*").cast("long").alias("tf")
+    ).localCheckpoint(eager=False)
     # one-row corpus size joined in lazily (no collect at build time — the
     # only eager builder in this module would make plan-only callers scan)
     nd = df.select(F.countDistinct(id_col).cast("double").alias("nd"))

@@ -62,7 +62,7 @@ def main():
     from elektra_spark.operators.pagerank import _prepare
 
     edges = spark.createDataFrame([(i, i + 1) for i in range(2000)], "src long, dst long")
-    adj_deg, deg, universe = _prepare(edges, None, False)
+    adj_deg, deg, universe, _ = _prepare(edges, None, False)
     spark.conf.set("spark.sql.adaptive.enabled", "false")
     parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     adj_deg = adj_deg.repartition(parts, "src").persist()
