@@ -129,13 +129,26 @@ def _copurchase_graph(spark, sf_dir):
     li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
     a = li.withColumnRenamed("l_partkey", "pa")
     b = li.withColumnRenamed("l_partkey", "pb")
-    return (
+    pairs = (
         a.join(b, "l_orderkey")
         .filter(F.col("pa") != F.col("pb"))
         .select(F.least("pa", "pb").cast("long").alias("src"), F.greatest("pa", "pb").cast("long").alias("dst"))
-        .dropDuplicates(["src", "dst"])
-        .localCheckpoint(eager=False)
     )
+    bounds = li.agg(F.min("l_partkey"), F.max("l_partkey")).collect()[0]
+    if bounds[0] is not None and int(bounds[0]) >= 0 and int(bounds[1]) < 2**31:
+        # distinct on ONE packed long instead of a two-column key (guide
+        # §2.3 narrower types) — same pair set, cheaper hash/compare
+        pairs = (
+            pairs.select((F.shiftleft(F.col("src"), 32) + F.col("dst")).alias("k"))
+            .distinct()
+            .select(
+                F.shiftright(F.col("k"), 32).alias("src"),
+                F.col("k").bitwiseAND(F.lit((1 << 32) - 1)).alias("dst"),
+            )
+        )
+    else:
+        pairs = pairs.dropDuplicates(["src", "dst"])
+    return pairs.localCheckpoint(eager=False)
 
 
 _COPURCHASE_SQL = f"""

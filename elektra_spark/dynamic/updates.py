@@ -234,20 +234,23 @@ class DynamicGraph:
         # contract batch endpoints to representatives (RepresentativeSpanningTree)
         lu = labels.select(F.col("vid").alias("src"), F.col("component").alias("cu"))
         lv = labels.select(F.col("vid").alias("dst"), F.col("component").alias("cv"))
-        contracted = (
-            fresh.join(lu, "src").join(lv, "dst").select("src", "dst", "cu", "cv").localCheckpoint(eager=True)
-        )
+        contracted = fresh.join(lu, "src").join(lv, "dst").select("src", "dst", "cu", "cv")
         cross = contracted.filter(F.col("cu") != F.col("cv"))
-        n_cross = cross.count()
+        # one job decides the path AND collects the cross batch when small
+        # (formerly an eager checkpoint + count + collect — three jobs per
+        # batch on a path whose cost is almost entirely fixed job overhead)
+        head = cross.limit(driver_threshold + 1).toPandas()
+        n_cross = len(head)
 
         mapping_df = winners_df = None
         if n_cross > 0 and n_cross <= driver_threshold:
-            mapping, winners = _solve_contracted_driver(cross.toPandas())
+            mapping, winners = _solve_contracted_driver(head)
             if len(mapping):
                 mapping_df = spark.createDataFrame(mapping)
             if len(winners):
                 winners_df = spark.createDataFrame(winners)
         elif n_cross > 0:
+            cross = cross.localCheckpoint(eager=True)
             # distributed fallback: quotient CC gives the root mapping; the
             # spanning forest of one representative original edge per
             # contracted pair gives the winners
@@ -341,12 +344,47 @@ class DynamicGraph:
         sub_edges = remaining.join(
             sub_vertices.withColumnRenamed("vid", "src"), "src", "left_semi"
         )
-        # recompute CC + forest inside affected components only
-        new_sub_labels = connected_components(sub_edges, vertices=sub_vertices)
+        # recompute CC + forest inside affected components only. Small
+        # affected slices (the common case: a delete batch touches a few
+        # components) are solved on the driver with the SAME kernels the
+        # distributed operators bottom out in — _np_min_labels gives the
+        # identical min-vid labels, and the winner set is the unique
+        # lexicographic-(src,dst) minimum forest, a pure function of the
+        # edge set (forest.py module docstring) — so the fast path is
+        # bit-identical to the distributed one while replacing ~10 fixed-
+        # cost jobs with two bounded collects (guide §1.2 / the reference's
+        # own sequential-fallback trade, euler_tour_tree.h:279).
+        sub_pdf = sub_edges.limit(5_000_001).toPandas()
+        new_sub_labels = new_sub_forest = None
+        if len(sub_pdf) <= 5_000_000:
+            import numpy as np
+
+            spark = batch.sparkSession
+            vpdf = sub_vertices.toPandas()
+            es = sub_pdf["src"].to_numpy(dtype=np.int64)
+            ed = sub_pdf["dst"].to_numpy(dtype=np.int64)
+            uverts = vpdf["vid"].to_numpy(dtype=np.int64)
+            vids = np.unique(np.concatenate([uverts, es, ed]))
+            lbl = _np_min_labels(
+                np.searchsorted(vids, es), np.searchsorted(vids, ed), len(vids)
+            )
+            new_sub_labels = spark.createDataFrame(
+                pd.DataFrame({"vid": vids, "component": vids[lbl]})
+            )
+            mask = _np_forest_winners(es, ed)
+            fo = pd.DataFrame({"src": es[mask], "dst": ed[mask]})
+            new_sub_forest = (
+                spark.createDataFrame(fo)
+                if len(fo)
+                else spark.createDataFrame([], "src long, dst long")
+            )
+        if new_sub_labels is None:
+            new_sub_labels = connected_components(sub_edges, vertices=sub_vertices)
         untouched = labels.join(F.broadcast(affected), "component", "left_anti")
         self.catalog.write(self._t("labels"), untouched.unionByName(new_sub_labels), "batch_delete_edges")
 
-        new_sub_forest = spanning_forest(sub_edges)
+        if new_sub_forest is None:
+            new_sub_forest = spanning_forest(sub_edges)
         old_forest = self.forest().join(known, ["src", "dst"], "left_anti")
         # drop forest edges that lived in affected components; add recomputed
         keep_forest = old_forest.join(
