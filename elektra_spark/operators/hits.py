@@ -96,12 +96,17 @@ def hits(
 def _l1(universe: DataFrame, raw: DataFrame) -> DataFrame:
     """Left-complete ``raw`` over the universe and L1-normalize it.
 
-    The normalizer is a scalar aggregate (one driver-side number per
-    half-step, like PageRank's dangling mass) — summed over the raw
-    contributions only, which equals the sum over the completed vector
-    because absent vertices contribute 0.
-    """
-    total = raw.agg(F.sum("raw")).collect()[0][0] or 1.0
-    return universe.join(raw, "vid", "left").select(
-        "vid", (F.coalesce("raw", F.lit(0.0)) / F.lit(float(total))).alias("score")
+    The normalizer rides along as a broadcast 1-row cross join (the pattern
+    PageRank's dangling term and bm25/dsir use) instead of a per-half-step
+    driver ``collect`` — summed over the raw contributions only, which
+    equals the sum over the completed vector because absent vertices
+    contribute 0. Two driver round-trips per iteration removed (guide §5:
+    the driver should do no data work inside the loop)."""
+    tot = raw.agg(F.sum("raw").alias("t")).select(
+        F.when(F.col("t").isNull() | (F.col("t") == 0.0), F.lit(1.0))
+        .otherwise(F.col("t"))
+        .alias("t")
+    )
+    return universe.join(raw, "vid", "left").crossJoin(F.broadcast(tot)).select(
+        "vid", (F.coalesce("raw", F.lit(0.0)) / F.col("t")).alias("score")
     )

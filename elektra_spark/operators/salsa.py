@@ -111,8 +111,13 @@ def salsa(
 
 def _l1(universe: DataFrame, raw: DataFrame) -> DataFrame:
     """Left-complete ``raw`` over the universe and L1-normalize (same
-    contract as hits.py _l1 — the normalizer is a bounded scalar action)."""
-    total = raw.agg(F.sum("raw")).collect()[0][0] or 1.0
-    return universe.join(raw, "vid", "left").select(
-        "vid", (F.coalesce("raw", F.lit(0.0)) / F.lit(float(total))).alias("score")
+    contract as hits.py _l1 — the normalizer is a broadcast 1-row cross
+    join, not a per-half-step driver collect)."""
+    tot = raw.agg(F.sum("raw").alias("t")).select(
+        F.when(F.col("t").isNull() | (F.col("t") == 0.0), F.lit(1.0))
+        .otherwise(F.col("t"))
+        .alias("t")
+    )
+    return universe.join(raw, "vid", "left").crossJoin(F.broadcast(tot)).select(
+        "vid", (F.coalesce("raw", F.lit(0.0)) / F.col("t")).alias("score")
     )
