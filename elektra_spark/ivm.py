@@ -48,10 +48,18 @@ def delta_rows(df: DataFrame, keys: list[str], measures: dict[str, F.Column], si
     )
 
 
-def apply_delta(cat: SnapshotCatalog, table: str, delta: DataFrame, keys: list[str]) -> DataFrame:
+def apply_delta(
+    cat: SnapshotCatalog,
+    table: str,
+    delta: DataFrame,
+    keys: list[str],
+    operation: str = "ivm_delta",
+) -> DataFrame:
     """Fold a view-shaped delta into the stored view: group-wise ADD of
     every non-key column, groups at zero rows dropped, committed as a new
-    snapshot. Returns the new view."""
+    snapshot (whose ``operation`` string the caller may use as an atomic
+    applied-marker — see :func:`apply_delta_stream`). Returns the new
+    view."""
     cur = cat.read(table)
     val_cols = [c for c in cur.columns if c not in keys]
     merged = (
@@ -60,7 +68,7 @@ def apply_delta(cat: SnapshotCatalog, table: str, delta: DataFrame, keys: list[s
         .agg(*[F.sum(c).cast("long").alias(c) for c in val_cols])
         .filter(F.col("n_rows") > 0)
     )
-    cat.write(table, merged, operation="ivm_delta")
+    cat.write(table, merged, operation=operation)
     return cat.read(table)
 
 
@@ -76,26 +84,23 @@ def apply_delta_stream(
     Streaming foreachBatch): each micro-batch folds in exactly once.
 
     Replay safety: foreachBatch is at-least-once, but delta application is
-    NOT idempotent (adding twice double-counts), so applied batch_ids are
-    recorded in a ``<table>__applied`` side table and replayed batches
-    no-op — the same commutative-ledger discipline as the streaming CMS.
-    View-shaped deltas form a commutative monoid (exact integer adds), so
-    the final view is independent of how the input splits into batches.
-    Returns the streaming query."""
-    applied_t = f"{table}__applied"
+    NOT idempotent (adding twice double-counts), so each batch_id is
+    stamped into the view snapshot's ``operation`` string IN THE SAME
+    catalog commit as the view itself, and replayed batches no-op after a
+    history scan. A separate applied-ledger table was the previous design;
+    it left a crash window between the view commit and the ledger append
+    in which an at-least-once replay double-counted (ADVICE r5) — the
+    single-commit stamp closes it. View-shaped deltas form a commutative
+    monoid (exact integer adds), so the final view is independent of how
+    the input splits into batches. Returns the streaming query."""
 
     def _apply(batch_df: DataFrame, batch_id: int) -> None:
-        spark = batch_df.sparkSession
-        if cat.exists(applied_t):
-            seen = cat.read(applied_t).filter(F.col("batch_id") == batch_id).count()
-            if seen:
-                return
-        apply_delta(cat, table, batch_df, keys)
-        marker = spark.createDataFrame([(int(batch_id),)], "batch_id long")
-        if cat.exists(applied_t):
-            cat.append(applied_t, marker)
-        else:
-            cat.write(applied_t, marker)
+        tag = f"ivm_delta:batch={int(batch_id)}"
+        if cat.exists(table) and any(
+            snap.get("operation") == tag for snap in cat.history(table)
+        ):
+            return
+        apply_delta(cat, table, batch_df, keys, operation=tag)
 
     writer = delta_stream.writeStream.foreachBatch(_apply).option(
         "checkpointLocation", checkpoint_dir

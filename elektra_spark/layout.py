@@ -7,7 +7,8 @@ min/max stats tight in both dimensions at once: sorting by the Morton value
 z(x, y) and cutting into equal-width z blocks gives every block a small
 bounding rectangle, so a predicate on EITHER column prunes most blocks.
 
-Pipeline (all integer-exact, engine-reproducible):
+Pipeline (engine-reproducible; bit interleave and block split are integer,
+binning is a shared double expression — envelope note at _range_bin):
 
 1. **Range-bin** each dimension to ``bits`` bits:
    ``bin = ⌊(v − min) · 2^bits / (max − min + 1)⌋`` — rank-free binning from
@@ -49,6 +50,12 @@ def interleave_bits(xbin: Column, ybin: Column, bits: int = ZORDER_BITS) -> Colu
 
 
 def _range_bin(v: Column, vmin: Column, vmax: Column, bits: int) -> Column:
+    # (v - vmin) * 2^bits / (range) evaluates as IEEE double division in
+    # both engines (Spark and the DuckDB twin), so the supported key-range
+    # envelope is |range| < 2^(53 - bits): beyond it the double product
+    # loses integer precision and block assignment near bin boundaries may
+    # disagree across engines. Within the envelope both engines compute the
+    # identical double and floor, which is what the oracle contract pins.
     scale = F.lit(1 << bits)
     return F.floor((v - vmin) * scale / (vmax - vmin + 1)).cast("long")
 

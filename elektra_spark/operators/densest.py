@@ -73,6 +73,11 @@ def densest_subgraph(
         sched.append((r, n, m))
         rm = deg.filter(F.col("d") * n * 1000 <= coef * m).select("vid").localCheckpoint(eager=True)
         removed_parts.append(rm.withColumn("removed_round", F.lit(r).cast("long")))
+        if rm.count() == n:
+            # the removal set is the whole remaining vertex set: done — no
+            # extra observation round needed (which also made a peel that
+            # landed exactly on round max_rounds-1 spuriously raise)
+            break
         verts = verts.join(rm, "vid", "left_anti").localCheckpoint(eager=True)
         alive = (
             alive.join(rm.withColumnRenamed("vid", "src"), "src", "left_anti")
@@ -82,6 +87,11 @@ def densest_subgraph(
         )
     else:
         raise RuntimeError(f"densest_subgraph did not empty within {max_rounds} rounds")
+    if not sched:
+        # empty input graph: nothing peeled, nothing densest
+        return edges.sparkSession.createDataFrame(
+            [], "vid long, removed_round long, in_densest boolean"
+        )
     # best round: exact integer argmax of m/n, lowest round on ties
     best_r, best_n, best_m = 0, sched[0][1], sched[0][2]
     for r, n, m in sched[1:]:

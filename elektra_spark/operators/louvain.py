@@ -5,9 +5,11 @@ variant oscillates (two neighbors trade communities forever — measured on
 K4s before this schedule landed). This kernel uses a **Luby-mover
 schedule**: per round, a vertex may move iff its rehashed md5 priority is a
 strict (h, vid) local minimum among its neighbors — movers form an
-independent set, so every applied move is exactly the move sequential
-Louvain would make from the same state, and oscillation is structurally
-impossible. The trade is a fixed-round horizon (a vertex moves only when it
+independent set, so each individual move equals the sequential gain-argmax
+from the round-start state; two non-adjacent movers can still interact
+through shared community totals (stale Sigma_tot/k_ic within a round), so
+cross-community oscillation is suppressed in practice rather than
+structurally impossible. Determinism and oracle parity hold regardless. The trade is a fixed-round horizon (a vertex moves only when it
 wins a round), the same contract the MIS/matching/coloring rows make.
 
 Per round every vertex evaluates, for each community c among its neighbors

@@ -116,7 +116,8 @@ def weighted_sample_topk(df: DataFrame, k: int, weight_col, key_col: str = "doc_
     ln differs in the last ulp across libms).
 
     Weights must be strictly positive (ln(u) ≤ 0: w→0 would send the key to
-    -inf and never win — silently wrong, so it raises instead).
+    -inf and never win); non-positive-weight rows are DROPPED before
+    ranking — the same batch contract the streaming twin documents.
 
     At 100 TB: one map-side key computation + a distributed top-k
     (``orderBy().limit(k)`` → TakeOrdered: per-partition heaps, no global
