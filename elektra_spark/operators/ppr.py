@@ -97,17 +97,23 @@ def personalized_pagerank(
                 .groupBy(F.col("dst").alias("vid"))
                 .agg(F.sum(F.col("rank") / F.col("deg")).alias("contrib"))
             )
-            dm = (
-                (r.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0] or 0.0)
-                if has_dangling
-                else 0.0
-            )
-            r = base.join(contrib, "vid", "left").select(
+            # dangling mass rides as a broadcast 1-row cross join (the
+            # hits/salsa pattern) — no driver collect inside the loop
+            out = base.join(contrib, "vid", "left")
+            if has_dangling:
+                dmc = r.join(dangling, "vid", "left_semi").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+                )
+                out = out.crossJoin(F.broadcast(dmc))
+                dm_col = F.col("dm")
+            else:
+                dm_col = F.lit(0.0)
+            r = out.select(
                 "vid",
                 (
                     F.lit(1.0 - damping) * F.col("s")
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(float(dm)) * F.col("s"))
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dm_col * F.col("s"))
                 ).alias("rank"),
             )
             r = checkpoint(r, step)
@@ -185,17 +191,22 @@ def weighted_pagerank(
                 .groupBy(F.col("dst").alias("vid"))
                 .agg(F.sum(F.col("rank") * F.col("share")).alias("contrib"))
             )
-            dm = (
-                (r.join(dangling, "vid", "left_semi").agg(F.sum("rank")).collect()[0][0] or 0.0)
-                if has_dangling
-                else 0.0
-            )
-            r = universe.join(contrib, "vid", "left").select(
+            # same broadcast-scalar pattern as personalized_pagerank above
+            out = universe.join(contrib, "vid", "left")
+            if has_dangling:
+                dmc = r.join(dangling, "vid", "left_semi").agg(
+                    F.coalesce(F.sum("rank"), F.lit(0.0)).alias("dm")
+                )
+                out = out.crossJoin(F.broadcast(dmc))
+                dm_term = F.col("dm") / F.lit(float(n))
+            else:
+                dm_term = F.lit(0.0)
+            r = out.select(
                 "vid",
                 (
                     F.lit((1.0 - damping) / n)
                     + F.lit(damping)
-                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + F.lit(float(dm) / n))
+                    * (F.coalesce(F.col("contrib"), F.lit(0.0)) + dm_term)
                 ).alias("rank"),
             )
             r = checkpoint(r, step)
