@@ -835,10 +835,24 @@ def pagerank(
         # and the df path re-keys through its own checkpoint, so a generic
         # hash(vid) exchange here was a dead shuffle of |V| rows (guide §2.4)
         universe = universe.persist()
-        # one scan serves every kernel: row count, plus the vid bounds that
-        # decide bsp density and (df) int32 key narrowing
-        row = universe.agg(F.count("*"), F.max("vid"), F.min("vid")).collect()[0]
+        # one scan serves every kernel: row count, the vid bounds that
+        # decide bsp density and (df) int32 key narrowing, and — when a
+        # reusable bsp prep dir needs the vertex-table fingerprint — the
+        # xxhash64 identity sum, folded into the same aggregate instead of
+        # a second |V|-row scan (string format identical to _fp below)
+        need_vfp = (
+            bsp_prep_dir is not None and vertices is not None and kernel in ("bsp", "auto")
+        )
+        agg_cols = [F.count("*"), F.max("vid"), F.min("vid")]
+        if need_vfp:
+            agg_cols.append(
+                F.coalesce(
+                    F.sum(F.xxhash64("vid").cast("decimal(38,0)")), F.lit(0)
+                )
+            )
+        row = universe.agg(*agg_cols).collect()[0]
         n, max_vid, min_vid = int(row[0]), row[1], row[2]
+        vfp = f"{n}:{int(row[3])}" if need_vfp else None
         if n == 0:
             return spark.createDataFrame([], "vid long, rank double")
         if kernel in ("bsp", "auto"):
@@ -874,7 +888,10 @@ def pagerank(
 
                     input_fp = f",e{_fp(edges, 'src', 'dst')},d{int(directed)}"
                     if vertices is not None:
-                        input_fp += f",v{_fp(vertices, 'vid')}"
+                        # computed in the universe aggregate above — same
+                        # rows (universe = vertices.select(vid)), same
+                        # expression, so the marker string is unchanged
+                        input_fp += f",v{vfp}"
                 out = _pagerank_bsp(
                     spark, adj_deg, universe, n, n_slots, damping, n_iter, buckets,
                     checkpoint, on_superstep, start_step, init_ranks,
